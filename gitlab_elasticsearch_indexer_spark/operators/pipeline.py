@@ -1,0 +1,171 @@
+"""Document pipeline — Family A operators from SURVEY.md §2.
+
+The reference walks one file at a time through ``put``/``del`` callbacks
+(/root/reference/indexer/indexer.go:35-76) and builds JSON blob/commit
+documents.  Here the whole pipeline is a declarative column-expression
+chain: every filter/projection is a native Catalyst expression (pushed
+to the parquet scan where possible), no Python in the hot path.
+
+Operators:
+
+* A5 size filter       — skip blobs > 1 MiB (git/gitaly.go:25,
+  indexer/blob.go:63-65)
+* A6 binary filter     — NUL byte within the first 8 KiB
+  (indexer/blob.go:19-21,125-132 — the same sniff git uses)
+* A7 language detect   — basename/extension lookup against a broadcast
+  dim table distilled from the linguist table
+  (linguist/language.go:62-95); fallback "Text" (indexer/blob.go:113-120)
+* A9 blob document     — {type, id, oid, rid, commit_sha, content,
+  path, file_name, language} (indexer/blob.go:34-107); id =
+  "{parent}_{path}" (indexer/blob.go:58-60)
+* A10 commit document  — {type, id, author, committer, rid, message,
+  sha} with person time format yyyyMMdd'T'HHmmssZ
+  (indexer/commit.go:24-36, indexer/person.go:10-29)
+* A12 upsert           — last-write-wins per id (elastic bulk index
+  semantics, elastic/client.go:158-167)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LIMIT_FILE_SIZE = 1024 * 1024  # git/gitaly.go:25
+BINARY_SNIFF_LIMIT = 8 * 1024  # indexer/blob.go:20
+
+# Distilled linguist dim (linguist/languages.go holds 392 entries; we
+# carry the common ones + every case in the reference's tests —
+# linguist/language_test.go:17-32, indexer/blob_test.go:54-68).
+EXT_LANG = [
+    (".py", "Python"), (".rb", "Ruby"), (".go", "Go"), (".js", "JavaScript"),
+    (".java", "Java"), (".c", "C"), (".cpp", "C++"), (".h", "C"),
+    (".md", "Markdown"), (".txt", "Text"), (".yml", "YAML"),
+    (".yaml", "YAML"), (".json", "JSON"), (".sh", "Shell"),
+    (".ini", "INI"), (".html", "HTML"), (".css", "CSS"), (".rs", "Rust"),
+    (".ts", "TypeScript"), (".am", "Makefile"), (".xml", "XML"),
+    (".sql", "SQL"), (".toml", "TOML"), (".scala", "Scala"), (".kt", "Kotlin"),
+]
+FILENAME_LANG = [
+    ("Makefile", "Makefile"), ("CMakeLists.txt", "CMake"),
+    ("Dockerfile", "Dockerfile"), ("Rakefile", "Ruby"), ("Gemfile", "Ruby"),
+]
+
+
+def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """A5 + A6: drop too-large and binary blobs (both silent skips)."""
+    c = F.col(content_col)
+    return df.filter(
+        (F.octet_length(c) <= F.lit(LIMIT_FILE_SIZE))
+        & (~F.substring(c, 1, BINARY_SNIFF_LIMIT).contains(F.lit(chr(0))))
+    )
+
+
+def detect_language(
+    spark: SparkSession, df: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """A7: filename-then-extension lookup, broadcast-joined, fallback "Text".
+
+    Mirrors linguist.DetectLanguage (linguist/language.go:73-95): exact
+    basename match wins, else last-dot extension, else "Text".
+    """
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    ext = F.regexp_extract(base, r"(\.[^.]+)$", 1)
+
+    fn_dim = spark.createDataFrame(FILENAME_LANG, "fn string, fn_lang string")
+    ext_dim = spark.createDataFrame(EXT_LANG, "ext string, ext_lang string")
+
+    out = (
+        df.withColumn("_base", base)
+        .withColumn("_ext", ext)
+        .join(F.broadcast(fn_dim), F.col("_base") == F.col("fn"), "left")
+        .join(F.broadcast(ext_dim), F.col("_ext") == F.col("ext"), "left")
+        .withColumn(
+            "detected_lang",
+            F.coalesce(F.col("fn_lang"), F.col("ext_lang"), F.lit("Text")),
+        )
+        .drop("_base", "_ext", "fn", "fn_lang", "ext", "ext_lang")
+    )
+    return out
+
+
+def build_blob_documents(
+    df: DataFrame, blob_type: str = "blob", dedup_latest: bool = True
+) -> DataFrame:
+    """A9 + A11 (+A12 last-write-wins): source rows → blob documents.
+
+    Output schema matches the reference blob doc
+    (indexer/blob.go:34-56; golden integration_test.go:300-313):
+    type, id, oid, rid, commit_sha, content, path, file_name, language.
+    ``oid`` has no git object store here; we define it as the sha256 of
+    the content (also serving the per-row sha256 invariant from
+    BASELINE.json).
+    """
+    rid = (
+        F.col("repo") if blob_type == "blob"
+        else F.concat(F.lit("wiki_"), F.col("repo"))  # indexer/indexer.go:53-69
+    )
+    doc = df.select(
+        F.lit(blob_type).alias("type"),
+        F.concat(F.col("repo"), F.lit("_"), F.col("path")).alias("id"),
+        F.sha2(F.col("content"), 256).alias("oid"),
+        rid.alias("rid"),
+        F.col("commit").alias("commit_sha"),
+        F.col("content"),
+        F.col("path"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("lang").alias("language"),
+    )
+    if dedup_latest:
+        # A12: ES bulk index is an upsert keyed by id — last write wins.
+        # With no ingest order column, "latest" is made deterministic by
+        # max(commit_sha) per id; real ingestion orders by snapshot.
+        w = Window.partitionBy("id").orderBy(
+            F.col("commit_sha").desc(), F.col("oid").desc()
+        )
+        doc = (
+            doc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return doc
+
+
+def build_commit_documents(commits: DataFrame, repo_col: str = "repo") -> DataFrame:
+    """A10: commit rows → commit documents (indexer/commit.go:24-36).
+
+    Expects columns: repo, sha, author_name, author_email, author_time,
+    committer_name, committer_email, committer_time, message.
+    Person.time uses the reference's format "20060102T150405-0700"
+    (indexer/person.go:10) = yyyyMMdd'T'HHmmssZ.
+    """
+    tfmt = "yyyyMMdd'T'HHmmssZ"
+
+    def person(prefix: str):
+        return F.struct(
+            F.col(f"{prefix}_name").alias("name"),
+            F.col(f"{prefix}_email").alias("email"),
+            F.date_format(F.col(f"{prefix}_time"), tfmt).alias("time"),
+        )
+
+    return commits.select(
+        F.lit("commit").alias("type"),
+        F.concat(F.col(repo_col), F.lit("_"), F.col("sha")).alias("id"),
+        person("author").alias("author"),
+        person("committer").alias("committer"),
+        F.col(repo_col).alias("rid"),
+        F.col("message"),
+        F.col("sha"),
+    )
+
+
+def run_blob_pipeline(
+    spark: SparkSession, source: DataFrame, blob_type: str = "blob"
+) -> DataFrame:
+    """Full A-family pipeline: filters → language enrich → documents."""
+    filtered = filter_indexable(source)
+    enriched = detect_language(spark, filtered)
+    # input lang column is advisory; the pipeline's detected value is
+    # cross-checked in tests, the stored doc keeps the input lang when
+    # present (it is authoritative in the source table).
+    return build_blob_documents(enriched, blob_type)

@@ -1,0 +1,277 @@
+"""BM25 query execution (SURVEY.md §2 B14-B16, B19).
+
+The query lifecycle the reference delegates to ES (_search with the
+mapping's analyzers — SURVEY.md §3.3) executed natively:
+
+  query string → code_search_analyzer (whitespace+lower+fold,
+  elastic/index.go:45-52) → term lookup (edgeNGram'd index ⇒ prefix
+  matching) → keyword filters (lang/repo, elastic/index.go:157-174)
+  → BM25 per (term,doc), summed → top-k.
+
+Physical plan: postings are document-partitioned, so scoring is
+embarrassingly parallel per doc_part — an ``applyInPandas`` kernel
+scores its local doc range (dense numpy accumulator) and emits a local
+top-k; the only shuffle is the ≤ k·n_parts candidate rows into the
+global ``orderBy(score desc, id asc).limit(k)``.  Two kernels:
+
+* exhaustive — vectorized decode + np.add.at accumulation; the
+  correctness referee and the fast path for small term sets;
+* block-max WAND (B15) — DAAT with block-skipping over the compressed
+  postings; provably returns the identical top-k (pruning uses strict
+  bound < θ, ties evaluated, same (score desc, doc_idx asc) total
+  order — doc_idx is the rank of the string id, so doc_idx order and
+  id order coincide).
+
+Scores are float64 end-to-end; tie-break (score desc, doc_id asc)
+matches the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzers import code_search_analyze
+from ..functions.codecs import unpack_postings
+from .index_build import B, K1, InvertedIndex
+
+TOPK_SCHEMA = "doc_idx long, score double"
+
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    lang: str | None = None,
+    repo: str | None = None,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
+
+    Duplicate analyzed query tokens add their scores (one term clause
+    per occurrence, like a match query).
+    """
+    spark = index.postings.sparkSession
+    weights = Counter(code_search_analyze(query))
+    idf = index.idf_map(list(weights))
+    # weighted idf per matched term — the only per-term constant kernels need
+    widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
+
+    out_cols = ["id", "score", "repo", "path", "lang"]
+    if not widf:
+        return spark.createDataFrame(
+            [], "id string, score double, repo string, path string, lang string"
+        )
+
+    cand = index.postings.filter(F.col("term").isin(list(widf))).select(
+        "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
+        "block_last", "block_max_tfn", "max_tfn",
+    )
+
+    filtered = lang is not None or repo is not None
+    use_bmw = mode == "bmw" and not filtered
+    kernel = _make_part_kernel(widf, index.avgdl, k, use_bmw)
+
+    if filtered:
+        allowed = index.doc_stats
+        if lang is not None:
+            allowed = allowed.filter(F.col("lang") == lang)
+        if repo is not None:
+            allowed = allowed.filter(F.col("repo") == repo)
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(allowed.select("doc_part", "doc_idx").groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+
+    hits = (
+        F.broadcast(scored)
+        .join(index.doc_stats.select("doc_idx", "id", "repo", "path", "lang"), "doc_idx")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select(*out_cols)
+    )
+    return hits
+
+
+def _wrap_single(kernel):
+    def single(pdf: pd.DataFrame) -> pd.DataFrame:
+        return kernel(pdf, None)
+
+    return single
+
+
+def _make_part_kernel(widf: dict[str, float], avgdl: float, k: int, use_bmw: bool):
+    """Per-doc_part scoring kernel (cogroup signature: postings, allowed)."""
+
+    def kernel(postings_pdf: pd.DataFrame, allowed_pdf) -> pd.DataFrame:
+        if len(postings_pdf) == 0:
+            return pd.DataFrame({"doc_idx": [], "score": []})
+        allowed = None
+        if allowed_pdf is not None:
+            allowed = allowed_pdf["doc_idx"].to_numpy(dtype=np.int64)
+            if len(allowed) == 0:
+                return pd.DataFrame({"doc_idx": [], "score": []})
+
+        terms = []
+        for row in postings_pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            tfn = _tfn(tfs, dls, avgdl)
+            terms.append(
+                {
+                    "w": widf[row.term],
+                    "docs": docs,
+                    "tfn": tfn,
+                    "block_last": np.asarray(row.block_last, dtype=np.int64),
+                    "block_max": np.asarray(row.block_max_tfn, dtype=np.float64),
+                    "ub": widf[row.term] * float(row.max_tfn),
+                }
+            )
+
+        if use_bmw and allowed is None:
+            doc_idx, score = _bmw_topk(terms, k)
+        else:
+            doc_idx, score = _exhaustive_topk(terms, k, allowed)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
+
+
+def _tfn(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    t = tfs.astype(np.float64)
+    denom = t + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl) if avgdl > 0 else t + K1
+    return t / denom
+
+
+def _exhaustive_topk(terms, k, allowed=None):
+    all_docs = np.concatenate([t["docs"] for t in terms])
+    all_contrib = np.concatenate([t["w"] * t["tfn"] for t in terms])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_contrib)
+    if allowed is not None:
+        mask = np.isin(uniq, allowed)
+        uniq, acc = uniq[mask], acc[mask]
+    return _topk_arrays(uniq, acc, k)
+
+
+def _topk_arrays(doc_idx: np.ndarray, score: np.ndarray, k: int):
+    n = len(doc_idx)
+    if n == 0:
+        return doc_idx, score
+    if n > k:
+        # keep every row scoring >= the kth-largest score (ties included),
+        # then break ties exactly in the lexsort below
+        kth = -np.partition(-score, k - 1)[k - 1]
+        keep = np.nonzero(score >= kth)[0]
+        doc_idx, score = doc_idx[keep], score[keep]
+    order = np.lexsort((doc_idx, -score))[:k]
+    return doc_idx[order], score[order]
+
+
+def _bmw_topk(terms, k):
+    """Exact block-max WAND over decoded+block metadata.
+
+    Pruning uses a strict bound (< θ): any doc whose upper bound ties θ
+    is still evaluated, so results — including the (score desc, doc_idx
+    asc) tie-break — are identical to the exhaustive kernel.
+    """
+    cur = []  # per term: position pointer
+    n_t = len(terms)
+    ptr = [0] * n_t
+    exhausted = [False] * n_t
+    heap: list[tuple[float, int]] = []  # (score, -doc_idx): root = worst
+
+    def cur_doc(i):
+        return terms[i]["docs"][ptr[i]] if ptr[i] < len(terms[i]["docs"]) else None
+
+    def theta():
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    def block_ub(i, d):
+        t = terms[i]
+        bi = int(np.searchsorted(t["block_last"], d, side="left"))
+        return t["w"] * t["block_max"][min(bi, len(t["block_max"]) - 1)]
+
+    def block_end(i, d):
+        t = terms[i]
+        bi = int(np.searchsorted(t["block_last"], d, side="left"))
+        return int(t["block_last"][min(bi, len(t["block_last"]) - 1)])
+
+    while True:
+        live = [(cur_doc(i), i) for i in range(n_t) if cur_doc(i) is not None]
+        if not live:
+            break
+        live.sort()
+        th = theta()
+        # pivot: smallest prefix of (doc-sorted) terms whose total ub >= θ
+        acc_ub = 0.0
+        pivot = -1
+        for j, (_, i) in enumerate(live):
+            acc_ub += terms[i]["ub"]
+            if acc_ub >= th:
+                pivot = j
+                break
+        if pivot < 0:
+            break  # even all terms together can't reach θ
+        pivot_doc = int(live[pivot][0])
+        # extend the pivot set over every term currently on pivot_doc —
+        # their contributions belong to pivot_doc's bound and score
+        while pivot + 1 < len(live) and int(live[pivot + 1][0]) == pivot_doc:
+            pivot += 1
+        if int(live[0][0]) == pivot_doc:
+            # all pivot-set terms aligned on pivot_doc → block-max check
+            bub = sum(block_ub(i, pivot_doc) for _, i in live[: pivot + 1])
+            if bub >= th:
+                s = 0.0
+                for d, i in live[: pivot + 1]:
+                    if int(d) == pivot_doc:
+                        s += terms[i]["w"] * terms[i]["tfn"][ptr[i]]
+                        ptr[i] += 1
+                cand = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, cand)
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
+            else:
+                # skip to the shallowest block boundary past pivot_doc,
+                # capped at the next doc owned by any post-pivot term
+                # (those docs still need evaluation)
+                nxt = min(block_end(i, pivot_doc) for _, i in live[: pivot + 1]) + 1
+                nxt = max(nxt, pivot_doc + 1)
+                if pivot + 1 < len(live):
+                    nxt = min(nxt, int(live[pivot + 1][0]))
+                for _, i in live[: pivot + 1]:
+                    t = terms[i]
+                    ptr[i] = int(np.searchsorted(t["docs"], nxt, side="left"))
+        else:
+            # advance all pre-pivot terms to >= pivot_doc
+            for d, i in live[:pivot]:
+                if int(d) < pivot_doc:
+                    t = terms[i]
+                    ptr[i] = int(np.searchsorted(t["docs"], pivot_doc, side="left"))
+
+    if not heap:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return (
+        np.array([-d for _, d in items], dtype=np.int64),
+        np.array([s for s, _ in items], dtype=np.float64),
+    )
+
+
+def get_by_id(index: InvertedIndex, doc_id: str) -> DataFrame:
+    """B19: point lookup by document id (elastic/client.go:170-185)."""
+    return index.doc_stats.filter(F.col("id") == doc_id)

@@ -1,0 +1,39 @@
+"""BMW must return exactly the exhaustive top-k (docs AND scores)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gitlab_elasticsearch_indexer_spark.functions.codecs import block_stats
+from gitlab_elasticsearch_indexer_spark.operators.query import (
+    _bmw_topk,
+    _exhaustive_topk,
+)
+
+
+def _mk_term(rng, n_docs, w, max_tf=5):
+    n = rng.integers(1, n_docs + 1)
+    docs = np.sort(rng.choice(n_docs, size=n, replace=False)).astype(np.int64)
+    tfn = rng.random(n) * 0.9 + 0.05
+    last, bmax = block_stats(docs, tfn, block=4)  # tiny blocks → many skips
+    return {
+        "w": w, "docs": docs, "tfn": tfn,
+        "block_last": last, "block_max": bmax, "ub": w * float(tfn.max()),
+    }
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=12))
+def test_bmw_equals_exhaustive(seed, n_terms, k):
+    rng = np.random.default_rng(seed)
+    terms = [_mk_term(rng, 60, float(rng.random() * 3 + 0.1)) for _ in range(n_terms)]
+    ed, es = _exhaustive_topk(terms, k)
+    bd, bs = _bmw_topk(terms, k)
+    assert np.array_equal(ed, bd), (ed, bd)
+    assert np.allclose(es, bs, rtol=0, atol=0)
+
+
+def test_bmw_empty():
+    d, s = _bmw_topk([], 5)
+    assert len(d) == 0 and len(s) == 0

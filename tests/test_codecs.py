@@ -1,0 +1,55 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gitlab_elasticsearch_indexer_spark.functions.codecs import (
+    block_stats,
+    delta_decode,
+    delta_encode,
+    pack_postings,
+    unpack_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 300, 2**14, 2**21 - 1, 2**35, 2**63], dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert len(varint_decode(b"")) == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63), max_size=300))
+def test_varint_roundtrip_property(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+def test_varint_is_compact():
+    small = np.arange(1000, dtype=np.uint64) % 100
+    assert len(varint_encode(small)) == 1000  # all < 128 → 1 byte each
+
+
+def test_delta_roundtrip():
+    ids = np.array([3, 7, 8, 100, 100000], dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(ids)), ids)
+
+
+def test_pack_unpack_postings():
+    docs = np.array([1, 5, 6, 900, 100000], dtype=np.uint64)
+    tfs = np.array([2, 1, 7, 1, 3], dtype=np.uint64)
+    dls = np.array([10, 20, 30, 40, 50], dtype=np.uint64)
+    d, t, l = unpack_postings(*pack_postings(docs, tfs, dls))
+    assert np.array_equal(d, docs) and np.array_equal(t, tfs) and np.array_equal(l, dls)
+
+
+def test_block_stats():
+    n = 300
+    docs = np.arange(n, dtype=np.int64) * 2
+    tfn = np.linspace(0.1, 0.9, n)
+    last, bmax = block_stats(docs, tfn, block=128)
+    assert len(last) == 3 == len(bmax)
+    assert last[0] == docs[127] and last[-1] == docs[-1]
+    assert bmax[0] == tfn[127] and bmax[-1] == tfn[-1]

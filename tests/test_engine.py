@@ -1,0 +1,142 @@
+"""End-to-end: fixtures → pipeline → index → query, rank-identical to the
+pure-Python oracle (SURVEY.md §5 'rank-identity check')."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gitlab_elasticsearch_indexer_spark.fixtures import generate_source_files
+from gitlab_elasticsearch_indexer_spark.operators.index_build import (
+    assign_doc_ids,
+    build_index,
+)
+from gitlab_elasticsearch_indexer_spark.operators.pipeline import (
+    filter_indexable,
+    run_blob_pipeline,
+)
+from gitlab_elasticsearch_indexer_spark.operators.query import get_by_id, search
+from gitlab_elasticsearch_indexer_spark.oracle import build_oracle_index
+
+N_FILES = 250
+
+
+@pytest.fixture(scope="session")
+def corpus(spark):
+    return generate_source_files(spark, n_files=N_FILES, n_repos=8).persist()
+
+
+@pytest.fixture(scope="session")
+def documents(spark, corpus):
+    return run_blob_pipeline(spark, corpus).persist()
+
+
+@pytest.fixture(scope="session")
+def index(spark, documents):
+    return build_index(
+        spark,
+        documents.select("id", F.col("content"), F.col("rid").alias("repo"),
+                         "path", F.col("language").alias("lang")),
+        analyzer="code",
+        docs_per_part=64,  # force multiple doc partitions
+    )
+
+
+@pytest.fixture(scope="session")
+def oracle(documents):
+    rows = [
+        {"doc_id": r["id"], "content": r["content"], "lang": r["language"],
+         "repo": r["rid"]}
+        for r in documents.collect()
+    ]
+    return build_oracle_index(rows, analyzer="code")
+
+
+# --- pipeline (Family A) ---------------------------------------------------
+
+
+def test_skip_rules(spark, corpus):
+    kept = filter_indexable(corpus)
+    paths = {r["path"] for r in kept.select("path").collect()}
+    assert "bin/early_nul.dat" not in paths  # NUL in first 8 KiB → skipped
+    assert "bin/late_nul.dat" in paths       # NUL after 8 KiB → kept
+    assert "big/huge.txt" not in paths       # > 1 MiB → skipped
+    assert "files/empty" in paths            # empty file → kept
+
+
+def test_blob_document_shape_and_upsert(documents):
+    cols = set(documents.columns)
+    assert cols == {"type", "id", "oid", "rid", "commit_sha", "content",
+                    "path", "file_name", "language"}
+    dup = documents.filter(F.col("id") == "repo-003_dup/same.py").collect()
+    assert len(dup) == 1  # last-write-wins upsert per id
+
+
+def test_sha256_invariant(spark, corpus, documents):
+    """BASELINE.json input_hint: per-row content sha256 equality vs source."""
+    src = filter_indexable(corpus).select(
+        F.concat("repo", F.lit("_"), "path").alias("id"),
+        F.col("commit").alias("commit_sha"),
+        F.sha2("content", 256).alias("src_sha"),
+    )
+    joined = documents.select("id", "commit_sha", F.col("oid").alias("doc_sha")).join(
+        src, ["id", "commit_sha"]
+    )
+    assert joined.count() == documents.count()  # every doc traces to a source row
+    bad = joined.filter(F.col("src_sha") != F.col("doc_sha")).count()
+    assert bad == 0
+
+
+def test_doc_ids_deterministic_across_parallelism(spark, documents):
+    a = assign_doc_ids(documents.select("id", "content"), num_ranges=2)
+    b = assign_doc_ids(documents.select("id", "content"), num_ranges=7)
+    da = {r["id"]: r["doc_idx"] for r in a.select("id", "doc_idx").collect()}
+    db = {r["id"]: r["doc_idx"] for r in b.select("id", "doc_idx").collect()}
+    assert da == db
+    assert sorted(da.values()) == list(range(len(da)))
+
+
+# --- index + query (Family B) ----------------------------------------------
+
+QUERIES = [
+    # (query, k, lang, repo) — classes from FIXTURES.md §4
+    ("if", 10, None, None),                # hot skew term
+    ("return", 10, None, None),
+    ("getUserById", 10, None, None),       # camelCase whole-token
+    ("user", 10, None, None),              # split part of camelCase ids
+    ("getu", 10, None, None),              # prefix >=2 → edgeNGram
+    ("if return def", 10, None, None),     # multi-term
+    ("getUser scoreIndex", 15, None, None),
+    ("zzz_no_such_term", 10, None, None),  # zero-hit
+    ("if", 10, "Python", None),            # keyword filter lang
+    ("return", 10, None, "repo-003"),      # routing filter repo
+    ("IF", 10, None, None),                # lowercase at search time
+]
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw"])
+def test_rank_identity_vs_oracle(spark, index, oracle, mode):
+    for query, k, lang, repo in QUERIES:
+        if mode == "bmw" and (lang or repo):
+            continue  # BMW path is for unfiltered queries
+        got = search(index, query, k=k, lang=lang, repo=repo, mode=mode)
+        got_rows = [(r["id"], r["score"]) for r in got.collect()]
+        exp = oracle.search(query, k=k, lang=lang, repo=repo)
+        assert [g[0] for g in got_rows] == [e[0] for e in exp], (
+            f"{mode} {query!r}: {got_rows} != {exp}"
+        )
+        assert np.allclose([g[1] for g in got_rows], [e[1] for e in exp],
+                           rtol=1e-9, atol=1e-12), (query, got_rows, exp)
+
+
+def test_term_stats_consistency(index, oracle):
+    n = index.n_docs
+    assert n == oracle.n_docs
+    assert abs(index.avgdl - oracle.avgdl) < 1e-9
+    rows = index.term_stats.filter(F.col("term").isin(["if", "getuserbyid"])).collect()
+    for r in rows:
+        assert r["df"] == len(oracle.postings.get(r["term"], {}))
+
+
+def test_get_by_id(index):
+    row = get_by_id(index, "repo-003_with space/README.md").collect()
+    assert len(row) == 1 and row[0]["path"] == "with space/README.md"
