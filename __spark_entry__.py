@@ -481,6 +481,276 @@ GROUP BY meta.id, lang, repo
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal plumbing) — first-class alongside the reference inventory
+
+from gitlab_elasticsearch_indexer_spark.functions import textstats as ts
+from gitlab_elasticsearch_indexer_spark.operators import dedup as dd
+from gitlab_elasticsearch_indexer_spark.operators import similarity as sim
+from gitlab_elasticsearch_indexer_spark.sources import multimodal as mm
+
+
+def _corpus(spark, sf_dir) -> DataFrame:
+    """documents + deterministic exact/near duplicates (both engines
+    construct the identical corpus)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail token")).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' extra tail token'
+    FROM documents WHERE doc_id % 20 = 10
+)
+"""
+
+_SHINGLE_SQL = (
+    _CORPUS_SQL
+    + """,
+tokl AS (SELECT id, string_split_regex(lower(text), '\\s+') AS t FROM corpus),
+sh AS (
+    SELECT DISTINCT id, array_to_string(list_slice(t, g, g + 2), ' ') AS s
+    FROM tokl JOIN (SELECT range AS g FROM range(1, 4096)) n ON n.g <= len(t) - 2
+)
+"""
+)
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dd.exact_duplicates(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
+
+
+SQL_EXACT_DEDUP = f"""
+WITH {_CORPUS_SQL.strip()}
+SELECT md5(text) AS content_hash, min(id) AS keep_id, count(*)::BIGINT AS n_dups
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    sh = dd.with_shingles(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
+    sig = dd.minhash_signatures(sh, num_hashes=8)
+    return dd.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SHINGLE_SQL.strip()},
+mh AS (
+    SELECT id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
+    FROM sh CROSS JOIN (SELECT range AS i FROM range(0, 8)) h
+    GROUP BY id, i
+),
+bsig AS (
+    SELECT id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+    FROM mh GROUP BY id, i // 2
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bsig a JOIN bsig b USING (band, sig)
+WHERE a.id < b.id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    sh = dd.with_shingles(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
+    return dd.jaccard_pairs(sh, threshold=0.8)
+
+
+SQL_JACCARD = f"""
+WITH {_SHINGLE_SQL.strip()},
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b USING (s) WHERE a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.n + sb.n - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.8
+"""
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — bit kernels aren't SQL-expressible; the
+    driver records a rows-only check, pytest verifies vs pure python."""
+    fps = dd.simhash_fingerprints(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
+    return dd.simhash_near_pairs(fps, max_hamming=3)
+
+
+def q_cosine_dedup_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.cosine_pairs(emb, threshold=0.35, block_col="label")
+
+
+SQL_COSINE_DEDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sim.cosine_topk(emb, list(qv), k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+FROM embeddings CROSS JOIN q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: hyperplane folds aren't worth
+    replicating in SQL; exactness vs numpy is pytest-verified)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sim.ann_lsh_topk(emb, list(qv), k=10, n_planes=4, multiprobe=2)
+
+
+def q_token_counts(spark, sf_dir):
+    return ts.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id AS id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    return ts.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = r"""
+WITH base AS (
+    SELECT doc_id AS id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+           length(text) AS n_chars
+    FROM documents
+),
+m AS (
+    SELECT id, n_chars, len(toks) AS n_tokens,
+           (n_chars - (len(toks) - 1)) / greatest(len(toks), 1)::DOUBLE AS mean_word_len,
+           len(regexp_extract_all(text, '[^\w\s]')) / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+           len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+             / greatest(len(toks), 1)::DOUBLE AS stopword_ratio,
+           len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE AS distinct_ratio
+    FROM base
+)
+SELECT id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0 END), 2) AS quality_score
+FROM m
+"""
+
+
+def q_langid(spark, sf_dir):
+    return ts.langid(load_table(spark, sf_dir, "documents"))
+
+
+def _sw_sql(lang):
+    return "[" + ",".join(f"'{w}'" for w in ts.STOPWORDS[lang]) + "]"
+
+
+SQL_LANGID = rf"""
+WITH base AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+h AS (
+    SELECT id,
+           len(list_filter(toks, x -> list_contains({_sw_sql('de')}, x)))::BIGINT AS h_de,
+           len(list_filter(toks, x -> list_contains({_sw_sql('en')}, x)))::BIGINT AS h_en,
+           len(list_filter(toks, x -> list_contains({_sw_sql('es')}, x)))::BIGINT AS h_es,
+           len(list_filter(toks, x -> list_contains({_sw_sql('fr')}, x)))::BIGINT AS h_fr
+    FROM base
+)
+SELECT id, h_de, h_en, h_es, h_fr,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return ts.fingerprint_md5(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id AS id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash — modular bignum arithmetic, not SQL-
+    expressible; rows-only (pytest verifies vs a pure-python reference)."""
+    return ts.fingerprint_rolling(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_metadata(spark, sf_dir):
+    media = mm.synth_media(load_table(spark, sf_dir, "documents"))
+    return mm.media_metadata(media)
+
+
+SQL_MEDIA_METADATA = """
+SELECT doc_id AS id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       lower(hex(encode(substr(text, 1, 4)))) AS magic
+FROM documents
+"""
+
+
+def q_media_frame_counts(spark, sf_dir):
+    media = mm.synth_media(load_table(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(media, frame_bytes=1024, stride=4)
+    return frames.groupBy("id").agg(F.count("*").cast("long").alias("n_frames"))
+
+
+SQL_MEDIA_FRAMES = """
+SELECT doc_id AS id,
+       ((ceil(octet_length(encode(text)) / 1024.0)::BIGINT - 1) // 4 + 1)::BIGINT AS n_frames
+FROM documents
+WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 
 
@@ -518,6 +788,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_bm25_topk_lang_filter": q_bm25_topk_lang,
         "b15_bmw_topk": q_bm25_bmw_topk,
         "b19_get_by_id": q_get_by_id,
+        # training-data pipeline operators
+        "d1_exact_dedup": q_exact_dedup,
+        "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "d3_ngram_jaccard_pairs": q_jaccard_pairs,
+        "d4_simhash_near_pairs": q_simhash_near_pairs,
+        "d5_embedding_cosine_pairs": q_cosine_dedup_pairs,
+        "s1_ann_cosine_topk": q_ann_cosine_topk,
+        "s2_ann_lsh_topk": q_ann_lsh_topk,
+        "t1_token_counts": q_token_counts,
+        "t2_quality_scores": q_quality_scores,
+        "t3_langid": q_langid,
+        "t4_fingerprint_md5": q_fingerprint,
+        "t5_rolling_fingerprint": q_rolling_fingerprint,
+        "m1_media_metadata": q_media_metadata,
+        "m2_media_frame_counts": q_media_frame_counts,
     }
 
 
@@ -541,4 +826,18 @@ def oracle_sql() -> dict[str, str]:
         "b16_bm25_topk_lang_filter": _bm25_sql(["window", "batch"], 15, lang="en"),
         "b15_bmw_topk": _bm25_sql(["table", "scan", "merge"], 20),
         "b19_get_by_id": SQL_GET_BY_ID,
+        "d1_exact_dedup": SQL_EXACT_DEDUP,
+        "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
+        "d3_ngram_jaccard_pairs": SQL_JACCARD,
+        # d4_simhash_near_pairs: rows-only (bit kernel not SQL-expressible)
+        "d5_embedding_cosine_pairs": SQL_COSINE_DEDUP,
+        "s1_ann_cosine_topk": SQL_ANN_COSINE,
+        # s2_ann_lsh_topk: rows-only (hyperplane folds; pytest-verified)
+        "t1_token_counts": SQL_TOKEN_COUNTS,
+        "t2_quality_scores": SQL_QUALITY,
+        "t3_langid": SQL_LANGID,
+        "t4_fingerprint_md5": SQL_FINGERPRINT,
+        # t5_rolling_fingerprint: rows-only (modular bignum arithmetic)
+        "m1_media_metadata": SQL_MEDIA_METADATA,
+        "m2_media_frame_counts": SQL_MEDIA_FRAMES,
     }

@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract).
+
+Measures, on the synthetic source-file corpus sized to the scale factor
+of ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → 100k files):
+
+* indexing throughput (files/sec) — full pipeline + code-analyzer
+  inverted-index build + save — at two parallelism levels, N and 4N
+  local cores (the sandbox proxy for the north_rule's N vs 4N executor
+  clusters), reporting the scaling efficiency between them;
+* BM25 top-k query latency (block-max WAND path) at 4N cores.
+
+Each measurement runs in its own subprocess/JVM so the two parallelism
+levels don't share a Spark context.  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(REPO, ".cache")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+def run_job(mode: str, cpus: int, n_files: int, fixtures: str, index_dir: str,
+            bmw: bool = False) -> dict:
+    cmd = [sys.executable, os.path.join(REPO, "tools", "bench_job.py"),
+           "--mode", mode, "--cpus", str(cpus), "--n-files", str(n_files),
+           "--fixtures", fixtures, "--index-dir", index_dir]
+    if bmw:
+        cmd.append("--bmw")
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"bench job {mode}@{cpus} failed:\n{out.stderr[-4000:]}")
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    n_files = max(1000, int(1_000_000 * sf))
+    fixtures = os.path.join(CACHE, f"fixtures_{n_files}")
+    os.makedirs(CACHE, exist_ok=True)
+
+    lo_cpus = max(2, CPUS // 4)
+
+    run_job("gen", CPUS, n_files, fixtures, "-")  # untimed corpus materialization
+
+    idx_hi_dir = os.path.join(CACHE, f"bench_index_{n_files}_c{CPUS}")
+    idx_lo_dir = os.path.join(CACHE, f"bench_index_{n_files}_c{lo_cpus}")
+    for d in (idx_hi_dir, idx_lo_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    hi = run_job("index", CPUS, n_files, fixtures, idx_hi_dir)
+    lo = run_job("index", lo_cpus, n_files, fixtures, idx_lo_dir)
+    qr = run_job("query", CPUS, n_files, fixtures, idx_hi_dir, bmw=True)
+
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (CPUS / lo_cpus)
+    result = {
+        "metric": "index_build_wall_sec",
+        "value": hi["wall_sec"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": dict(qr["queries"], index_build=hi["wall_sec"]),
+        "n_files": hi["n_files"],
+        "files_per_sec": hi["files_per_sec"],
+        "files_per_sec_low_parallelism": lo["files_per_sec"],
+        "cpus": CPUS,
+        "cpus_low": lo_cpus,
+        "scaling_efficiency": round(eff, 3),
+        "query_p50_sec": qr["p50_sec"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

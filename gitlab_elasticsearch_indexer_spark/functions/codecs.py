@@ -82,19 +82,25 @@ def unpack_postings(docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes) -> tuple[np
 
 
 def block_stats(
-    doc_ids: np.ndarray, tfn: np.ndarray, block: int = BLOCK_SIZE
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-block (last doc id, max normalized tf) for block-max WAND.
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block (last doc id, max tf, min dl) for block-max WAND.
 
-    ``tfn`` is the BM25 tf-normalization term tf/(tf+k1*(1-b+b*dl/avgdl))
-    — multiplying by idf at query time gives the block score bound.
+    Stored instead of a pre-baked normalized-tf maximum so the bound is
+    independent of the collection's avgdl: BM25 tfn is monotone
+    increasing in tf and decreasing in dl, hence tfn(max_tf, min_dl)
+    evaluated with the *current* avgdl at query time upper-bounds every
+    member of the block even after incremental updates shift avgdl.
     """
     n = len(doc_ids)
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
     nblocks = (n + block - 1) // block
     last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * block - 1, n - 1)]
     pad = nblocks * block - n
-    padded = np.pad(tfn.astype(np.float64), (0, pad), constant_values=0.0)
-    bmax = padded.reshape(nblocks, block).max(axis=1)
-    return last.astype(np.int64), bmax
+    tf_p = np.pad(tfs.astype(np.int64), (0, pad), constant_values=0)
+    dl_p = np.pad(dls.astype(np.int64), (0, pad), constant_values=np.iinfo(np.int64).max)
+    bmax_tf = tf_p.reshape(nblocks, block).max(axis=1)
+    bmin_dl = dl_p.reshape(nblocks, block).min(axis=1)
+    return last.astype(np.int64), bmax_tf, bmin_dl

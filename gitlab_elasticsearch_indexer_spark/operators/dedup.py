@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (its ES index dedups only by doc id);
+these are the standard corpus-dedup family, all expressed Spark-first:
+
+* exact dedup        — content-hash groupBy (one shuffle on the hash);
+* MinHash + LSH      — shingle → H minhashes → banded buckets →
+  candidate pairs via a self-join on (band, signature).  The minhash
+  uses lexicographic md5 minima so the identical permutation family is
+  expressible in ANSI SQL for the DuckDB oracle;
+* n-gram Jaccard     — exact similarity on candidate (or blocked) pairs
+  via explode + co-shingle join + group;
+* SimHash            — 64-bit sign fingerprint via a vectorized Arrow
+  kernel (near-dup = small Hamming distance);
+* embedding cosine   — exact cosine over a pair blocking, JVM-native
+  (`zip_with` + `aggregate`), no Python in the hot path.
+
+Scale notes: every op is shuffle-bounded by its key (hash, band,
+shingle, bucket).  The shingle join skews on hot shingles — mitigated
+by dropping top-percentile-df shingles (standard practice), exposed as
+``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# --------------------------------------------------------------------------
+# exact dedup (hash groupBy)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, keep_id, n_dups).
+
+    keep_id is the minimum id of the group (deterministic canonical row).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    keys = exact_duplicates(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keys, on=id_col, how="inner")
+
+
+# --------------------------------------------------------------------------
+# shingling
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles (distinct per doc), all JVM-native."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty-array branch instead of a clamped upper bound
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), shingles.alias("shingles"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """id → minhash_0..H-1; hash_i(s) = md5(i || ':' || s), min by string.
+
+    A keyed cryptographic hash is a uniform pseudo-permutation per i, so
+    the lexicographic minimum is a valid minhash; identical SQL exists
+    in any engine with md5().
+    """
+    def mh(i: int):
+        pre = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(pre, s)))
+        ).alias(f"mh{i}")
+
+    # shingle-less docs carry no signal — excluding them keeps null
+    # signatures from colliding in the band join
+    return shingled.filter(F.size("shingles") > 0).select(
+        "id", *[mh(i) for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature → (id_a < id_b) pairs."""
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        sig = F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        )
+        band_frames.append(
+            signatures.select(F.lit(b).alias("band"), sig.alias("sig"), "id")
+        )
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionAll(f)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification)
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    block_col_df: DataFrame | None = None,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over co-shingle pairs: (id_a, id_b, jaccard ≥ t).
+
+    Pairs are generated by joining on shared shingles (docs with no
+    common shingle can't pass any threshold > 0).  ``max_shingle_df``
+    drops ubiquitous shingles before the join to kill skew.
+    """
+    sizes = shingled.select("id", F.size("shingles").alias("n_sh"))
+    ex = shingled.select("id", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        hot = ex.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# SimHash (vectorized Arrow kernel)
+
+
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over lowercase whitespace tokens (tf-weighted)."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row_i, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").lower().split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[row_i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+simhash_udf = F.pandas_udf(_simhash64, LongType())
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k, blocked on 16-bit chunks.
+
+    Pigeonhole: two signatures within Hamming 3 share at least one of 4
+    16-bit chunks exactly — join per chunk, then verify distance.
+    """
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    keyed = fps.select("id", "simhash", *chunks)
+    pairs = None
+    for c in range(4):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        p = (
+            a.join(b, F.col(f"a.c{c}") == F.col(f"b.c{c}"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs, blocked (default: same label).
+
+    JVM-native: dot products via zip_with + aggregate, no Python.
+    At scale the block column comes from LSH bucketing (see
+    similarity.ann_lsh) — here any coarse partitioner works.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.vec"), F.col("b.vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+def _norm(vec):
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )

@@ -1,0 +1,314 @@
+"""Incremental indexing with snapshot checkpoints (A1, A13, A16).
+
+The reference consumes a FROM_SHA→TO_SHA change stream from Gitaly and
+upserts/deletes by document id (/root/reference/git/gitaly.go:123-174,
+indexer/indexer.go:35-76, main.go:46-47).  Here the change stream is a
+snapshot diff of the source table, and the index is maintained as a
+*versioned, manifest-tracked* set of document partitions — the Iceberg
+pattern realized on plain parquet (under a real Iceberg catalog the
+manifest bookkeeping is the table format's job):
+
+* every update writes ONLY the rebuilt doc partitions under a new
+  version directory ``v{snapshot_id}/``;
+* a manifest maps doc_part → the version that owns its current data;
+* a checkpoint table records (snapshot_id, globals, wall time) — the
+  resume point; a crashed update never corrupts the previous version
+  (new version dirs are invisible until the checkpoint row lands);
+* a lineage table records per-partition row/term counts and rebuild
+  provenance per snapshot.
+
+Update algorithm (doc ids are append-ordered for increments; global-rank
+determinism applies to full builds):
+
+1. diff curr source vs indexed doc_stats on (id, oid=sha256(content)) →
+   added / modified / deleted;
+2. affected parts = parts holding modified∪deleted docs, plus the tail
+   part that new doc_idx values (max+1…) extend into;
+3. re-tokenize only the affected parts' surviving docs + all new docs,
+   rebuild those partitions' postings; untouched partitions are reused
+   via the manifest;
+4. recompute term_stats (term-level aggregate over all postings) and
+   the collection globals; write checkpoint + lineage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import (
+    InvertedIndex,
+    assign_doc_ids,
+    doc_stats_from_tokened,
+    postings_from_tokened,
+    term_stats_from_postings,
+    tokenize_docs,
+)
+
+CHECKPOINT_SCHEMA = (
+    "snapshot_id long, n_docs long, avgdl double, analyzer string, "
+    "docs_per_part long, wall_sec double, op string"
+)
+
+
+def snapshot_diff(prev: DataFrame, curr: DataFrame, key: str = "id",
+                  fingerprint: str = "oid") -> DataFrame:
+    """A1 analog: classify (key) rows as added/modified/deleted.
+
+    ``prev``/``curr`` need (key, fingerprint) columns; a full-outer join
+    on the key classifies by null-ness and fingerprint inequality —
+    rename semantics fall out as delete(old path) + add(new path),
+    exactly like the reference (git/gitaly.go:151-158).
+    """
+    a = prev.select(F.col(key).alias("id"), F.col(fingerprint).alias("_fp_a"))
+    b = curr.select(F.col(key).alias("id"), F.col(fingerprint).alias("_fp_b"))
+    j = a.join(b, "id", "full_outer")
+    return j.select(
+        "id",
+        F.when(F.col("_fp_b").isNull(), F.lit("deleted"))
+        .when(F.col("_fp_a").isNull(), F.lit("added"))
+        .when(F.col("_fp_a") != F.col("_fp_b"), F.lit("modified"))
+        .otherwise(F.lit("same"))
+        .alias("op"),
+    ).filter(F.col("op") != "same")
+
+
+# --------------------------------------------------------------------------
+# versioned persistence
+
+
+def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> None:
+    """Full build → version v{snapshot_id} owning every partition."""
+    spark = index.postings.sparkSession
+    t0 = time.time()
+    vdir = f"{path}/v{snapshot_id}"
+    (
+        index.postings.repartition("doc_part")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("doc_part")
+        .parquet(f"{vdir}/postings")
+    )
+    index.doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
+        f"{vdir}/doc_stats"
+    )
+    index.term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+
+    parts = [r["doc_part"] for r in index.doc_stats.select("doc_part").distinct().collect()]
+    manifest = spark.createDataFrame(
+        [(int(p), snapshot_id) for p in parts], "doc_part long, version long"
+    )
+    manifest.write.mode("overwrite").parquet(f"{vdir}/manifest")
+    _write_lineage(spark, path, snapshot_id, index, rebuilt_parts=set(parts))
+    spark.createDataFrame(
+        [(snapshot_id, index.n_docs, index.avgdl, index.analyzer,
+          index.docs_per_part, round(time.time() - t0, 3), "full_build")],
+        CHECKPOINT_SCHEMA,
+    ).write.mode("append").parquet(f"{path}/checkpoint")
+
+
+def _write_lineage(spark, path, snapshot_id, index: InvertedIndex,
+                   rebuilt_parts: set[int]) -> None:
+    """Per-partition lineage metrics (north_rule: per-partition lineage)."""
+    stats = (
+        index.doc_stats.groupBy("doc_part").agg(F.count("*").alias("n_docs"))
+        .join(
+            index.postings.groupBy("doc_part").agg(F.count("*").alias("n_terms")),
+            "doc_part", "left",
+        )
+        .select(
+            F.lit(snapshot_id).alias("snapshot_id"),
+            "doc_part", "n_docs",
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.col("doc_part").isin([int(p) for p in rebuilt_parts]).alias("rebuilt"),
+        )
+    )
+    stats.write.mode("append").parquet(f"{path}/lineage")
+
+
+def latest_checkpoint(spark: SparkSession, path: str) -> dict:
+    cp = spark.read.parquet(f"{path}/checkpoint")
+    row = cp.orderBy(F.col("snapshot_id").desc()).limit(1).collect()[0]
+    return row.asDict()
+
+
+def load_versioned(spark: SparkSession, path: str,
+                   snapshot_id: int | None = None) -> InvertedIndex:
+    """Load the index at a checkpoint (default: latest)."""
+    cp = spark.read.parquet(f"{path}/checkpoint")
+    if snapshot_id is None:
+        snapshot_id = cp.agg(F.max("snapshot_id")).collect()[0][0]
+    g = cp.filter(F.col("snapshot_id") == snapshot_id).collect()[0]
+
+    manifest = spark.read.parquet(f"{path}/v{snapshot_id}/manifest")
+    by_version: dict[int, list[int]] = {}
+    for r in manifest.collect():
+        by_version.setdefault(int(r["version"]), []).append(int(r["doc_part"]))
+
+    postings = doc_stats = None
+    for version, parts in sorted(by_version.items()):
+        p = spark.read.parquet(f"{path}/v{version}/postings").filter(
+            F.col("doc_part").isin(parts)
+        )
+        d = spark.read.parquet(f"{path}/v{version}/doc_stats").filter(
+            F.col("doc_part").isin(parts)
+        )
+        postings = p if postings is None else postings.unionByName(p)
+        doc_stats = d if doc_stats is None else doc_stats.unionByName(d)
+
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        term_stats=spark.read.parquet(f"{path}/v{snapshot_id}/term_stats"),
+        n_docs=g["n_docs"],
+        avgdl=g["avgdl"],
+        analyzer=g["analyzer"],
+        docs_per_part=g["docs_per_part"],
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental update
+
+
+def update_index(
+    spark: SparkSession,
+    path: str,
+    curr_docs: DataFrame,
+    snapshot_id: int,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> InvertedIndex:
+    """Apply a new source snapshot to a versioned index; returns the new view.
+
+    Only partitions touched by modified/deleted docs (plus the append
+    tail) are rebuilt and written; the rest is carried by manifest
+    reference.  Resumable: until the checkpoint row is written the
+    previous snapshot stays authoritative.
+    """
+    t0 = time.time()
+    prev = load_versioned(spark, path)
+    prev_snapshot = latest_checkpoint(spark, path)["snapshot_id"]
+    dpp = int(prev.docs_per_part)
+
+    for c in ("repo", "path", "lang"):
+        if c not in curr_docs.columns:
+            curr_docs = curr_docs.withColumn(c, F.lit(""))
+    curr = curr_docs.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content"),
+        "repo", "path", "lang", F.sha2(content_col, 256).alias("oid"),
+    ).persist()
+
+    diff = snapshot_diff(prev.doc_stats, curr).persist()
+    changed = {r["op"] for r in diff.select("op").distinct().collect()}
+    if not changed:
+        return prev
+
+    old_max = prev.doc_stats.agg(F.max("doc_idx")).collect()[0][0] or -1
+
+    # parts to rebuild: holders of modified/deleted docs + append tail
+    gone_ids = diff.filter(F.col("op").isin("modified", "deleted")).select("id")
+    affected = {
+        int(r["doc_part"])
+        for r in prev.doc_stats.join(gone_ids, "id").select("doc_part").distinct().collect()
+    }
+
+    new_ids = diff.filter(F.col("op").isin("added", "modified")).select("id")
+    n_new = new_ids.count()
+    if n_new:
+        tail_part = int((old_max + 1) // dpp)
+        affected |= {
+            int((old_max + 1 + i) // dpp) for i in (0, n_new - 1)
+        } | {tail_part}
+        # all parts in the appended range
+        affected |= set(range(int((old_max + 1) // dpp), int((old_max + n_new) // dpp) + 1))
+
+    # surviving docs of affected parts keep their doc_idx
+    surviving = (
+        prev.doc_stats.filter(F.col("doc_part").isin([int(p) for p in affected]))
+        .join(gone_ids, "id", "left_anti")
+        .select("id", "doc_idx")
+        .join(curr.select("id", "content", "repo", "path", "lang"), "id")
+    )
+    # new/modified docs get appended doc_idx (deterministic rank among batch)
+    appended = (
+        assign_doc_ids(curr.join(new_ids, "id").select("id", "content", "repo", "path", "lang"))
+        .withColumn("doc_idx", F.col("doc_idx") + F.lit(old_max + 1))
+    )
+    rebuilt_src = surviving.unionByName(appended)
+    tokened = tokenize_docs(rebuilt_src, prev.analyzer).persist()
+
+    new_doc_stats = doc_stats_from_tokened(tokened, dpp)
+    new_postings = postings_from_tokened(tokened, dpp)
+
+    vdir = f"{path}/v{snapshot_id}"
+    new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("doc_part").parquet(f"{vdir}/postings")
+    new_doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
+        f"{vdir}/doc_stats"
+    )
+
+    rebuilt_parts = {
+        int(r["doc_part"]) for r in new_doc_stats.select("doc_part").distinct().collect()
+    }
+    dead_parts = affected - rebuilt_parts  # fully-deleted partitions
+
+    old_manifest = spark.read.parquet(f"{path}/v{prev_snapshot}/manifest")
+    kept = old_manifest.filter(
+        ~F.col("doc_part").isin([int(p) for p in (rebuilt_parts | dead_parts)])
+    )
+    new_rows = spark.createDataFrame(
+        [(int(p), snapshot_id) for p in sorted(rebuilt_parts)],
+        "doc_part long, version long",
+    )
+    kept.unionByName(new_rows).write.mode("overwrite").parquet(f"{vdir}/manifest")
+
+    # reload through the new manifest (not yet checkpointed) to compute stats
+    staged = _load_via_manifest(spark, path, snapshot_id)
+    g = staged.doc_stats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+    term_stats = term_stats_from_postings(staged.postings, n_docs)
+    term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+
+    out = InvertedIndex(
+        postings=staged.postings,
+        doc_stats=staged.doc_stats,
+        term_stats=spark.read.parquet(f"{vdir}/term_stats"),
+        n_docs=n_docs,
+        avgdl=avgdl,
+        analyzer=prev.analyzer,
+        docs_per_part=dpp,
+    )
+    _write_lineage(spark, path, snapshot_id, out, rebuilt_parts=rebuilt_parts)
+    spark.createDataFrame(
+        [(snapshot_id, n_docs, avgdl, prev.analyzer, dpp,
+          round(time.time() - t0, 3), "incremental")],
+        CHECKPOINT_SCHEMA,
+    ).write.mode("append").parquet(f"{path}/checkpoint")
+    return out
+
+
+def _load_via_manifest(spark: SparkSession, path: str, snapshot_id: int) -> InvertedIndex:
+    manifest = spark.read.parquet(f"{path}/v{snapshot_id}/manifest")
+    by_version: dict[int, list[int]] = {}
+    for r in manifest.collect():
+        by_version.setdefault(int(r["version"]), []).append(int(r["doc_part"]))
+    postings = doc_stats = None
+    for version, parts in sorted(by_version.items()):
+        p = spark.read.parquet(f"{path}/v{version}/postings").filter(
+            F.col("doc_part").isin(parts)
+        )
+        d = spark.read.parquet(f"{path}/v{version}/doc_stats").filter(
+            F.col("doc_part").isin(parts)
+        )
+        postings = p if postings is None else postings.unionByName(p)
+        doc_stats = d if doc_stats is None else doc_stats.unionByName(d)
+    return InvertedIndex(
+        postings=postings, doc_stats=doc_stats, term_stats=None,  # type: ignore[arg-type]
+        n_docs=0, avgdl=0.0, analyzer="", docs_per_part=0,
+    )

@@ -61,8 +61,10 @@ PACK_SCHEMA = StructType(
         StructField("tfs_bin", BinaryType()),
         StructField("dls_bin", BinaryType()),
         StructField("block_last", ArrayType(LongType())),
-        StructField("block_max_tfn", ArrayType(DoubleType())),
-        StructField("max_tfn", DoubleType()),
+        StructField("block_max_tf", ArrayType(LongType())),
+        StructField("block_min_dl", ArrayType(LongType())),
+        StructField("max_tf", LongType()),
+        StructField("min_dl", LongType()),
     ]
 )
 
@@ -176,49 +178,36 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
 
 
-def build_index(
-    spark: SparkSession,
-    docs: DataFrame,
-    analyzer: str = "code",
-    docs_per_part: int | None = None,
-    id_col: str = "id",
+def tokenize_docs(
+    with_idx: DataFrame, analyzer: str, id_col: str = "id",
     content_col: str = "content",
-) -> InvertedIndex:
-    """documents (id, content [, repo, path, lang]) → inverted index."""
-    for c in ("repo", "path", "lang"):
-        if c not in docs.columns:
-            docs = docs.withColumn(c, F.lit(""))
-
-    with_idx = assign_doc_ids(
-        docs.select(id_col, content_col, "repo", "path", "lang"), id_col
-    )
-
+) -> DataFrame:
+    """(doc_idx, id, content, repo, path, lang) → tokened rows with
+    (terms, tfs, dl, oid=sha256(content))."""
     tokenize = make_tokenizer_udf(analyzer)
-    tokened = (
-        with_idx.withColumn("_t", tokenize(F.col(content_col)))
-        .select(
-            "doc_idx", id_col, "repo", "path", "lang",
-            F.col("_t.terms").alias("terms"),
-            F.col("_t.tfs").alias("tfs"),
-            F.col("_t.dl").alias("dl"),
-        )
-        .persist()
+    return with_idx.withColumn("_t", tokenize(F.col(content_col))).select(
+        "doc_idx", id_col, "repo", "path", "lang",
+        F.sha2(F.col(content_col), 256).alias("oid"),
+        F.col("_t.terms").alias("terms"),
+        F.col("_t.tfs").alias("tfs"),
+        F.col("_t.dl").alias("dl"),
     )
 
-    g = tokened.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
 
-    if docs_per_part is None:
-        target_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-        docs_per_part = max(1024, math.ceil(n_docs / target_parts))
-
-    doc_stats = tokened.select(
+def doc_stats_from_tokened(tokened: DataFrame, docs_per_part: int, id_col: str = "id") -> DataFrame:
+    return tokened.select(
         (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
-        "doc_idx", id_col, "repo", "path", "lang", "dl",
+        "doc_idx", id_col, "repo", "path", "lang", "oid", "dl",
     )
 
+
+def postings_from_tokened(tokened: DataFrame, docs_per_part: int) -> DataFrame:
+    """tokened rows → packed posting lists grouped by (doc_part, term).
+
+    The groupBy key includes doc_part, so a hot term's postings are
+    bounded by docs_per_part per group — the document partition is the
+    salt for Zipfian skew (B12).
+    """
     term_rows = tokened.select(
         (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
         "doc_idx", "dl",
@@ -238,14 +227,16 @@ def build_index(
         F.transform("pl", lambda x: x["dl"]).alias("dls"),
     )
 
-    pack = make_pack_udf(avgdl)
-    postings = grouped.select(
+    pack = make_pack_udf()
+    return grouped.select(
         "doc_part", "term", pack("docs", "tfs", "dls").alias("p")
     ).select("doc_part", "term", "p.*")
 
-    # B12/B13: salted global term stats — stage 1 was the per-doc_part
-    # partial (df per (term, part)), stage 2 merges across parts.
-    term_stats = (
+
+def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
+    """B12/B13: salted global term stats — stage 1 was the per-doc_part
+    partial (df per (term, part)), stage 2 merges across parts."""
+    return (
         postings.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .withColumn(
@@ -258,6 +249,39 @@ def build_index(
         )
     )
 
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    analyzer: str = "code",
+    docs_per_part: int | None = None,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> InvertedIndex:
+    """documents (id, content [, repo, path, lang]) → inverted index."""
+    for c in ("repo", "path", "lang"):
+        if c not in docs.columns:
+            docs = docs.withColumn(c, F.lit(""))
+
+    with_idx = assign_doc_ids(
+        docs.select(id_col, content_col, "repo", "path", "lang"), id_col
+    )
+
+    tokened = tokenize_docs(with_idx, analyzer, id_col, content_col).persist()
+
+    g = tokened.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+
+    if docs_per_part is None:
+        target_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+        docs_per_part = max(1024, math.ceil(n_docs / target_parts))
+
+    doc_stats = doc_stats_from_tokened(tokened, docs_per_part, id_col)
+    postings = postings_from_tokened(tokened, docs_per_part)
+    term_stats = term_stats_from_postings(postings, n_docs)
+
     return InvertedIndex(
         postings=postings,
         doc_stats=doc_stats,
@@ -269,9 +293,9 @@ def build_index(
     )
 
 
-def make_pack_udf(avgdl: float):
+def make_pack_udf():
     """Pack sorted (docs, tfs, dls) arrays into compressed binaries +
-    block-max metadata (tfn uses the global avgdl computed beforehand)."""
+    avgdl-independent block-max metadata (max tf / min dl per block)."""
 
     @F.pandas_udf(PACK_SCHEMA)
     def pack(docs: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
@@ -281,17 +305,17 @@ def make_pack_udf(avgdl: float):
             t = np.asarray(t, dtype=np.int64)
             l = np.asarray(l, dtype=np.int64)
             docs_bin, tfs_bin, dls_bin = pack_postings(d, t, l)
-            denom = t + K1 * (1.0 - B + B * l / avgdl) if avgdl > 0 else t + K1
-            tfn = t / denom
-            last, bmax = block_stats(d, tfn)
+            last, bmax_tf, bmin_dl = block_stats(d, t, l)
             rows["df"].append(len(d))
             rows["cf"].append(int(t.sum()))
             rows["docs_bin"].append(docs_bin)
             rows["tfs_bin"].append(tfs_bin)
             rows["dls_bin"].append(dls_bin)
             rows["block_last"].append(last.tolist())
-            rows["block_max_tfn"].append(bmax.tolist())
-            rows["max_tfn"].append(float(tfn.max()) if len(tfn) else 0.0)
+            rows["block_max_tf"].append(bmax_tf.tolist())
+            rows["block_min_dl"].append(bmin_dl.tolist())
+            rows["max_tf"].append(int(t.max()) if len(t) else 0)
+            rows["min_dl"].append(int(l.min()) if len(l) else 0)
         return pd.DataFrame(rows)
 
     return pack

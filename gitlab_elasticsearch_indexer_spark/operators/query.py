@@ -70,7 +70,7 @@ def search(
 
     cand = index.postings.filter(F.col("term").isin(list(widf))).select(
         "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
-        "block_last", "block_max_tfn", "max_tfn",
+        "block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl",
     )
 
     filtered = lang is not None or repo is not None
@@ -129,14 +129,22 @@ def _make_part_kernel(widf: dict[str, float], avgdl: float, k: int, use_bmw: boo
             )
             docs = docs.astype(np.int64)
             tfn = _tfn(tfs, dls, avgdl)
+            # avgdl-free bounds: tfn is ↑ in tf, ↓ in dl, so
+            # tfn(max_tf, min_dl) dominates every member (block or list)
+            bmax_tfn = _tfn(
+                np.asarray(row.block_max_tf, dtype=np.int64),
+                np.asarray(row.block_min_dl, dtype=np.int64),
+                avgdl,
+            )
             terms.append(
                 {
                     "w": widf[row.term],
                     "docs": docs,
                     "tfn": tfn,
                     "block_last": np.asarray(row.block_last, dtype=np.int64),
-                    "block_max": np.asarray(row.block_max_tfn, dtype=np.float64),
-                    "ub": widf[row.term] * float(row.max_tfn),
+                    "block_max": bmax_tfn,
+                    "ub": widf[row.term]
+                    * float(_tfn(np.array([row.max_tf]), np.array([row.min_dl]), avgdl)[0]),
                 }
             )
 

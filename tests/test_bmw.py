@@ -14,11 +14,18 @@ from gitlab_elasticsearch_indexer_spark.operators.query import (
 def _mk_term(rng, n_docs, w, max_tf=5):
     n = rng.integers(1, n_docs + 1)
     docs = np.sort(rng.choice(n_docs, size=n, replace=False)).astype(np.int64)
-    tfn = rng.random(n) * 0.9 + 0.05
-    last, bmax = block_stats(docs, tfn, block=4)  # tiny blocks → many skips
+    tfs = rng.integers(1, max_tf + 1, size=n)
+    dls = rng.integers(5, 200, size=n)
+    avgdl = 60.0
+    from gitlab_elasticsearch_indexer_spark.operators.query import _tfn
+
+    tfn = _tfn(tfs, dls, avgdl)
+    last, bmax_tf, bmin_dl = block_stats(docs, tfs, dls, block=4)  # tiny blocks
+    bmax = _tfn(bmax_tf, bmin_dl, avgdl)
     return {
         "w": w, "docs": docs, "tfn": tfn,
-        "block_last": last, "block_max": bmax, "ub": w * float(tfn.max()),
+        "block_last": last, "block_max": bmax,
+        "ub": w * float(_tfn(np.array([tfs.max()]), np.array([dls.min()]), avgdl)[0]),
     }
 
 

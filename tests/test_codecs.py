@@ -48,8 +48,10 @@ def test_pack_unpack_postings():
 def test_block_stats():
     n = 300
     docs = np.arange(n, dtype=np.int64) * 2
-    tfn = np.linspace(0.1, 0.9, n)
-    last, bmax = block_stats(docs, tfn, block=128)
-    assert len(last) == 3 == len(bmax)
+    tfs = np.arange(1, n + 1, dtype=np.int64)
+    dls = np.arange(n, 0, -1, dtype=np.int64)
+    last, bmax_tf, bmin_dl = block_stats(docs, tfs, dls, block=128)
+    assert len(last) == 3 == len(bmax_tf) == len(bmin_dl)
     assert last[0] == docs[127] and last[-1] == docs[-1]
-    assert bmax[0] == tfn[127] and bmax[-1] == tfn[-1]
+    assert bmax_tf[0] == tfs[127] and bmax_tf[-1] == tfs[-1]
+    assert bmin_dl[0] == dls[127] and bmin_dl[-1] == dls[-1]

@@ -1,0 +1,127 @@
+"""Incremental index: versioned update must match a full rebuild, and the
+streaming front-end must fold micro-batches into the same state."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gitlab_elasticsearch_indexer_spark.fixtures import generate_source_files
+from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+from gitlab_elasticsearch_indexer_spark.operators.index_build import build_index
+from gitlab_elasticsearch_indexer_spark.operators.pipeline import run_blob_pipeline
+from gitlab_elasticsearch_indexer_spark.operators.query import search
+
+
+def _docs_view(documents):
+    return documents.select(
+        "id", "content", F.col("rid").alias("repo"), "path",
+        F.col("language").alias("lang"),
+    )
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    """snap1 = base corpus; snap2 = ~modified/added/deleted variant."""
+    src = generate_source_files(spark, n_files=120, n_repos=6,
+                                include_special=False)
+    docs1 = run_blob_pipeline(spark, src).persist()
+    d = _docs_view(docs1)
+    # deterministic edits: modify ids ending in 0, delete ending in 1, add new
+    last = F.substring(F.col("id"), -4, 1)
+    modified = d.filter(last == "3").withColumn(
+        "content", F.concat("content", F.lit(" patched getUserById"))
+    )
+    kept = d.filter((last != "3") & (last != "5"))
+    added = d.filter(last == "7").select(
+        F.concat(F.lit("newrepo_"), "id").alias("id"), "content",
+        F.lit("newrepo").alias("repo"), "path", "lang",
+    )
+    docs2 = kept.unionByName(modified).unionByName(added).persist()
+    return d, docs2
+
+
+def _topk(index, query, k=10):
+    return [
+        (r["id"], round(r["score"], 9))
+        for r in search(index, query, k=k, mode="exhaustive").collect()
+    ]
+
+
+def test_incremental_matches_full_rebuild(spark, snapshots, tmp_path):
+    docs1, docs2 = snapshots
+    path = str(tmp_path / "idx")
+
+    idx1 = build_index(spark, docs1, analyzer="code", docs_per_part=32)
+    inc.save_versioned(idx1, path, snapshot_id=0)
+
+    idx2 = inc.update_index(spark, path, docs2, snapshot_id=1)
+    full = build_index(spark, docs2, analyzer="code", docs_per_part=32)
+
+    # collection stats identical
+    assert idx2.n_docs == full.n_docs
+    assert abs(idx2.avgdl - full.avgdl) < 1e-9
+
+    # term stats identical
+    t_inc = {r["term"]: (r["df"], r["cf"]) for r in idx2.term_stats.collect()}
+    t_full = {r["term"]: (r["df"], r["cf"]) for r in full.term_stats.collect()}
+    assert t_inc == t_full
+
+    # query results identical (ids and scores)
+    for query in ["if", "getUserById", "patched", "parseQuery", "getu"]:
+        a, b = _topk(idx2, query), _topk(full, query)
+        assert [x[0] for x in a] == [x[0] for x in b], (query, a, b)
+        assert np.allclose([x[1] for x in a], [x[1] for x in b], rtol=1e-9)
+
+    # deleted docs are gone
+    assert idx2.doc_stats.filter(F.substring("id", -4, 1) == "5").count() == 0
+
+    # resumable: reload from checkpoint gives the same state
+    reloaded = inc.load_versioned(spark, path)
+    assert reloaded.n_docs == full.n_docs
+    a = _topk(reloaded, "patched")
+    assert a == _topk(full, "patched")
+
+    # previous snapshot still loadable (snapshot isolation)
+    old = inc.load_versioned(spark, path, snapshot_id=0)
+    assert old.n_docs == idx1.n_docs
+
+    # lineage recorded per partition, with rebuilt flags
+    lin = spark.read.parquet(f"{path}/lineage")
+    assert lin.filter((F.col("snapshot_id") == 1) & F.col("rebuilt")).count() > 0
+    assert lin.filter(F.col("snapshot_id") == 1).count() >= lin.filter(
+        (F.col("snapshot_id") == 1) & F.col("rebuilt")
+    ).count()
+
+
+def test_streaming_incremental(spark, snapshots, tmp_path):
+    from gitlab_elasticsearch_indexer_spark.streaming.incremental_stream import (
+        init_source_state,
+        start_incremental_stream,
+    )
+
+    docs1, _ = snapshots
+    path = str(tmp_path / "sidx")
+    landing = str(tmp_path / "landing")
+    scp = str(tmp_path / "scp")
+
+    idx1 = build_index(spark, docs1, analyzer="code", docs_per_part=32)
+    inc.save_versioned(idx1, path, snapshot_id=0)
+    init_source_state(docs1, path)
+
+    # drop one micro-batch: a brand-new doc + a modification
+    batch = spark.createDataFrame(
+        [
+            ("streamrepo", "src/new_stream.py", "c" * 40, "Python",
+             "def streamNewThing if return"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    batch.write.mode("overwrite").parquet(landing)
+
+    q = start_incremental_stream(spark, landing, path, scp, available_now=True)
+    q.awaitTermination(300)
+
+    idx2 = inc.load_versioned(spark, path)
+    assert idx2.n_docs == idx1.n_docs + 1
+    hits = _topk(idx2, "streamNewThing", k=5)
+    assert hits and hits[0][0] == "streamrepo_src/new_stream.py"
