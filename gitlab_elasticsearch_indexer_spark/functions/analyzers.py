@@ -210,7 +210,54 @@ def sha_analyze(text: str) -> list[str]:
     return out
 
 
+def light_english_stem(token: str) -> str:
+    """Approximation of the ``my_stemmer`` (type stemmer, name
+    light_english — `elastic/index.go:13-17`).
+
+    ES's light_english maps to a dictionary stemmer (KStem); a faithful
+    replica isn't possible without its lexicon, so this applies Lucene's
+    EnglishMinimalStemFilter rule (plural stripping) — a documented
+    deviation confined to the commit-message/default analyzer path.
+    The oracle shares this kernel, so engine/oracle identity holds.
+    """
+    if len(token) < 3 or token[-1] != "s":
+        return token
+    if token[-2] in ("u", "s"):  # -us / -ss kept, per EnglishMinimalStemmer
+        return token
+    return token[:-1]
+
+
+def default_analyze(text: str) -> list[str]:
+    """The mapping's ``default`` analyzer: standard tokenizer →
+    lowercase → my_stemmer (`elastic/index.go:38-44`).
+
+    The standard (Unicode word-break) tokenizer is approximated by
+    maximal letter/digit runs — equivalent for source text and commit
+    messages; pinned by goldens.
+    """
+    toks = _re.findall(r"[\p{L}\p{N}]+", text)
+    return [light_english_stem(t.lower()) for t in toks]
+
+
+def default_analyze_tf(text: str) -> tuple[dict[str, int], int]:
+    toks = default_analyze(text)
+    return dict(Counter(toks)), len(toks)
+
+
+def ngram_analyze(text: str, lo: int = 2, hi: int = 3) -> list[str]:
+    """``my_ngram_analyzer``: nGram tokenizer 2..3 over letter/digit
+    runs → lowercase (`elastic/index.go:79-95`)."""
+    out: list[str] = []
+    for run in _re.findall(r"[\p{L}\p{N}]+", text.lower()):
+        n = len(run)
+        for size in range(lo, hi + 1):
+            for i in range(0, n - size + 1):
+                out.append(run[i : i + size])
+    return out
+
+
 ANALYZERS_TF = {
     "code": code_analyze_tf,
     "simple": simple_analyze_tf,
+    "default": default_analyze_tf,
 }
