@@ -162,6 +162,24 @@ def code_analyze_tf(text: str) -> tuple[dict[str, int], int]:
     return dict(tfs), dl
 
 
+def code_dl(text: str) -> int:
+    """Doc length of ``code_analyzer`` WITHOUT the gram expansion —
+    definitionally the `pos` sum of :func:`code_analyze_tf` (shared
+    `_expand_code_token` cache), usable as a cheap stats-only pass."""
+    return sum(_expand_code_token(tok)[1] for tok in text.split())
+
+
+def simple_dl(text: str) -> int:
+    return len(text.split())
+
+
+def default_dl(text: str) -> int:
+    return len(_re.findall(r"[\p{L}\p{N}]+", text))
+
+
+DL_FNS = {"code": code_dl, "simple": simple_dl, "default": default_dl}
+
+
 def code_analyze_tokens(text: str) -> list[str]:
     """Index-side token stream (ordered, with duplicates) — for goldens."""
     out: list[str] = []

@@ -22,10 +22,11 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 BLOCK_SIZE = 128  # postings per block (Lucene's FOR block size)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte counts
+    (lets callers slice a concatenated stream at group boundaries)."""
     if len(values) == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nbytes = np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
     offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
@@ -36,7 +37,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[offsets[mask] + j] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -79,6 +85,84 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tupl
 def unpack_postings(docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     docs = delta_decode(varint_decode(docs_bin))
     return docs, varint_decode(tfs_bin), varint_decode(dls_bin)
+
+
+def pack_partition(
+    term_starts: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block: int = BLOCK_SIZE,
+) -> dict[str, list]:
+    """Vectorized pack of ALL terms of one partition at once.
+
+    Inputs are the partition's posting entries sorted by (term, doc_idx);
+    ``term_starts`` marks each term-run's first index.  One varint pass
+    encodes every value; per-term binaries are byte-range slices of the
+    shared stream; block metadata comes from ``reduceat`` over computed
+    block boundaries — no per-term Python arithmetic.
+    """
+    n = len(docs)
+    starts = np.asarray(term_starts, dtype=np.int64)
+    t_count = len(starts)
+    ends = np.concatenate((starts[1:], [n]))
+    lens = ends - starts
+
+    docs = np.ascontiguousarray(docs, dtype=np.int64)
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls64 = np.ascontiguousarray(dls, dtype=np.uint64)
+
+    # delta with per-term reset
+    deltas = docs.astype(np.uint64).copy()
+    deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    deltas[starts] = docs[starts].astype(np.uint64)
+
+    docs_stream, docs_sz = varint_encode_with_sizes(deltas)
+    tfs_stream, tfs_sz = varint_encode_with_sizes(tfs64)
+    dls_stream, dls_sz = varint_encode_with_sizes(dls64)
+
+    def _slices(stream: bytes, sizes: np.ndarray) -> list[bytes]:
+        cum = np.concatenate(([0], np.cumsum(sizes)))
+        lo, hi = cum[starts], cum[ends]
+        return [stream[a:b] for a, b in zip(lo.tolist(), hi.tolist())]
+
+    # block boundaries: per term, indices start, start+block, ...
+    nblocks = (lens + block - 1) // block
+    nblocks = np.maximum(nblocks, 0)
+    total_blocks = int(nblocks.sum())
+    if total_blocks:
+        rep_starts = np.repeat(starts, nblocks)
+        cumb = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+        within = np.arange(total_blocks) - np.repeat(cumb, nblocks)
+        bstarts = rep_starts + within * block
+        bends = np.minimum(bstarts + block, np.repeat(ends, nblocks))
+        blast = docs[bends - 1]
+        bmax_tf = np.maximum.reduceat(tfs64.astype(np.int64), bstarts)
+        bmin_dl = np.minimum.reduceat(dls64.astype(np.int64), bstarts)
+        bcum = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int64)
+        block_lasts = [blast[bcum[i]:bcum[i + 1]].tolist() for i in range(t_count)]
+        block_max_tfs = [bmax_tf[bcum[i]:bcum[i + 1]].tolist() for i in range(t_count)]
+        block_min_dls = [bmin_dl[bcum[i]:bcum[i + 1]].tolist() for i in range(t_count)]
+    else:
+        block_lasts = [[] for _ in range(t_count)]
+        block_max_tfs, block_min_dls = list(block_lasts), list(block_lasts)
+
+    max_tf = np.maximum.reduceat(tfs64.astype(np.int64), starts) if n else np.empty(0)
+    min_dl = np.minimum.reduceat(dls64.astype(np.int64), starts) if n else np.empty(0)
+    cf = np.add.reduceat(tfs64.astype(np.int64), starts) if n else np.empty(0)
+
+    return {
+        "df": lens.tolist(),
+        "cf": cf.astype(np.int64).tolist(),
+        "docs_bin": _slices(docs_stream, docs_sz),
+        "tfs_bin": _slices(tfs_stream, tfs_sz),
+        "dls_bin": _slices(dls_stream, dls_sz),
+        "block_last": block_lasts,
+        "block_max_tf": block_max_tfs,
+        "block_min_dl": block_min_dls,
+        "max_tf": np.asarray(max_tf, dtype=np.int64).tolist(),
+        "min_dl": np.asarray(min_dl, dtype=np.int64).tolist(),
+    }
 
 
 def block_stats(

@@ -41,10 +41,9 @@ from pyspark.sql import functions as F
 from .index_build import (
     InvertedIndex,
     assign_doc_ids,
-    doc_stats_from_tokened,
-    postings_from_tokened,
+    doc_stats_from_docs,
+    postings_from_docs,
     term_stats_from_postings,
-    tokenize_docs,
 )
 
 CHECKPOINT_SCHEMA = (
@@ -237,11 +236,10 @@ def update_index(
         assign_doc_ids(curr.join(new_ids, "id").select("id", "content", "repo", "path", "lang"))
         .withColumn("doc_idx", F.col("doc_idx") + F.lit(old_max + 1))
     )
-    rebuilt_src = surviving.unionByName(appended)
-    tokened = tokenize_docs(rebuilt_src, prev.analyzer).persist()
+    rebuilt_src = surviving.unionByName(appended).persist()
 
-    new_doc_stats = doc_stats_from_tokened(tokened, dpp)
-    new_postings = postings_from_tokened(tokened, dpp)
+    new_doc_stats = doc_stats_from_docs(rebuilt_src, prev.analyzer, dpp)
+    new_postings = postings_from_docs(rebuilt_src, prev.analyzer, dpp)
 
     vdir = f"{path}/v{snapshot_id}"
     new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(

@@ -40,18 +40,12 @@ from pyspark.sql.types import (
 )
 
 from ..functions.analyzers import ANALYZERS_TF
-from ..functions.codecs import block_stats, pack_postings
+from ..functions.codecs import block_stats, pack_partition, pack_postings
 
 K1 = 1.2
 B = 0.75
 
-TOKENIZE_SCHEMA = StructType(
-    [
-        StructField("terms", ArrayType(StringType())),
-        StructField("tfs", ArrayType(IntegerType())),
-        StructField("dl", IntegerType()),
-    ]
-)
+TERM_ROWS_SCHEMA = "doc_idx long, term string, tf int, dl int"
 
 PACK_SCHEMA = StructType(
     [
@@ -69,21 +63,52 @@ PACK_SCHEMA = StructType(
 )
 
 
-def make_tokenizer_udf(analyzer: str):
-    """Vectorized tokenizer: content → (distinct terms, tfs, dl)."""
+def make_term_rows_kernel(analyzer: str, content_col: str = "content"):
+    """mapInPandas kernel: docs → (doc_idx, term, tf, dl) rows.
+
+    Tokenization, tf aggregation, and the explode happen in one Python
+    pass with numpy repeats — the JVM never sees per-doc term arrays.
+    """
     analyze = ANALYZERS_TF[analyzer]
 
-    @F.pandas_udf(TOKENIZE_SCHEMA)
-    def tokenize(content: pd.Series) -> pd.DataFrame:
-        terms_col, tfs_col, dl_col = [], [], []
-        for text in content:
-            tfs, dl = analyze(text or "")
-            terms_col.append(list(tfs.keys()))
-            tfs_col.append(list(tfs.values()))
-            dl_col.append(dl)
-        return pd.DataFrame({"terms": terms_col, "tfs": tfs_col, "dl": dl_col})
+    def kernel(batches):
+        for pdf in batches:
+            t_doc, t_term, t_tf, t_dl = [], [], [], []
+            for doc_idx, text in zip(
+                pdf["doc_idx"].to_numpy(np.int64), pdf[content_col]
+            ):
+                tfs, dl = analyze(text or "")
+                if tfs:
+                    t_doc.append(np.full(len(tfs), doc_idx, dtype=np.int64))
+                    t_term.append(np.fromiter(tfs.keys(), dtype=object, count=len(tfs)))
+                    t_tf.append(np.fromiter(tfs.values(), dtype=np.int32, count=len(tfs)))
+                    t_dl.append(np.full(len(tfs), dl, dtype=np.int32))
+            if t_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_idx": np.concatenate(t_doc),
+                        "term": np.concatenate(t_term),
+                        "tf": np.concatenate(t_tf),
+                        "dl": np.concatenate(t_dl),
+                    }
+                )
 
-    return tokenize
+    return kernel
+
+
+def make_dl_udf(analyzer: str):
+    """Light stats-only pass: content → doc length (no gram expansion;
+    shares the per-token cache with the heavy kernel, so definitions
+    coincide exactly)."""
+    from ..functions.analyzers import DL_FNS
+
+    dl_fn = DL_FNS[analyzer]
+
+    @F.pandas_udf(IntegerType())
+    def dl(content: pd.Series) -> pd.Series:
+        return pd.Series([dl_fn(c or "") for c in content], dtype=np.int32)
+
+    return dl
 
 
 def assign_doc_ids(docs: DataFrame, id_col: str = "id", num_ranges: int | None = None) -> DataFrame:
@@ -178,59 +203,70 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
 
 
-def tokenize_docs(
-    with_idx: DataFrame, analyzer: str, id_col: str = "id",
-    content_col: str = "content",
+def doc_stats_from_docs(
+    with_idx: DataFrame, analyzer: str, docs_per_part: int,
+    id_col: str = "id", content_col: str = "content",
 ) -> DataFrame:
-    """(doc_idx, id, content, repo, path, lang) → tokened rows with
-    (terms, tfs, dl, oid=sha256(content))."""
-    tokenize = make_tokenizer_udf(analyzer)
-    return with_idx.withColumn("_t", tokenize(F.col(content_col))).select(
+    """Light pass: per-doc metadata + oid + dl (no gram expansion)."""
+    dl_udf = make_dl_udf(analyzer)
+    return with_idx.select(
+        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
         "doc_idx", id_col, "repo", "path", "lang",
         F.sha2(F.col(content_col), 256).alias("oid"),
-        F.col("_t.terms").alias("terms"),
-        F.col("_t.tfs").alias("tfs"),
-        F.col("_t.dl").alias("dl"),
+        dl_udf(F.col(content_col)).alias("dl"),
     )
 
 
-def doc_stats_from_tokened(tokened: DataFrame, docs_per_part: int, id_col: str = "id") -> DataFrame:
-    return tokened.select(
-        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
-        "doc_idx", id_col, "repo", "path", "lang", "oid", "dl",
-    )
+def postings_from_docs(
+    with_idx: DataFrame, analyzer: str, docs_per_part: int,
+    term_buckets: int = 32, content_col: str = "content",
+) -> DataFrame:
+    """docs → packed posting lists in one heavy pass.
 
-
-def postings_from_tokened(tokened: DataFrame, docs_per_part: int) -> DataFrame:
-    """tokened rows → packed posting lists grouped by (doc_part, term).
-
-    The groupBy key includes doc_part, so a hot term's postings are
-    bounded by docs_per_part per group — the document partition is the
-    salt for Zipfian skew (B12).
+    Grouped by (doc_part, term-hash bucket): hot Zipfian terms are
+    bounded by docs_per_part per group (the doc partition is the salt,
+    B12), and the bucket bounds group width so one applyInPandas kernel
+    packs ~1/term_buckets of a partition's vocabulary in a single
+    vectorized numpy pass (see codecs.pack_partition).
     """
+    kernel = make_term_rows_kernel(analyzer, content_col)
+    tokened = with_idx.select("doc_idx", content_col).mapInPandas(
+        kernel, schema=TERM_ROWS_SCHEMA
+    )
     term_rows = tokened.select(
         (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
-        "doc_idx", "dl",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("tt"),
-    ).select(
-        "doc_part", "doc_idx", "dl",
-        F.col("tt.terms").alias("term"),
-        F.col("tt.tfs").alias("tf"),
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).alias("bucket"),
+        "term", "doc_idx", "tf", "dl",
     )
 
-    grouped = term_rows.groupBy("doc_part", "term").agg(
-        F.sort_array(F.collect_list(F.struct("doc_idx", "tf", "dl"))).alias("pl")
-    ).select(
-        "doc_part", "term",
-        F.transform("pl", lambda x: x["doc_idx"]).alias("docs"),
-        F.transform("pl", lambda x: x["tf"]).alias("tfs"),
-        F.transform("pl", lambda x: x["dl"]).alias("dls"),
-    )
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"doc_part": [], "term": [], **{k: [] for k in PACK_SCHEMA.fieldNames()}}
+            )
+        pdf = pdf.sort_values(["term", "doc_idx"], kind="mergesort", ignore_index=True)
+        terms = pdf["term"].to_numpy(dtype=object)
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        packed = pack_partition(
+            starts,
+            pdf["doc_idx"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+        )
+        out = pd.DataFrame(packed)
+        out.insert(0, "term", terms[starts])
+        out.insert(0, "doc_part", np.full(len(starts), pdf["doc_part"].iloc[0], dtype=np.int64))
+        return out
 
-    pack = make_pack_udf()
-    return grouped.select(
-        "doc_part", "term", pack("docs", "tfs", "dls").alias("p")
-    ).select("doc_part", "term", "p.*")
+    out_schema = StructType(
+        [StructField("doc_part", LongType()), StructField("term", StringType())]
+        + list(PACK_SCHEMA.fields)
+    )
+    return (
+        term_rows.groupBy("doc_part", "bucket")
+        .applyInPandas(pack_group, schema=out_schema)
+    )
 
 
 def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
@@ -265,21 +301,22 @@ def build_index(
 
     with_idx = assign_doc_ids(
         docs.select(id_col, content_col, "repo", "path", "lang"), id_col
-    )
+    ).persist()  # consumed by two jobs (doc_stats, postings); at cluster
+    # scale this would be a checkpointed staging table instead of a cache
 
-    tokened = tokenize_docs(with_idx, analyzer, id_col, content_col).persist()
-
-    g = tokened.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
-
+    g = with_idx.agg(F.count("*").alias("n")).collect()[0]
+    n_docs = int(g["n"])
     if docs_per_part is None:
         target_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
         docs_per_part = max(1024, math.ceil(n_docs / target_parts))
 
-    doc_stats = doc_stats_from_tokened(tokened, docs_per_part, id_col)
-    postings = postings_from_tokened(tokened, docs_per_part)
+    doc_stats = doc_stats_from_docs(
+        with_idx, analyzer, docs_per_part, id_col, content_col
+    ).persist()
+    avgdl = float(doc_stats.agg(F.avg("dl")).collect()[0][0] or 0.0)
+
+    postings = postings_from_docs(with_idx, analyzer, docs_per_part,
+                                  content_col=content_col)
     term_stats = term_stats_from_postings(postings, n_docs)
 
     return InvertedIndex(
