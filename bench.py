@@ -40,8 +40,14 @@ def run_job(mode: str, cpus: int, n_files: int, fixtures: str, index_dir: str,
            "--fixtures", fixtures, "--index-dir", index_dir]
     if bmw:
         cmd.append("--bmw")
+    env = dict(os.environ)
+    # shuffle through tmpfs: the sandbox proxy for per-executor local
+    # disks (a single shared spinning dir serializes 4N-core runs)
+    shm = "/dev/shm/spark-local"
+    os.makedirs(shm, exist_ok=True)
+    env.setdefault("SPARK_LOCAL_DIRS", shm)
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                         timeout=3600)
+                         timeout=3600, env=env)
     if out.returncode != 0:
         raise RuntimeError(f"bench job {mode}@{cpus} failed:\n{out.stderr[-4000:]}")
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]

@@ -162,6 +162,50 @@ def code_analyze_tf(text: str) -> tuple[dict[str, int], int]:
     return dict(tfs), dl
 
 
+# capture-level cache: token → (Counter of folded emissions len>=2, pos)
+_capture_cache: dict[str, tuple[dict[str, int], int]] = {}
+
+
+def _token_captures(tok: str) -> tuple[dict[str, int], int]:
+    hit = _capture_cache.get(tok)
+    if hit is not None:
+        return hit
+    caps: Counter[str] = Counter()
+    for t in (tok, *pattern_capture(tok)):
+        folded = fold_ascii(t.lower())
+        if len(folded) >= MIN_GRAM:
+            caps[folded] += 1
+    pos = 1 if len(fold_ascii(tok.lower())) >= MIN_GRAM else 0
+    res = (dict(caps), pos)
+    if len(_capture_cache) < _CACHE_MAX:
+        _capture_cache[tok] = res
+    return res
+
+
+def code_capture_tf(text: str) -> tuple[dict[str, int], int]:
+    """Capture-level pre-aggregation of ``code_analyzer``.
+
+    Emits (folded capture → emission count, dl) WITHOUT the edgeNGram
+    expansion: every gram of a capture is one of its prefixes, so
+    downstream kernels can expand prefixes 2..40 after shuffling —
+    expanding post-shuffle cuts shuffle volume by the gram multiplicity.
+    Identity: expanding each capture into its 2..40-prefixes with these
+    counts reproduces code_analyze_tf exactly (pytest-enforced).
+    """
+    caps: Counter[str] = Counter()
+    dl = 0
+    for tok in text.split():
+        tok_caps, pos = _token_captures(tok)
+        dl += pos
+        for c, n in tok_caps.items():
+            caps[c] += n
+    return dict(caps), dl
+
+
+# expansion mode per analyzer: gram set of a shuffled term row
+EXPAND_PREFIXES = {"code": (MIN_GRAM, MAX_GRAM), "simple": None, "default": None}
+
+
 def code_dl(text: str) -> int:
     """Doc length of ``code_analyzer`` WITHOUT the gram expansion —
     definitionally the `pos` sum of :func:`code_analyze_tf` (shared
@@ -276,6 +320,15 @@ def ngram_analyze(text: str, lo: int = 2, hi: int = 3) -> list[str]:
 
 ANALYZERS_TF = {
     "code": code_analyze_tf,
+    "simple": simple_analyze_tf,
+    "default": default_analyze_tf,
+}
+
+# shuffle-level term rows per analyzer: "code" ships captures (expanded
+# to prefixes 2..40 post-shuffle, see EXPAND_PREFIXES); others ship the
+# final terms directly
+CAPTURE_TF = {
+    "code": code_capture_tf,
     "simple": simple_analyze_tf,
     "default": default_analyze_tf,
 }

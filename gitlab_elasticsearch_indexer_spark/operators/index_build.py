@@ -66,32 +66,47 @@ PACK_SCHEMA = StructType(
 def make_term_rows_kernel(analyzer: str, content_col: str = "content"):
     """mapInPandas kernel: docs → (doc_idx, term, tf, dl) rows.
 
+    For the "code" analyzer the rows are CAPTURE-level (pre-edgeNGram):
+    shuffling captures instead of grams cuts row volume ~4×; the pack
+    kernel expands prefixes 2..40 post-shuffle (every gram of a capture
+    shares its first-two-chars bucket key, so expansion is local).
     Tokenization, tf aggregation, and the explode happen in one Python
     pass with numpy repeats — the JVM never sees per-doc term arrays.
     """
-    analyze = ANALYZERS_TF[analyzer]
+    from ..functions.analyzers import CAPTURE_TF
+
+    analyze = CAPTURE_TF[analyzer]
+
+    CHUNK = 512  # docs per emitted frame — bounds the ~1000× row expansion
 
     def kernel(batches):
         for pdf in batches:
-            t_doc, t_term, t_tf, t_dl = [], [], [], []
-            for doc_idx, text in zip(
-                pdf["doc_idx"].to_numpy(np.int64), pdf[content_col]
-            ):
-                tfs, dl = analyze(text or "")
-                if tfs:
-                    t_doc.append(np.full(len(tfs), doc_idx, dtype=np.int64))
-                    t_term.append(np.fromiter(tfs.keys(), dtype=object, count=len(tfs)))
-                    t_tf.append(np.fromiter(tfs.values(), dtype=np.int32, count=len(tfs)))
-                    t_dl.append(np.full(len(tfs), dl, dtype=np.int32))
-            if t_doc:
-                yield pd.DataFrame(
-                    {
-                        "doc_idx": np.concatenate(t_doc),
-                        "term": np.concatenate(t_term),
-                        "tf": np.concatenate(t_tf),
-                        "dl": np.concatenate(t_dl),
-                    }
-                )
+            ids_all = pdf["doc_idx"].to_numpy(np.int64)
+            texts_all = pdf[content_col].to_numpy(dtype=object)
+            for s in range(0, len(pdf), CHUNK):
+                t_doc, t_term, t_tf, t_dl = [], [], [], []
+                for doc_idx, text in zip(
+                    ids_all[s : s + CHUNK], texts_all[s : s + CHUNK]
+                ):
+                    tfs, dl = analyze(text or "")
+                    if tfs:
+                        t_doc.append(np.full(len(tfs), doc_idx, dtype=np.int64))
+                        t_term.append(
+                            np.fromiter(tfs.keys(), dtype=object, count=len(tfs))
+                        )
+                        t_tf.append(
+                            np.fromiter(tfs.values(), dtype=np.int32, count=len(tfs))
+                        )
+                        t_dl.append(np.full(len(tfs), dl, dtype=np.int32))
+                if t_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_idx": np.concatenate(t_doc),
+                            "term": np.concatenate(t_term),
+                            "tf": np.concatenate(t_tf),
+                            "dl": np.concatenate(t_dl),
+                        }
+                    )
 
     return kernel
 
@@ -229,43 +244,98 @@ def postings_from_docs(
     packs ~1/term_buckets of a partition's vocabulary in a single
     vectorized numpy pass (see codecs.pack_partition).
     """
+    from ..functions.analyzers import EXPAND_PREFIXES
+
     kernel = make_term_rows_kernel(analyzer, content_col)
     tokened = with_idx.select("doc_idx", content_col).mapInPandas(
         kernel, schema=TERM_ROWS_SCHEMA
     )
+    # bucket by the first two chars: all edgeNGram prefixes of a capture
+    # share them, so post-shuffle expansion stays bucket-local
     term_rows = tokened.select(
         (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
-        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64(F.substring("term", 1, 2)), F.lit(term_buckets)).alias("bucket"),
         "term", "doc_idx", "tf", "dl",
     )
-
-    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                {"doc_part": [], "term": [], **{k: [] for k in PACK_SCHEMA.fieldNames()}}
-            )
-        pdf = pdf.sort_values(["term", "doc_idx"], kind="mergesort", ignore_index=True)
-        terms = pdf["term"].to_numpy(dtype=object)
-        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        packed = pack_partition(
-            starts,
-            pdf["doc_idx"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["dl"].to_numpy(np.int64),
-        )
-        out = pd.DataFrame(packed)
-        out.insert(0, "term", terms[starts])
-        out.insert(0, "doc_part", np.full(len(starts), pdf["doc_part"].iloc[0], dtype=np.int64))
-        return out
 
     out_schema = StructType(
         [StructField("doc_part", LongType()), StructField("term", StringType())]
         + list(PACK_SCHEMA.fields)
     )
-    return (
-        term_rows.groupBy("doc_part", "bucket")
-        .applyInPandas(pack_group, schema=out_schema)
+
+    expand = EXPAND_PREFIXES[analyzer]
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"doc_part": [], "term": [],
+                 **{k: [] for k in PACK_SCHEMA.fieldNames()}}
+            )
+        term_s = pdf["term"]
+        docs_a = pdf["doc_idx"].to_numpy(np.int64)
+        tf_a = pdf["tf"].to_numpy(np.int64)
+        dl_a = pdf["dl"].to_numpy(np.int64)
+
+        if expand is not None:
+            # vectorized prefix expansion: for k=2..40 slice every
+            # capture long enough; gram tf sums capture counts
+            lo, hi = expand
+            lens = term_s.str.len().to_numpy(np.int64)
+            g_terms, g_docs, g_tf, g_dl = [], [], [], []
+            for k in range(lo, hi + 1):
+                mask = lens >= k
+                if not mask.any():
+                    break
+                g_terms.append(term_s.str.slice(0, k).to_numpy(dtype=object)[mask])
+                g_docs.append(docs_a[mask])
+                g_tf.append(tf_a[mask])
+                g_dl.append(dl_a[mask])
+            if not g_terms:
+                return pd.DataFrame(
+                    {"doc_part": [], "term": [],
+                     **{k2: [] for k2 in PACK_SCHEMA.fieldNames()}}
+                )
+            term_arr = np.concatenate(g_terms)
+            docs_a = np.concatenate(g_docs)
+            tf_a = np.concatenate(g_tf)
+            dl_a = np.concatenate(g_dl)
+            # aggregate tf per (gram, doc): sort runs then reduceat
+            codes, uniques = pd.factorize(pd.Series(term_arr), sort=False)
+            order = np.lexsort((docs_a, codes))
+            codes, docs_a = codes[order], docs_a[order]
+            tf_a, dl_a = tf_a[order], dl_a[order]
+            term_arr = term_arr[order]
+            new_run = np.flatnonzero(
+                (codes[1:] != codes[:-1]) | (docs_a[1:] != docs_a[:-1])
+            ) + 1
+            bnd = np.concatenate(([0], new_run))
+            tf_a = np.add.reduceat(tf_a, bnd)
+            docs_a, dl_a = docs_a[bnd], dl_a[bnd]
+            codes, term_arr = codes[bnd], term_arr[bnd]
+        else:
+            # identity grams: sort by (term-code, doc) — object-dtype
+            # string sorts are Python-level comparisons, lexsort on
+            # factorized codes is C-speed
+            codes, _ = pd.factorize(term_s, sort=False)
+            order = np.lexsort((docs_a, codes))
+            codes = codes[order]
+            docs_a, tf_a, dl_a = docs_a[order], tf_a[order], dl_a[order]
+            term_arr = term_s.to_numpy(dtype=object)[order]
+
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1)
+        )
+        packed = pack_partition(starts, docs_a, tf_a, dl_a)
+        out = pd.DataFrame(packed)
+        out.insert(0, "term", term_arr[starts])
+        out.insert(
+            0, "doc_part",
+            np.full(len(starts), pdf["doc_part"].iloc[0], dtype=np.int64),
+        )
+        return out
+
+    return term_rows.groupBy("doc_part", "bucket").applyInPandas(
+        pack_group, schema=out_schema
     )
 
 

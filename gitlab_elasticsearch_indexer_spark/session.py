@@ -34,9 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # tokenizer rows carry multi-thousand-element term arrays; small
-        # Arrow batches keep per-batch memory bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # skinny shuffle rows (posting entries) want big Arrow batches —
+        # tiny batches made per-batch overhead dominate the pack stage;
+        # kernels that expand rows slice their input internally
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -145,3 +145,33 @@ def test_oracle_self_consistency():
     hits_tie = idx2.search("same", k=2)
     assert [h[0] for h in hits_tie] == ["a", "b"]
     assert hits_tie[0][1] == hits_tie[1][1]
+
+
+def test_capture_tf_expansion_equals_full_chain():
+    """Capture-level rows + prefix expansion must reproduce the full
+    code_analyzer term frequencies (the shuffle-reduction invariant)."""
+    from collections import Counter
+
+    from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+        MAX_GRAM,
+        MIN_GRAM,
+        code_analyze_tf,
+        code_capture_tf,
+    )
+
+    texts = [
+        "def getUserById(user_id): return USERS[user_id]",
+        'path = "a/b/c.rb" x.y.z HTTPServer2 if if return',
+        "café Größe naïve 日本語 x 1 a",
+        "",
+        "selfContained_longIdentifierName_withMany_parts123 " * 3,
+    ]
+    for text in texts:
+        full, dl_full = code_analyze_tf(text)
+        caps, dl_caps = code_capture_tf(text)
+        assert dl_full == dl_caps
+        expanded: Counter = Counter()
+        for cap, cnt in caps.items():
+            for k in range(MIN_GRAM, min(len(cap), MAX_GRAM) + 1):
+                expanded[cap[:k]] += cnt
+        assert dict(expanded) == full, text
