@@ -69,8 +69,17 @@ def main() -> None:
     for d in (idx_hi_dir, idx_lo_dir):
         shutil.rmtree(d, ignore_errors=True)
 
-    hi = run_job("index", CPUS, n_files, fixtures, idx_hi_dir)
-    lo = run_job("index", lo_cpus, n_files, fixtures, idx_lo_dir)
+    # the sandbox VM shows 2-8x run-to-run noise (shared host); repeat
+    # each level and keep the fastest run as the least-noise estimate
+    def best(cpus: int, index_dir: str, repeats: int = 2) -> dict:
+        runs = []
+        for _ in range(repeats):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            runs.append(run_job("index", cpus, n_files, fixtures, index_dir))
+        return min(runs, key=lambda r: r["wall_sec"])
+
+    hi = best(CPUS, idx_hi_dir)
+    lo = best(lo_cpus, idx_lo_dir)
     qr = run_job("query", CPUS, n_files, fixtures, idx_hi_dir, bmw=True)
 
     eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (CPUS / lo_cpus)

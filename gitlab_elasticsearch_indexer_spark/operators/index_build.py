@@ -385,8 +385,13 @@ def build_index(
     ).persist()
     avgdl = float(doc_stats.agg(F.avg("dl")).collect()[0][0] or 0.0)
 
+    # persist the PACKED postings (compact: delta+varint binaries) so the
+    # heavy tokenize→shuffle→pack chain runs exactly once — term_stats,
+    # save(), and every query read the materialized result.  At cluster
+    # scale the equivalent is writing the postings table before deriving
+    # term_stats (incremental.update_index does exactly that).
     postings = postings_from_docs(with_idx, analyzer, docs_per_part,
-                                  content_col=content_col)
+                                  content_col=content_col).persist()
     term_stats = term_stats_from_postings(postings, n_docs)
 
     return InvertedIndex(

@@ -65,6 +65,18 @@ def main() -> None:
         from gitlab_elasticsearch_indexer_spark.operators import pipeline as pl
 
         src = spark.read.parquet(args.fixtures)
+        # warmup outside the timed window: page-cache the input, spin up
+        # executor threads and one python worker per core
+        src.count()
+
+        def _noop(it):
+            for pdf in it:
+                yield pdf
+
+        spark.range(0, args.cpus * 4, 1, args.cpus * 4).mapInPandas(
+            _noop, schema="id long"
+        ).count()
+
         t0 = time.time()
         docs = pl.run_blob_pipeline(spark, src)
         idx = ib.build_index(
