@@ -458,6 +458,48 @@ def q_bm25_bmw_topk(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, "table scan merge", k=20, mode="bmw")
 
 
+def q_bm25_default_analyzer(spark, sf_dir):
+    """B6: default analyzer (standard tokenizer + lowercase +
+    light_english stem) end-to-end — a plural query form matches
+    singular occurrences via shared stems."""
+    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="default",
+                         docs_per_part=128)
+    hits = q.search(idx, "tables queries", k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+# the stem rule (EnglishMinimalStemmer): drop trailing 's' unless len<3
+# or the word ends in 'us'/'ss'
+_STEM_SQL = (
+    "CASE WHEN length({t}) >= 3 AND {t} LIKE '%s' "
+    "AND NOT ({t} LIKE '%us' OR {t} LIKE '%ss') "
+    "THEN substr({t}, 1, length({t}) - 1) ELSE {t} END"
+)
+
+SQL_BM25_DEFAULT = f"""
+WITH q AS (SELECT unnest(['table', 'querie']) AS term),
+tok AS (
+    SELECT {_DOC_ID_SQL} AS id,
+           {_STEM_SQL.format(t='lower(t.tok)')} AS term
+    FROM documents, unnest(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS t(tok)
+),
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.id,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+    FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+    CROSS JOIN stats s
+    GROUP BY tf.id
+)
+SELECT id, round(raw, 4) AS score FROM scored
+ORDER BY raw DESC, id ASC LIMIT 15
+"""
+
+
 def q_get_by_id(spark, sf_dir):
     """B19: point lookup by doc id."""
     idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
@@ -787,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_bm25_topk_multi": q_bm25_topk_multi,
         "b16_bm25_topk_lang_filter": q_bm25_topk_lang,
         "b15_bmw_topk": q_bm25_bmw_topk,
+        "b6_bm25_stemmed_search": q_bm25_default_analyzer,
         "b19_get_by_id": q_get_by_id,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
@@ -825,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "b14_bm25_topk_multi": _bm25_sql(["table", "scan", "merge"], 20),
         "b16_bm25_topk_lang_filter": _bm25_sql(["window", "batch"], 15, lang="en"),
         "b15_bmw_topk": _bm25_sql(["table", "scan", "merge"], 20),
+        "b6_bm25_stemmed_search": SQL_BM25_DEFAULT,
         "b19_get_by_id": SQL_GET_BY_ID,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,

@@ -36,11 +36,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analyzers import code_search_analyze
+from ..functions.analyzers import code_search_analyze, default_analyze
 from ..functions.codecs import unpack_postings
 from .index_build import B, K1, InvertedIndex
 
 TOPK_SCHEMA = "doc_idx long, score double"
+
+# search-side analysis per index analyzer: content/file_name fields use
+# the asymmetric code_search_analyzer (elastic/index.go:143-150); fields
+# on the `default` analyzer (commit message etc.) search with the same
+# default chain (ES falls back to the index analyzer)
+QUERY_ANALYZERS = {
+    "code": code_search_analyze,
+    "simple": code_search_analyze,
+    "default": default_analyze,
+}
 
 
 def search(
@@ -57,7 +67,8 @@ def search(
     per occurrence, like a match query).
     """
     spark = index.postings.sparkSession
-    weights = Counter(code_search_analyze(query))
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = Counter(analyze_query(query))
     idf = index.idf_map(list(weights))
     # weighted idf per matched term — the only per-term constant kernels need
     widf = {t: idf[t] * w for t, w in weights.items() if t in idf}

@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from .functions.analyzers import ANALYZERS_TF, code_search_analyze
+from .functions.analyzers import ANALYZERS_TF, code_search_analyze, default_analyze
 
 K1 = 1.2
 B = 0.75
@@ -64,7 +64,10 @@ class OracleIndex:
         repo: str | None = None,
     ) -> list[tuple[str, float]]:
         """Top-k (doc_id, BM25 score), tie-break score desc then doc_id asc."""
-        terms = code_search_analyze(query)
+        analyze_query = (
+            default_analyze if self.analyzer == "default" else code_search_analyze
+        )
+        terms = analyze_query(query)
         avgdl = self.avgdl
         scores: dict[str, float] = {}
         for t in terms:

@@ -140,3 +140,33 @@ def test_term_stats_consistency(index, oracle):
 def test_get_by_id(index):
     row = get_by_id(index, "repo-003_with space/README.md").collect()
     assert len(row) == 1 and row[0]["path"] == "with space/README.md"
+
+
+def test_default_analyzer_rank_identity(spark, documents):
+    """B6 path: stemmed default-analyzer index matches the oracle."""
+    idx = build_index(
+        spark,
+        documents.select("id", "content", F.col("rid").alias("repo"),
+                         "path", F.col("language").alias("lang")),
+        analyzer="default", docs_per_part=64,
+    )
+    rows = [{"doc_id": r["id"], "content": r["content"], "lang": r["language"],
+             "repo": r["rid"]} for r in documents.collect()]
+    orc = build_oracle_index(rows, analyzer="default")
+    for query in ["returns", "getuserbyid", "users values"]:
+        got = [(r["id"], r["score"]) for r in search(idx, query, k=10).collect()]
+        exp = orc.search(query, k=10)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, got, exp)
+        assert np.allclose([g[1] for g in got], [e[1] for e in exp], rtol=1e-9)
+
+
+def test_query_edge_cases(index):
+    # a term longer than max_gram 40 can never match (index holds <=40-char
+    # prefixes only) — must return empty, not error
+    long_term = "x" * 45
+    assert search(index, long_term, k=5).count() == 0
+    # whitespace-only query
+    assert search(index, "   ", k=5).count() == 0
+    # k larger than corpus
+    big = search(index, "if", k=10_000).count()
+    assert 0 < big <= index.n_docs
