@@ -670,6 +670,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.ann_lsh_topk(emb, list(qv), k=10, n_planes=4, multiprobe=2)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (rows-only: seeded-KMeans quantizer isn't SQL-expressible;
+    recall vs the exact scorer is pytest-verified)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sim.ann_ivf_topk(emb, list(qv), k=10, n_lists=16, n_probe=4)
+
+
 def q_token_counts(spark, sf_dir):
     return ts.token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -839,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_cosine_pairs": q_cosine_dedup_pairs,
         "s1_ann_cosine_topk": q_ann_cosine_topk,
         "s2_ann_lsh_topk": q_ann_lsh_topk,
+        "s3_ann_ivf_topk": q_ann_ivf_topk,
         "t1_token_counts": q_token_counts,
         "t2_quality_scores": q_quality_scores,
         "t3_langid": q_langid,

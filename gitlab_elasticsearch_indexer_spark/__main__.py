@@ -1,0 +1,92 @@
+"""CLI — the reference binary's surface (main.go) re-expressed.
+
+The reference is driven as ``gitlab-elasticsearch-indexer <project-id>
+<repo-path>`` with FROM_SHA/TO_SHA env vars selecting the incremental
+range (/root/reference/main.go:15-47).  Here:
+
+    python -m gitlab_elasticsearch_indexer_spark build  --source DIR --index DIR
+    python -m gitlab_elasticsearch_indexer_spark update --source DIR --index DIR --snapshot N
+    python -m gitlab_elasticsearch_indexer_spark search --index DIR --query STR [--k K]
+                                                        [--lang L] [--repo R] [--bmw]
+
+``build`` = full index (FROM_SHA empty ⇒ index everything, the
+NullTreeSHA case); ``update`` = incremental diff against the indexed
+state (FROM→TO range analog, resumable from the last checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gitlab_elasticsearch_indexer_spark")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--source", required=True, help="parquet dir of (repo,path,commit,lang,content)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--analyzer", default="code")
+
+    u = sub.add_parser("update")
+    u.add_argument("--source", required=True)
+    u.add_argument("--index", required=True)
+    u.add_argument("--snapshot", type=int, required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--lang", default=None)
+    s.add_argument("--repo", default=None)
+    s.add_argument("--bmw", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    from .operators import incremental as inc
+    from .operators import index_build as ib
+    from .operators import pipeline as pl
+    from .operators import query as q
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"ges-{args.cmd}", master=args.master)
+
+    if args.cmd == "build":
+        src = spark.read.parquet(args.source)
+        docs = pl.run_blob_pipeline(spark, src)
+        idx = ib.build_index(
+            spark,
+            docs.select("id", "content", F.col("rid").alias("repo"), "path",
+                        F.col("language").alias("lang")),
+            analyzer=args.analyzer,
+        )
+        inc.save_versioned(idx, args.index, snapshot_id=0)
+        print(json.dumps({"built": idx.n_docs, "avgdl": round(idx.avgdl, 3),
+                          "index": args.index}))
+    elif args.cmd == "update":
+        src = spark.read.parquet(args.source)
+        docs = pl.run_blob_pipeline(spark, src)
+        idx = inc.update_index(
+            spark, args.index,
+            docs.select("id", "content", F.col("rid").alias("repo"), "path",
+                        F.col("language").alias("lang")),
+            snapshot_id=args.snapshot,
+        )
+        print(json.dumps({"snapshot": args.snapshot, "n_docs": idx.n_docs}))
+    else:  # search
+        idx = inc.load_versioned(spark, args.index)
+        hits = q.search(idx, args.query, k=args.k, lang=args.lang,
+                        repo=args.repo, mode="bmw" if args.bmw else "exhaustive")
+        for r in hits.collect():
+            print(json.dumps({"id": r["id"], "score": round(r["score"], 6),
+                              "path": r["path"], "lang": r["lang"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,6 +85,50 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+def build_ivf(
+    emb: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: seeded KMeans centroids + per-row list id.
+
+    Returns (assigned DataFrame with an ``ivf_list`` column, centroids
+    ndarray).  At scale ``ivf_list`` is the partition column: a probe
+    reads only n_probe/n_lists of the data (parquet partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = emb.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=10, featuresCol="_features",
+        predictionCol="ivf_list",
+    ).fit(feats)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(feats).drop("_features")
+    return assigned, centroids
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe nearest inverted lists, exact re-rank."""
+    assigned, centroids = build_ivf(emb, n_lists, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

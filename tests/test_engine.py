@@ -170,3 +170,22 @@ def test_query_edge_cases(index):
     # k larger than corpus
     big = search(index, "if", k=10_000).count()
     assert 0 < big <= index.n_docs
+
+
+def test_hot_term_skew_is_salted(index):
+    """North_rule: Zipfian hot terms ('if', 'return') must be spread
+    across doc partitions with per-group size bounded by docs_per_part —
+    the document partition is the salt (SURVEY.md B12)."""
+    hot = index.postings.filter(F.col("term").isin(["if", "return"])) \
+        .select("term", "doc_part", "df").collect()
+    by_term = {}
+    for r in hot:
+        by_term.setdefault(r["term"], []).append(r["df"])
+    for term, dfs in by_term.items():
+        assert len(dfs) > 1, f"hot term {term!r} landed in one partition"
+        assert max(dfs) <= index.docs_per_part, (term, max(dfs))
+    # total df across salted groups equals the global term_stats df
+    ts = {r["term"]: r["df"] for r in index.term_stats
+          .filter(F.col("term").isin(["if", "return"])).collect()}
+    for term, dfs in by_term.items():
+        assert sum(dfs) == ts[term]

@@ -174,3 +174,14 @@ def test_multimodal_plumbing(docs, spark):
     with _pt.raises(Exception) as ei:
         multimodal.decode_features(media).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_ann_ivf_recall(emb):
+    rows = emb.collect()
+    q = list(rows[3]["embedding"])
+    exact = [r["id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["id"] for r in similarity.ann_ivf_topk(emb, q, k=10, n_lists=8,
+                                                       n_probe=3).collect()]
+    assert rows[3]["vec_id"] in approx  # the query's own vector is found
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
