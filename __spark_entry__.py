@@ -458,6 +458,46 @@ def q_bm25_bmw_topk(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, "table scan merge", k=20, mode="bmw")
 
 
+_BATCH_QUERIES = {
+    "q_spark": ["spark"],
+    "q_pair": ["table", "scan"],
+    "q_win": ["window", "batch", "merge"],
+}
+
+
+def q_bm25_search_many(spark, sf_dir):
+    """Batched multi-query top-k: one job, shared posting decodes."""
+    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
+                         docs_per_part=128)
+    out = q.search_many(idx, {k: " ".join(v) for k, v in _BATCH_QUERIES.items()}, k=10)
+    return out.select("query_id", "rank", "id", F.round("score", 4).alias("score"))
+
+
+def _sql_search_many() -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BATCH_QUERIES.items() for t in terms
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {qrows}),
+{_BM25_CTES.removeprefix("WITH ")},
+per_query AS (
+    SELECT q.query_id, tf.id,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+    FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.id
+),
+ranked AS (
+    SELECT query_id, id, raw,
+           row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, id ASC) AS rank
+    FROM per_query
+)
+SELECT query_id, rank::INTEGER AS rank, id, round(raw, 4) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_bm25_default_analyzer(spark, sf_dir):
     """B6: default analyzer (standard tokenizer + lowercase +
     light_english stem) end-to-end — a plural query form matches
@@ -838,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_bm25_topk_lang_filter": q_bm25_topk_lang,
         "b15_bmw_topk": q_bm25_bmw_topk,
         "b6_bm25_stemmed_search": q_bm25_default_analyzer,
+        "b14_bm25_search_many": q_bm25_search_many,
         "b19_get_by_id": q_get_by_id,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
@@ -878,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "b16_bm25_topk_lang_filter": _bm25_sql(["window", "batch"], 15, lang="en"),
         "b15_bmw_topk": _bm25_sql(["table", "scan", "merge"], 20),
         "b6_bm25_stemmed_search": SQL_BM25_DEFAULT,
+        "b14_bm25_search_many": _sql_search_many(),
         "b19_get_by_id": SQL_GET_BY_ID,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,

@@ -291,6 +291,79 @@ def _bmw_topk(terms, k):
     )
 
 
+def search_many(
+    index: InvertedIndex,
+    queries: dict[str, str],
+    k: int = 10,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    """Batched top-k: one Spark job scores every query.
+
+    Returns (query_id, rank, id, score).  Per doc partition, each term's
+    postings are decoded once and reused by all queries containing it —
+    the amortization that makes a query *service* viable on Spark (per-
+    query jobs pay ~0.3 s scheduling floor each; a batch pays it once).
+    """
+    spark = index.postings.sparkSession
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = {qid: Counter(analyze_query(qs)) for qid, qs in queries.items()}
+    all_terms = sorted({t for w in weights.values() for t in w})
+    idf = index.idf_map(all_terms)
+    widf_by_query = {
+        qid: {t: idf[t] * n for t, n in w.items() if t in idf}
+        for qid, w in weights.items()
+    }
+    widf_by_query = {qid: w for qid, w in widf_by_query.items() if w}
+    if not widf_by_query:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, id string, score double"
+        )
+
+    live_terms = sorted({t for w in widf_by_query.values() for t in w})
+    cand = index.postings.filter(F.col("term").isin(live_terms)).select(
+        "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
+    )
+    avgdl = index.avgdl
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = {}
+        for row in pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            decoded[row.term] = (docs.astype(np.int64), _tfn(tfs, dls, avgdl))
+        qids, didx, scores = [], [], []
+        for qid, widf in widf_by_query.items():
+            terms = [
+                {"w": w, "docs": decoded[t][0], "tfn": decoded[t][1]}
+                for t, w in widf.items()
+                if t in decoded
+            ]
+            if not terms:
+                continue
+            d, s = _exhaustive_topk(terms, k)
+            qids.extend([qid] * len(d))
+            didx.extend(d.tolist())
+            scores.extend(s.tolist())
+        return pd.DataFrame({"query_id": qids, "doc_idx": didx, "score": scores})
+
+    scored = cand.groupBy("doc_part").applyInPandas(
+        kernel, schema="query_id string, doc_idx long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        F.broadcast(scored)
+        .join(index.doc_stats.select("doc_idx", "id"), "doc_idx")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
+    )
+
+
 def get_by_id(index: InvertedIndex, doc_id: str) -> DataFrame:
     """B19: point lookup by document id (elastic/client.go:170-185)."""
     return index.doc_stats.filter(F.col("id") == doc_id)

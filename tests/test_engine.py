@@ -189,3 +189,20 @@ def test_hot_term_skew_is_salted(index):
           .filter(F.col("term").isin(["if", "return"])).collect()}
     for term, dfs in by_term.items():
         assert sum(dfs) == ts[term]
+
+
+def test_search_many_matches_single_queries(index):
+    """Batched execution must agree with per-query search exactly."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    qs = {"a": "if return", "b": "getUserById", "c": "zzz_nothing"}
+    batched = search_many(index, qs, k=5).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["score"]))
+    for qid, qtext in qs.items():
+        single = [(i + 1, r["id"], r["score"])
+                  for i, r in enumerate(search(index, qtext, k=5).collect())]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [s[:2] for s in single], (qid, got, single)
+        assert np.allclose([g[2] for g in got], [s[2] for s in single], rtol=1e-9)
