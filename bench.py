@@ -96,6 +96,8 @@ def main() -> None:
         "cpus_low": lo_cpus,
         "scaling_efficiency": round(eff, 3),
         "query_p50_sec": qr["p50_sec"],
+        "batch_queries": qr.get("batch_queries"),
+        "batch_per_query_sec": qr.get("batch_per_query_sec"),
     }
     print(json.dumps(result))
 

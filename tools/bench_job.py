@@ -120,9 +120,21 @@ def main() -> None:
             times.append(time.time() - t0)
         per_query[name] = round(min(times), 3)
         lat.extend(times)
+
+    # batched service path: one job for the whole unfiltered query set
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    batch = {name: qs for name, qs, _, lang, repo in QUERY_SET if not (lang or repo)}
+    search_many(idx, batch, k=10).collect()  # warm
+    t0 = time.time()
+    search_many(idx, batch, k=10).collect()
+    batch_sec = time.time() - t0
     print(json.dumps({
         "p50_sec": round(statistics.median(lat), 3),
         "queries": per_query,
+        "batch_queries": len(batch),
+        "batch_sec": round(batch_sec, 3),
+        "batch_per_query_sec": round(batch_sec / max(len(batch), 1), 4),
     }))
 
 
