@@ -299,6 +299,45 @@ SELECT user_id, event_type, event_id FROM (
 # Family B — analysis, index statistics, BM25 top-k
 
 
+def q_parent_child_join(spark, sf_dir):
+    """B18/A11: the ES join_field parent-child relation realized as a
+    broadcast equi-join of blob docs against a projects dim
+    (elastic/index.go:273-287; indexer/indexer.go:24-69)."""
+    src = source_files_from_documents(spark, sf_dir)
+    docs = pl.run_blob_pipeline(spark, src)
+    projects = (
+        src.groupBy("repo")
+        .agg(F.count("*").cast("long").alias("n_files"))
+        .select(
+            F.col("repo").alias("rid"),
+            F.concat(F.lit("project_"), F.regexp_extract("repo", r"(\d+)$", 1)).alias("parent"),
+            "n_files",
+        )
+    )
+    return docs.join(F.broadcast(projects), "rid").select(
+        "id", "rid", "parent", "n_files"
+    )
+
+
+SQL_PARENT_CHILD = """
+WITH docs AS (
+    SELECT source || '_docs/' || source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') || '.txt' AS id,
+           source AS rid
+    FROM documents
+    WHERE octet_length(encode(text)) <= 1048576
+      AND NOT contains(substr(text, 1, 8192), chr(0))
+),
+projects AS (
+    SELECT source AS rid,
+           'project_' || regexp_extract(source, '(\\d+)$', 1) AS parent,
+           count(*)::BIGINT AS n_files
+    FROM documents GROUP BY source
+)
+SELECT id, docs.rid AS rid, parent, n_files
+FROM docs JOIN projects USING (rid)
+"""
+
+
 def q_tokenize_tf(spark, sf_dir):
     """B1+B3: whitespace tokenizer + lowercase, global term frequencies."""
     d = load_table(spark, sf_dir, "documents")
@@ -867,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_build_blob_docs": q_build_blob_docs,
         "a10_commit_docs": q_commit_docs,
         "a12_upsert_last_write_wins": q_upsert_last_write_wins,
+        "a11_b18_parent_child_join": q_parent_child_join,
         "b1_b3_tokenize_tf": q_tokenize_tf,
         "b5_edge_ngram_tf": q_edge_ngram_tf,
         "b7_path_suffix_tokens": q_path_suffix_tokens,
@@ -908,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_build_blob_docs": SQL_BUILD_BLOB_DOCS,
         "a10_commit_docs": SQL_COMMIT_DOCS,
         "a12_upsert_last_write_wins": SQL_UPSERT,
+        "a11_b18_parent_child_join": SQL_PARENT_CHILD,
         "b1_b3_tokenize_tf": SQL_TOKENIZE_TF,
         "b5_edge_ngram_tf": SQL_EDGE_NGRAM_TF,
         "b7_path_suffix_tokens": SQL_PATH_SUFFIX,
