@@ -55,3 +55,43 @@ def test_block_stats():
     assert last[0] == docs[127] and last[-1] == docs[-1]
     assert bmax_tf[0] == tfs[127] and bmax_tf[-1] == tfs[-1]
     assert bmin_dl[0] == dls[127] and bmin_dl[-1] == dls[-1]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=12))
+def test_pack_partition_property(seed, n_terms):
+    """The whole-partition vectorized pack must round-trip every term run
+    (delta reset at boundaries, block metadata from reduceat)."""
+    from gitlab_elasticsearch_indexer_spark.functions.codecs import (
+        block_stats,
+        pack_partition,
+        unpack_postings,
+    )
+
+    rng = np.random.default_rng(seed)
+    starts, docs, tfs, dls = [], [], [], []
+    pos = 0
+    for _ in range(n_terms):
+        n = int(rng.integers(1, 400))
+        starts.append(pos)
+        docs.append(np.sort(rng.choice(10_000, size=n, replace=False)))
+        tfs.append(rng.integers(1, 100, size=n))
+        dls.append(rng.integers(1, 5_000, size=n))
+        pos += n
+    docs_a = np.concatenate(docs); tfs_a = np.concatenate(tfs); dls_a = np.concatenate(dls)
+    packed = pack_partition(np.array(starts), docs_a, tfs_a, dls_a)
+    for i in range(n_terms):
+        d, t, l = unpack_postings(
+            packed["docs_bin"][i], packed["tfs_bin"][i], packed["dls_bin"][i]
+        )
+        assert np.array_equal(d.astype(np.int64), docs[i])
+        assert np.array_equal(t.astype(np.int64), tfs[i])
+        assert np.array_equal(l.astype(np.int64), dls[i])
+        assert packed["df"][i] == len(docs[i])
+        assert packed["cf"][i] == int(tfs[i].sum())
+        assert packed["max_tf"][i] == int(tfs[i].max())
+        assert packed["min_dl"][i] == int(dls[i].min())
+        last, bmax, bmin = block_stats(docs[i], tfs[i], dls[i])
+        assert packed["block_last"][i] == last.tolist()
+        assert packed["block_max_tf"][i] == bmax.tolist()
+        assert packed["block_min_dl"][i] == bmin.tolist()
