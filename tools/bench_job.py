@@ -87,13 +87,17 @@ def main() -> None:
             ),
             analyzer="code",
         )
+        idx.postings.count()  # materialize the packed index (core build)
+        core = time.time() - t0
         idx.save(args.index_dir)
         wall = time.time() - t0
         n = idx.n_docs
         print(json.dumps({
             "wall_sec": round(wall, 2),
+            "core_sec": round(core, 2),
             "n_files": n,
             "files_per_sec": round(n / wall, 1),
+            "core_files_per_sec": round(n / core, 1),
         }))
         return
 
