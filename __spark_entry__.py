@@ -704,6 +704,46 @@ WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.8
 """
 
 
+def q_simhash_fingerprints(spark, sf_dir):
+    """D4a: 64-bit SimHash fingerprints — the bit arithmetic is fully
+    SQL-replayable (md5-hex → UBIGINT, per-bit ±1 sums, signed fold)."""
+    return dd.simhash_fingerprints(_corpus(spark, sf_dir), text_col="text",
+                                   id_col="doc_id")
+
+
+SQL_SIMHASH = f"""
+WITH {_CORPUS_SQL.strip()},
+tok AS (
+    SELECT id, t.tok AS tok
+    FROM corpus,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS t(tok)
+),
+h AS (SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM tok),
+bits AS (
+    SELECT id, b.b AS b,
+           sum(CASE WHEN ((hv >> b.b::INTEGER) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+    FROM h CROSS JOIN (SELECT range AS b FROM range(0, 64)) b
+    GROUP BY id, b.b
+),
+sig AS (
+    SELECT id,
+           (sum(CASE WHEN acc > 0 AND b < 63
+                     THEN (1::UBIGINT << b::INTEGER)::HUGEINT
+                     ELSE 0::HUGEINT END)
+            - sum(CASE WHEN acc > 0 AND b = 63
+                       THEN 9223372036854775808::HUGEINT
+                       ELSE 0::HUGEINT END))::BIGINT AS simhash
+    FROM bits GROUP BY id
+),
+empty AS (SELECT id, 0::BIGINT AS simhash FROM corpus
+          WHERE length(trim(text)) = 0)
+SELECT id, simhash FROM sig
+UNION ALL
+SELECT id, simhash FROM empty
+"""
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-dup pairs — bit kernels aren't SQL-expressible; the
     driver records a rows-only check, pytest verifies vs pure python."""
@@ -924,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "d3_ngram_jaccard_pairs": q_jaccard_pairs,
+        "d4a_simhash_fingerprints": q_simhash_fingerprints,
         "d4_simhash_near_pairs": q_simhash_near_pairs,
         "d5_embedding_cosine_pairs": q_cosine_dedup_pairs,
         "s1_ann_cosine_topk": q_ann_cosine_topk,
@@ -965,7 +1006,9 @@ def oracle_sql() -> dict[str, str]:
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d3_ngram_jaccard_pairs": SQL_JACCARD,
-        # d4_simhash_near_pairs: rows-only (bit kernel not SQL-expressible)
+        "d4a_simhash_fingerprints": SQL_SIMHASH,
+        # d4_simhash_near_pairs: rows-only (chunk-blocked Hamming join;
+        # fingerprints themselves are gate-checked via d4a)
         "d5_embedding_cosine_pairs": SQL_COSINE_DEDUP,
         "s1_ann_cosine_topk": SQL_ANN_COSINE,
         # s2_ann_lsh_topk: rows-only (hyperplane folds; pytest-verified)
