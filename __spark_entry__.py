@@ -169,6 +169,55 @@ FROM documents
 """
 
 
+def q_a8_transcode(spark, sf_dir):
+    """A8: charset → UTF-8 transcode (indexer/encoding.go:12-76).
+
+    Rows are encoded in a per-row charset (gb18030 / shift_jis / utf-8,
+    keyed by doc_id % 3) with a CJK/kana marker prefix, then decoded by
+    the real distributed transcode kernel.  The oracle replays the
+    expected UTF-8 text, so a detector mis-guess (round-1 bug) hash-
+    mismatches.  Restricted to ASCII payload rows so the marker is the
+    only non-UTF-8 content and the oracle stays SQL-expressible.
+    """
+    import pandas as pd
+
+    from gitlab_elasticsearch_indexer_spark.functions.encoding import transcode_to_utf8
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.octet_length("text") == F.length("text"))  # ASCII-only payload
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            raws = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                m = int(did) % 3
+                if m == 0:
+                    raws.append(("你好世界 " + txt).encode("gb18030"))
+                elif m == 1:
+                    raws.append(("これはテストです。 " + txt).encode("shift_jis"))
+                else:
+                    raws.append(("héllo wörld " + txt).encode("utf-8"))
+            yield pd.DataFrame({"id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(enc, schema="id long, raw binary")
+    return transcode_to_utf8(raw, bin_col="raw", out_col="content").select("id", "content")
+
+
+SQL_A8_TRANSCODE = """
+SELECT doc_id AS id,
+       CASE doc_id % 3
+           WHEN 0 THEN '你好世界 ' || text
+           WHEN 1 THEN 'これはテストです。 ' || text
+           ELSE 'héllo wörld ' || text
+       END AS content
+FROM documents
+WHERE octet_length(encode(text)) = length(text)
+"""
+
+
 def q_commit_docs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     commits = ev.select(
@@ -943,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_incremental_range": q_incremental_range,
         "a5_a6_filter_indexable": q_filter_indexable,
         "a7_detect_language": q_detect_language,
+        "a8_transcode": q_a8_transcode,
         "a9_build_blob_docs": q_build_blob_docs,
         "a10_commit_docs": q_commit_docs,
         "a12_upsert_last_write_wins": q_upsert_last_write_wins,
@@ -986,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "a2_incremental_range": SQL_INCREMENTAL_RANGE,
         "a5_a6_filter_indexable": SQL_FILTER_INDEXABLE,
         "a7_detect_language": SQL_DETECT_LANGUAGE,
+        "a8_transcode": SQL_A8_TRANSCODE,
         "a9_build_blob_docs": SQL_BUILD_BLOB_DOCS,
         "a10_commit_docs": SQL_COMMIT_DOCS,
         "a12_upsert_last_write_wins": SQL_UPSERT,

@@ -1,57 +1,169 @@
 """A8: charset detection → UTF-8 transcoding (indexer/encoding.go:12-76).
 
-The reference uses ICU charset detection and converts the first
-successful guess to UTF-8, passing raw bytes through when detection
-fails (tryEncodeBytes semantics — never errors).  The canonical input
-table here already stores UTF-8 strings, so this operator applies when
-ingesting raw ``binary`` content: an Arrow-batched kernel that tries
-UTF-8 → (optional charset detector) → latin-1 passthrough, mirroring
-the never-fail contract.  The detector library is gated behind an
-import-try (not baked into this container).
+The reference uses ICU charset detection (``GuessCharset``) and converts
+the first *successful* match to UTF-8, passing raw bytes through when
+detection fails (``tryEncodeBytes`` never errors).  Its integration
+goldens pin exact transcode equality for GB18030 and SHIFT_JIS inputs
+(integration_test.go:199-226).
+
+This port replaces ICU with a deterministic detector:
+
+1. strict UTF-8 (the overwhelmingly common case — zero-copy accept);
+2. BOM-declared Unicode (utf-8-sig / utf-16 / utf-32).  BOM-less
+   utf-16 is deliberately NOT guessed: any even-length CJK byte string
+   "decodes" under utf-16, which silently mojibakes (round-1 bug);
+3. every remaining candidate codec (a fixed CJK/latin list, unioned
+   with charset_normalizer's suggestions when that library is present)
+   is strict-decoded and the results are *scored* by character-class
+   plausibility — kana and common-hanzi are strong positive signals,
+   control/replacement/private-use characters are strongly negative —
+   with a fixed priority order as the deterministic tie-break;
+4. latin-1 passthrough (total — mirrors the reference's raw fallback).
 """
 
 from __future__ import annotations
 
+import codecs
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 try:  # optional detector — same role as the reference's ICU GuessCharset
     import charset_normalizer as _detector  # type: ignore
 except ImportError:  # pragma: no cover
     _detector = None
 
-CODECS_TRIED = ["utf-8", "utf-16", "gb18030", "shift_jis", "latin-1"]
+# Fixed candidates, in tie-break priority order.  cp932 ⊇ shift_jis and
+# gb18030 ⊇ gbk/gb2312, so the supersets stand in for the whole family.
+CANDIDATE_CODECS = ["gb18030", "cp932", "euc_jp", "big5", "euc_kr", "cp1252"]
+
+_BOMS = [
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF32_LE, "utf-32"),  # check 4-byte BOMs before 2-byte
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
+]
+
+# ~230 of the highest-frequency hanzi (simplified + traditional forms
+# union — traditional text shares most of them).  Used only as a
+# *bonus* signal: real Chinese/Japanese text is dense in these, while
+# wrong-codec mojibake scatters into rare codepoints.
+_COMMON_HANZI = frozenset(
+    "的一是不了人我在有他这為为之大来來以个個中上们們到说說国國和地也子"
+    "时時道出而要于於就下得可你年生自会會那后後能对對着著事其里裡所去行"
+    "过過家十用发發天如然作方成者多日都三小军軍二无無同么麼经經法当當起"
+    "与與好看学學进進种種将將还還分此心前面又定见見只主没沒公从從已知世"
+    "界间間新些但东東高意把手想样樣身动動实實现長长全信老因点點業业明开"
+    "開外及次门門回内內海通使力入正常提别別真打太部工问問情明性关關白件"
+    "山水火土金木月田目口日王石竹米貝贝車车馬马鳥鸟魚鱼"
+)
+
+# ~100 highest-frequency hangul syllables (same bonus role as
+# _COMMON_HANZI): real Korean text is dense in these; a single rare
+# syllable produced by wrong-codec mojibake is not.
+_COMMON_HANGUL = frozenset(
+    "이다는에의하고지을를기한로어있것서게해습니수도없않사람국대일자전주"
+    "안만부중간시여내제요와과보면까되그나우리했으며및등들런걸램프스트터"
+    "무엇왜때문든또더가장년월분았었운좋새말글속집손눈몸밤낮살알모른바른"
+)
+
+
+def _score(text: str) -> float:
+    """Average per-char plausibility of a candidate decode."""
+    if not text:
+        return 0.0
+    total = 0.0
+    for ch in text:
+        o = ord(ch)
+        if ch in ("\t", "\n", "\r"):
+            total += 1.0
+        elif o < 0x20 or 0x7F <= o < 0xA0:  # C0/C1 controls
+            total -= 20.0
+        elif o < 0x7F:  # printable ASCII
+            total += 2.0
+        elif o == 0xFFFD:  # replacement char
+            total -= 20.0
+        elif 0xE000 <= o <= 0xF8FF:  # private use
+            total -= 15.0
+        elif 0x3040 <= o <= 0x30FF:  # full-width kana: strong Japanese signal
+            total += 6.0
+        elif 0xFF66 <= o <= 0xFF9F:  # half-width kana: weak (common GB→SJIS mojibake)
+            total += 1.0
+        elif ch in _COMMON_HANZI or ch in _COMMON_HANGUL:
+            total += 6.0
+        elif 0x3000 <= o <= 0x303F:  # CJK punctuation
+            total += 3.0
+        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:  # CJK unified
+            total += 2.0
+        elif 0xAC00 <= o <= 0xD7AF:  # hangul syllables
+            total += 2.0
+        elif 0xFF00 <= o <= 0xFFEF:  # full/half-width forms
+            total += 2.0
+        elif 0xC0 <= o <= 0x17F:  # latin-1 supplement / extended-A letters
+            total += 1.0
+    return total / len(text)
+
+
+def _normalize_codec(name: str) -> str | None:
+    try:
+        return codecs.lookup(name).name
+    except LookupError:
+        return None
 
 
 def decode_bytes(raw: bytes) -> str:
-    """tryEncodeBytes analog: best-effort decode, never raises.
+    """tryEncodeBytes analog: best-effort decode to UTF-8 text, never raises.
 
-    Order: strict UTF-8, then detector (if present), then the fixed
-    codec list (latin-1 last — total, so decoding always succeeds,
-    matching the reference's raw passthrough on failure).
+    Matches the reference goldens (integration_test.go:208-226): GB18030
+    and SHIFT_JIS inputs transcode to the exact expected strings.
     """
+    if not raw:
+        return ""
+    if raw.startswith(codecs.BOM_UTF8):
+        try:
+            return raw.decode("utf-8-sig")
+        except UnicodeDecodeError:
+            pass
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
         pass
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            try:
+                return raw.decode(codec)
+            except UnicodeDecodeError:
+                break
+    # Candidate set: fixed priority list ∪ detector suggestions.
+    candidates = list(CANDIDATE_CODECS)
     if _detector is not None:
-        best = _detector.from_bytes(raw).best()
-        if best is not None:
-            return str(best)
-    for codec in CODECS_TRIED[1:]:
         try:
-            return raw.decode(codec)
-        except (UnicodeDecodeError, LookupError):
+            for guess in _detector.from_bytes(raw):
+                norm = _normalize_codec(guess.encoding)
+                if norm and norm not in ("utf-16", "utf-16-le", "utf-16-be", "utf-32",
+                                         "utf-32-le", "utf-32-be") and norm not in candidates:
+                    candidates.append(norm)
+        except Exception:  # detector must never break the never-fail contract
+            pass
+    best_text: str | None = None
+    best_key: tuple[float, int] | None = None
+    for prio, codec in enumerate(candidates):
+        try:
+            text = raw.decode(codec)
+        except (UnicodeDecodeError, LookupError, ValueError):
             continue
-    return raw.decode("latin-1", errors="replace")  # unreachable; latin-1 is total
+        key = (-_score(text), prio)  # highest score, then earliest codec
+        if best_key is None or key < best_key:
+            best_key, best_text = key, text
+    if best_text is not None and best_key is not None and -best_key[0] > 0:
+        return best_text
+    return raw.decode("latin-1")  # total: raw passthrough analog
 
 
 def transcode_to_utf8(df: DataFrame, bin_col: str = "raw", out_col: str = "content") -> DataFrame:
     """binary column → UTF-8 string column via mapInPandas batches."""
-    cols = df.columns
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

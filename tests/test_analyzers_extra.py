@@ -34,12 +34,33 @@ def test_ngram_analyzer():
     assert grams == ["ab", "b1", "ab1"]
 
 
+def test_decode_bytes_reference_goldens():
+    """Exact transcode equality for the reference's own golden cases
+    (integration_test.go:208-226): GB18030 'encoding/iso8859.txt' and
+    SHIFT_JIS 'encoding/test.txt'."""
+    assert decode_bytes("狞\n".encode("gb18030")) == "狞\n"
+    sj = (
+        "これはテストです。\nこれもマージして下さい。\n\n"
+        "Add excel file.\nDelete excel file."
+    )
+    assert decode_bytes(sj.encode("shift_jis")) == sj
+
+
 def test_decode_bytes_utf8_and_fallbacks():
     assert decode_bytes("héllo".encode("utf-8")) == "héllo"
-    # GB18030 golden mirrors integration_test.go:208-226 transcode cases
-    s = "你好世界"
-    out = decode_bytes(s.encode("gb18030"))
-    assert isinstance(out, str) and len(out) > 0
+    # charset detection resolves CJK/latin families exactly, not just non-empty
+    for s, enc in [
+        ("你好世界", "gb18030"),
+        ("简体中文测试文本，包含标点。", "gb18030"),
+        ("日本語のテキストです。改行もあります。\n", "shift_jis"),
+        ("한국어 테스트 문장입니다.", "euc_kr"),
+        ("繁體中文測試，這是一段文字。", "big5"),
+        ("café naïve résumé", "cp1252"),
+    ]:
+        assert decode_bytes(s.encode(enc)) == s, enc
+    # BOM-declared unicode (BOM stripped); BOM-less utf-16 is never guessed
+    for enc in ["utf-16", "utf-32", "utf-8-sig"]:
+        assert decode_bytes("BOM test 日本語".encode(enc)) == "BOM test 日本語"
     # never raises, even on garbage
     assert isinstance(decode_bytes(b"\xff\xfe\xfa\x01\x00garbage"), str)
     assert decode_bytes(b"") == ""
