@@ -141,16 +141,24 @@ WHERE octet_length(encode(text)) <= 1048576
 """
 
 
+# realistic extension/filename mix exercising the full 391-language
+# linguist dim: unique extensions, the ambiguous '.h' (deterministic
+# alphabetical first-match → C), an unknown extension (→ Text), and two
+# filename-match rows (Makefile / CMakeLists.txt).
+_A7_SUFFIXES = [".py", ".rb", ".go", ".md", ".weird", ".h", ".ex", ".swift",
+                ".vue", ".proto", "/Makefile", "/CMakeLists.txt"]
+_A7_EXPECTED = ["Python", "Ruby", "Go", "Markdown", "Text", "C", "Elixir",
+                "Swift", "Vue", "Protocol Buffer", "Makefile", "CMake"]
+
+
 def q_detect_language(spark, sf_dir):
-    # synthesize mixed extensions from lang so the broadcast dim join is real
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.concat(
             F.lit("src/f_"), F.col("doc_id").cast("string"),
             F.element_at(
-                F.array(F.lit(".py"), F.lit(".rb"), F.lit(".go"), F.lit(".md"),
-                        F.lit(".weird")),
-                (F.col("doc_id") % 5 + 1).cast("int"),
+                F.array(*[F.lit(s) for s in _A7_SUFFIXES]),
+                (F.col("doc_id") % 12 + 1).cast("int"),
             ),
         ).alias("path"),
     )
@@ -158,13 +166,15 @@ def q_detect_language(spark, sf_dir):
     return out.select("doc_id", "path", "detected_lang")
 
 
-SQL_DETECT_LANGUAGE = """
+def _a7_case(vals: list[str]) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals))
+    return f"CASE doc_id % 12 {whens} END"
+
+
+SQL_DETECT_LANGUAGE = f"""
 SELECT doc_id,
-       'src/f_' || doc_id::VARCHAR ||
-         CASE doc_id % 5 WHEN 0 THEN '.py' WHEN 1 THEN '.rb' WHEN 2 THEN '.go'
-                         WHEN 3 THEN '.md' ELSE '.weird' END AS path,
-       CASE doc_id % 5 WHEN 0 THEN 'Python' WHEN 1 THEN 'Ruby' WHEN 2 THEN 'Go'
-                       WHEN 3 THEN 'Markdown' ELSE 'Text' END AS detected_lang
+       'src/f_' || doc_id::VARCHAR || {_a7_case(_A7_SUFFIXES)} AS path,
+       {_a7_case(_A7_EXPECTED)} AS detected_lang
 FROM documents
 """
 

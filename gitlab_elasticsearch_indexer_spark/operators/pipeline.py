@@ -34,24 +34,6 @@ from pyspark.sql.window import Window
 LIMIT_FILE_SIZE = 1024 * 1024  # git/gitaly.go:25
 BINARY_SNIFF_LIMIT = 8 * 1024  # indexer/blob.go:20
 
-# Distilled linguist dim (linguist/languages.go holds 392 entries; we
-# carry the common ones + every case in the reference's tests —
-# linguist/language_test.go:17-32, indexer/blob_test.go:54-68).
-EXT_LANG = [
-    (".py", "Python"), (".rb", "Ruby"), (".go", "Go"), (".js", "JavaScript"),
-    (".java", "Java"), (".c", "C"), (".cpp", "C++"), (".h", "C"),
-    (".md", "Markdown"), (".txt", "Text"), (".yml", "YAML"),
-    (".yaml", "YAML"), (".json", "JSON"), (".sh", "Shell"),
-    (".ini", "INI"), (".html", "HTML"), (".css", "CSS"), (".rs", "Rust"),
-    (".ts", "TypeScript"), (".am", "Makefile"), (".xml", "XML"),
-    (".sql", "SQL"), (".toml", "TOML"), (".scala", "Scala"), (".kt", "Kotlin"),
-]
-FILENAME_LANG = [
-    ("Makefile", "Makefile"), ("CMakeLists.txt", "CMake"),
-    ("Dockerfile", "Dockerfile"), ("Rakefile", "Ruby"), ("Gemfile", "Ruby"),
-]
-
-
 def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
     """A5 + A6: drop too-large and binary blobs (both silent skips)."""
     c = F.col(content_col)
@@ -64,27 +46,57 @@ def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
 def detect_language(
     spark: SparkSession, df: DataFrame, path_col: str = "path"
 ) -> DataFrame:
-    """A7: filename-then-extension lookup, broadcast-joined, fallback "Text".
+    """A7: full linguist lookup over the transcribed 391-language table,
+    broadcast-joined, fallback "Text".
 
-    Mirrors linguist.DetectLanguage (linguist/language.go:73-95): exact
-    basename match wins, else last-dot extension, else "Text".
+    Mirrors linguist.DetectLanguage (linguist/language.go:73-95):
+
+    * unique basename match wins (len(byFilename)==1 fast path);
+    * ambiguous basename → intersect filename candidates with extension
+      candidates, preserving filename order (``and()`` semantics);
+    * else first extension candidate; else "Text"
+      (indexer/blob.go:113-120).
+
+    Both candidate lists travel as ordered ``array<string>`` columns on
+    two tiny broadcast dims (886 extensions / 74 filenames), so the
+    whole resolution is native Catalyst array logic — no Python, and at
+    scale the two joins are broadcast hash joins with no shuffle.
     """
+    from gitlab_elasticsearch_indexer_spark.functions.linguist import (
+        EXT_INDEX,
+        FILENAME_INDEX,
+    )
+
     base = F.element_at(F.split(F.col(path_col), "/"), -1)
-    ext = F.regexp_extract(base, r"(\.[^.]+)$", 1)
+    # Go path.Ext: suffix from the final '.' of the basename ('.go' → '.go')
+    ext = F.regexp_extract(base, r"(\.[^./]*)$", 1)
 
-    fn_dim = spark.createDataFrame(FILENAME_LANG, "fn string, fn_lang string")
-    ext_dim = spark.createDataFrame(EXT_LANG, "ext string, ext_lang string")
+    fn_dim = spark.createDataFrame(
+        [(k, v) for k, v in FILENAME_INDEX.items()],
+        "fn string, fn_langs array<string>",
+    )
+    ext_dim = spark.createDataFrame(
+        [(k, v) for k, v in EXT_INDEX.items()],
+        "ext string, ext_langs array<string>",
+    )
 
+    fn_langs = F.coalesce(F.col("fn_langs"), F.array())
+    ext_langs = F.coalesce(F.col("ext_langs"), F.array())
+    resolved = (
+        F.when(F.size(fn_langs) == 1, F.get(fn_langs, 0))
+        .when(
+            F.size(fn_langs) > 1,
+            F.get(F.filter(fn_langs, lambda l: F.array_contains(ext_langs, l)), 0),
+        )
+        .otherwise(F.get(ext_langs, 0))
+    )
     out = (
         df.withColumn("_base", base)
         .withColumn("_ext", ext)
         .join(F.broadcast(fn_dim), F.col("_base") == F.col("fn"), "left")
         .join(F.broadcast(ext_dim), F.col("_ext") == F.col("ext"), "left")
-        .withColumn(
-            "detected_lang",
-            F.coalesce(F.col("fn_lang"), F.col("ext_lang"), F.lit("Text")),
-        )
-        .drop("_base", "_ext", "fn", "fn_lang", "ext", "ext_lang")
+        .withColumn("detected_lang", F.coalesce(resolved, F.lit("Text")))
+        .drop("_base", "_ext", "fn", "fn_langs", "ext", "ext_langs")
     )
     return out
 
