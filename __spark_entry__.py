@@ -78,9 +78,12 @@ scored AS (
 )
 
 
-def _bm25_sql(terms: list[str], k: int, lang: str | None = None) -> str:
+def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
+              repo: str | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
-    flt = f"AND meta.lang = '{lang}'" if lang else ""
+    flt = (f"AND meta.lang = '{lang}' " if lang else "") + (
+        f"AND meta.repo = '{repo}' " if repo else ""
+    )
     return f"""
 WITH q AS (SELECT unnest([{tlist}]) AS term),
 {_BM25_CTES.removeprefix("WITH ")}
@@ -92,10 +95,11 @@ LIMIT {k}
 """
 
 
-def _bm25_spark(spark, sf_dir, query, k, lang=None, mode="exhaustive") -> DataFrame:
+def _bm25_spark(spark, sf_dir, query, k, lang=None, repo=None,
+                mode="exhaustive") -> DataFrame:
     idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
                          docs_per_part=128)
-    hits = q.search(idx, query, k=k, lang=lang, mode=mode)
+    hits = q.search(idx, query, k=k, lang=lang, repo=repo, mode=mode)
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
@@ -547,8 +551,15 @@ def q_bm25_topk_multi(spark, sf_dir):
 
 
 def q_bm25_topk_lang(spark, sf_dir):
-    """B16: keyword filter (lang) applied before scoring."""
-    return _bm25_spark(spark, sf_dir, "window batch", k=15, lang="en")
+    """B16: keyword filter (lang) via per-part bitmap masks, scored with
+    block-max WAND (filtered BMW stays exact — gated here vs DuckDB)."""
+    return _bm25_spark(spark, sf_dir, "window batch", k=15, lang="en", mode="bmw")
+
+
+def q_bm25_repo_pruned(spark, sf_dir):
+    """B17: repo-scoped search — part_meta prunes doc_parts (routing
+    analog, elastic/client.go:162) and the repo bitmap masks scoring."""
+    return _bm25_spark(spark, sf_dir, "table scan", k=15, repo="src3", mode="bmw")
 
 
 def q_bm25_bmw_topk(spark, sf_dir):
@@ -1016,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_bm25_topk": q_bm25_topk,
         "b14_bm25_topk_multi": q_bm25_topk_multi,
         "b16_bm25_topk_lang_filter": q_bm25_topk_lang,
+        "b17_repo_pruned_search": q_bm25_repo_pruned,
         "b15_bmw_topk": q_bm25_bmw_topk,
         "b6_bm25_stemmed_search": q_bm25_default_analyzer,
         "b14_bm25_search_many": q_bm25_search_many,
@@ -1060,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "b14_bm25_topk": _bm25_sql(["spark"], 10),
         "b14_bm25_topk_multi": _bm25_sql(["table", "scan", "merge"], 20),
         "b16_bm25_topk_lang_filter": _bm25_sql(["window", "batch"], 15, lang="en"),
+        "b17_repo_pruned_search": _bm25_sql(["table", "scan"], 15, repo="src3"),
         "b15_bmw_topk": _bm25_sql(["table", "scan", "merge"], 20),
         "b6_bm25_stemmed_search": SQL_BM25_DEFAULT,
         "b14_bm25_search_many": _sql_search_many(),

@@ -188,3 +188,33 @@ def block_stats(
     bmax_tf = tf_p.reshape(nblocks, block).max(axis=1)
     bmin_dl = dl_p.reshape(nblocks, block).min(axis=1)
     return last.astype(np.int64), bmax_tf, bmin_dl
+
+
+# ---------------------------------------------------------------------------
+# local doc-set encoding for per-partition keyword filter bitmaps (B16/B17)
+
+def pack_doc_set(local_offsets: np.ndarray, n_slots: int) -> bytes:
+    """Encode a sorted set of local doc offsets (0..n_slots) compactly.
+
+    Density-adaptive: sparse sets (< n_slots/32 members) store raw
+    uint32 offsets ('L'), dense sets a packed bitmap ('B') — bounding
+    bytes at min(4·|set|, n_slots/8), so a (doc_part, field, value)
+    filter row never exceeds docs_per_part/8 bytes.
+    """
+    local_offsets = np.asarray(local_offsets, dtype=np.int64)
+    if len(local_offsets) * 32 < n_slots:
+        return b"L" + local_offsets.astype("<u4").tobytes()
+    bits = np.zeros(n_slots, dtype=bool)
+    bits[local_offsets] = True
+    return b"B" + np.packbits(bits).tobytes()
+
+
+def unpack_doc_set(buf: bytes, n_slots: int) -> np.ndarray:
+    """Decode pack_doc_set → boolean membership array of length n_slots."""
+    mode, payload = buf[:1], buf[1:]
+    bits = np.zeros(n_slots, dtype=bool)
+    if mode == b"L":
+        bits[np.frombuffer(payload, dtype="<u4").astype(np.int64)] = True
+    else:
+        bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))[:n_slots].astype(bool)
+    return bits

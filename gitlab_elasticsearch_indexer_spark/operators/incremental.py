@@ -42,6 +42,8 @@ from .index_build import (
     InvertedIndex,
     assign_doc_ids,
     doc_stats_from_docs,
+    filters_from_doc_stats,
+    part_meta_from_doc_stats,
     postings_from_docs,
     term_stats_from_postings,
 )
@@ -165,6 +167,10 @@ def load_versioned(spark: SparkSession, path: str,
         avgdl=g["avgdl"],
         analyzer=g["analyzer"],
         docs_per_part=g["docs_per_part"],
+        # derived views over the manifest-resolved doc_stats — always
+        # consistent with the loaded snapshot, no extra persisted state
+        filters=filters_from_doc_stats(doc_stats, int(g["docs_per_part"])),
+        part_meta=part_meta_from_doc_stats(doc_stats),
     )
 
 
@@ -281,6 +287,8 @@ def update_index(
         avgdl=avgdl,
         analyzer=prev.analyzer,
         docs_per_part=dpp,
+        filters=filters_from_doc_stats(staged.doc_stats, dpp),
+        part_meta=part_meta_from_doc_stats(staged.doc_stats),
     )
     _write_lineage(spark, path, snapshot_id, out, rebuilt_parts=rebuilt_parts)
     spark.createDataFrame(

@@ -126,7 +126,12 @@ def make_dl_udf(analyzer: str):
     return dl
 
 
-def assign_doc_ids(docs: DataFrame, id_col: str = "id", num_ranges: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    docs: DataFrame,
+    id_col: str = "id",
+    num_ranges: int | None = None,
+    with_count: bool = False,
+):
     """Dense deterministic doc_idx = global sorted rank of the string id.
 
     Range-partition a slim (id) projection, count per partition, then add
@@ -134,6 +139,9 @@ def assign_doc_ids(docs: DataFrame, id_col: str = "id", num_ranges: int | None =
     total order, so it is independent of partition boundaries and
     parallelism.  Cost at scale: one range shuffle of the id column plus
     one sort-merge join back — both linear.
+
+    ``with_count=True`` also returns the total doc count (the partition
+    counts are already on the driver — no extra job).
     """
     spark = docs.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism * 2
@@ -167,12 +175,14 @@ def assign_doc_ids(docs: DataFrame, id_col: str = "id", num_ranges: int | None =
 
     ids = slim.mapInPandas(add_index, schema=f"{id_col} string, doc_idx long")
     out = docs.join(ids, on=id_col, how="inner")
+    if with_count:
+        return out, acc
     return out
 
 
 @dataclass
 class InvertedIndex:
-    """Handle over the three index tables + collection globals."""
+    """Handle over the index tables + collection globals."""
 
     postings: DataFrame     # doc_part, term, df, cf, docs_bin, tfs_bin, dls_bin, block_last, block_max_tfn, max_tfn
     doc_stats: DataFrame    # doc_part, doc_idx, id, repo, path, lang, dl
@@ -181,6 +191,11 @@ class InvertedIndex:
     avgdl: float
     analyzer: str
     docs_per_part: int
+    # keyword-filter sidecars (B16/B17): per-(doc_part, field, value)
+    # packed local-doc-set bitmaps, and the per-part repo range manifest
+    # used for routing-style doc_part pruning (elastic/client.go:162).
+    filters: DataFrame | None = None
+    part_meta: DataFrame | None = None  # doc_part, repo_min, repo_max, n_docs
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         rows = self.term_stats.filter(F.col("term").isin(list(set(terms)))).collect()
@@ -199,6 +214,12 @@ class InvertedIndex:
             f"{path}/doc_stats"
         )
         self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        if self.filters is not None:
+            self.filters.write.mode("overwrite").partitionBy("doc_part").parquet(
+                f"{path}/filters"
+            )
+        if self.part_meta is not None:
+            self.part_meta.write.mode("overwrite").parquet(f"{path}/part_meta")
         spark.createDataFrame(
             [(self.n_docs, self.avgdl, self.analyzer, self.docs_per_part)],
             "n_docs long, avgdl double, analyzer string, docs_per_part long",
@@ -206,7 +227,14 @@ class InvertedIndex:
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    import os
+
     g = spark.read.parquet(f"{path}/globals").collect()[0]
+    filters = part_meta = None
+    if os.path.isdir(f"{path}/filters"):
+        filters = spark.read.parquet(f"{path}/filters")
+    if os.path.isdir(f"{path}/part_meta"):
+        part_meta = spark.read.parquet(f"{path}/part_meta")
     return InvertedIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         doc_stats=spark.read.parquet(f"{path}/doc_stats"),
@@ -215,6 +243,62 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         avgdl=g["avgdl"],
         analyzer=g["analyzer"],
         docs_per_part=g["docs_per_part"],
+        filters=filters,
+        part_meta=part_meta,
+    )
+
+
+def filters_from_doc_stats(
+    doc_stats: DataFrame, docs_per_part: int, fields: tuple[str, ...] = ("lang", "repo")
+) -> DataFrame:
+    """Keyword-filter sidecar: per (doc_part, field, value) a packed set
+    of local doc offsets (codecs.pack_doc_set — bitmap or offset list by
+    density).
+
+    This is how a keyword filter reaches the scoring kernel WITHOUT
+    shipping an allowed-doc list through a shuffle: a filtered query
+    cogroups postings with ≤ one tiny row per predicate per part (≤
+    docs_per_part/8 bytes), and the kernel masks decoded postings by the
+    bitmap.  Total sidecar volume is O(n_docs/8) bits per field —
+    partition-aligned, independent of query count.
+    """
+    from ..functions.codecs import pack_doc_set
+
+    cols = ["doc_part", "doc_idx", *fields]
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["doc_part"].iloc[0])
+        local = pdf["doc_idx"].to_numpy(np.int64) - part * docs_per_part
+        out_f: list[str] = []
+        out_v: list[str] = []
+        out_b: list[bytes] = []
+        for f in fields:
+            codes, uniq = pd.factorize(pdf[f], sort=False)
+            for ci, v in enumerate(uniq):
+                offs = np.sort(local[codes == ci])
+                out_f.append(f)
+                out_v.append(v)
+                out_b.append(pack_doc_set(offs, docs_per_part))
+        return pd.DataFrame(
+            {"doc_part": np.full(len(out_f), part, dtype=np.int64),
+             "field": out_f, "value": out_v, "bits": out_b}
+        )
+
+    return doc_stats.select(*cols).groupBy("doc_part").applyInPandas(
+        pack_group, schema="doc_part long, field string, value string, bits binary"
+    )
+
+
+def part_meta_from_doc_stats(doc_stats: DataFrame) -> DataFrame:
+    """B17 routing manifest: per-part repo bounds.  Doc ids sort as
+    "repo_path", so doc ranges cluster by repo and [repo_min, repo_max]
+    is a tight containment bound — a repo-scoped query prunes to the
+    parts whose range covers it (the ES analog routes to one shard,
+    elastic/client.go:162, _routing required elastic/index.go:115-117)."""
+    return doc_stats.groupBy("doc_part").agg(
+        F.min("repo").alias("repo_min"),
+        F.max("repo").alias("repo_max"),
+        F.count("*").alias("n_docs"),
     )
 
 
@@ -369,13 +453,14 @@ def build_index(
         if c not in docs.columns:
             docs = docs.withColumn(c, F.lit(""))
 
-    with_idx = assign_doc_ids(
-        docs.select(id_col, content_col, "repo", "path", "lang"), id_col
-    ).persist()  # consumed by two jobs (doc_stats, postings); at cluster
-    # scale this would be a checkpointed staging table instead of a cache
-
-    g = with_idx.agg(F.count("*").alias("n")).collect()[0]
-    n_docs = int(g["n"])
+    with_idx, n_docs = assign_doc_ids(
+        docs.select(id_col, content_col, "repo", "path", "lang"), id_col,
+        with_count=True,
+    )
+    with_idx = with_idx.persist()  # consumed by two jobs (doc_stats,
+    # postings); at cluster scale this would be a checkpointed staging
+    # table instead of a cache.  n_docs rides along from the doc-id
+    # assignment's partition counts — no separate count job.
     if docs_per_part is None:
         target_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
         docs_per_part = max(1024, math.ceil(n_docs / target_parts))
@@ -402,6 +487,10 @@ def build_index(
         avgdl=avgdl,
         analyzer=analyzer,
         docs_per_part=docs_per_part,
+        # lazy sidecars — computed only when a filtered/routed query or
+        # save() consumes them (no extra build-path jobs)
+        filters=filters_from_doc_stats(doc_stats, docs_per_part),
+        part_meta=part_meta_from_doc_stats(doc_stats),
     )
 
 

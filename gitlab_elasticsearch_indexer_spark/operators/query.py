@@ -22,6 +22,12 @@ global ``orderBy(score desc, id asc).limit(k)``.  Two kernels:
   order — doc_idx is the rank of the string id, so doc_idx order and
   id order coincide).
 
+Keyword filters (B16) ride per-part packed doc-set bitmaps from the
+index's ``filters`` sidecar — the kernel masks decoded postings, so BMW
+stays enabled and no allowed-doc list ever crosses a shuffle.  Repo
+filters additionally prune doc_parts via the ``part_meta`` manifest
+(B17, the ES routing analog — elastic/client.go:162).
+
 Scores are float64 end-to-end; tie-break (score desc, doc_id asc)
 matches the oracle.
 """
@@ -84,19 +90,49 @@ def search(
         "block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl",
     )
 
-    filtered = lang is not None or repo is not None
-    use_bmw = mode == "bmw" and not filtered
-    kernel = _make_part_kernel(widf, index.avgdl, k, use_bmw)
+    predicates = []
+    if lang is not None:
+        predicates.append(("lang", lang))
+    if repo is not None:
+        predicates.append(("repo", repo))
+    use_bmw = mode == "bmw"  # BMW stays on under keyword filters
 
-    if filtered:
-        allowed = index.doc_stats
-        if lang is not None:
-            allowed = allowed.filter(F.col("lang") == lang)
-        if repo is not None:
-            allowed = allowed.filter(F.col("repo") == repo)
+    # B17 routing analog: a repo-scoped query prunes to the doc_parts
+    # whose [repo_min, repo_max] range covers the repo (ids sort as
+    # "repo_path", so ranges cluster by repo).  The collect is bounded
+    # by the matching-part count; the static IN list reaches the
+    # doc_part-partitioned postings scan as a partition filter.
+    parts: list[int] | None = None
+    if repo is not None and index.part_meta is not None:
+        parts = [
+            r["doc_part"]
+            for r in index.part_meta.filter(
+                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
+            ).select("doc_part").collect()
+        ]
+        if not parts:
+            return spark.createDataFrame(
+                [], "id string, score double, repo string, path string, lang string"
+            )
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    kernel = _make_part_kernel(
+        widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates)
+    )
+    if predicates:
+        # keyword filters travel as per-part packed doc-set rows (one
+        # per predicate per part, ≤ docs_per_part/8 bytes each) — never
+        # the allowed-doc list itself
+        cond = None
+        for f, v in predicates:
+            c = (F.col("field") == f) & (F.col("value") == v)
+            cond = c if cond is None else (cond | c)
+        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
         scored = (
             cand.groupBy("doc_part")
-            .cogroup(allowed.select("doc_part", "doc_idx").groupBy("doc_part"))
+            .cogroup(fsel.groupBy("doc_part"))
             .applyInPandas(kernel, schema=TOPK_SCHEMA)
         )
     else:
@@ -121,17 +157,40 @@ def _wrap_single(kernel):
     return single
 
 
-def _make_part_kernel(widf: dict[str, float], avgdl: float, k: int, use_bmw: bool):
-    """Per-doc_part scoring kernel (cogroup signature: postings, allowed)."""
+def _make_part_kernel(
+    widf: dict[str, float],
+    avgdl: float,
+    k: int,
+    use_bmw: bool,
+    docs_per_part: int = 0,
+    n_predicates: int = 0,
+):
+    """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
-    def kernel(postings_pdf: pd.DataFrame, allowed_pdf) -> pd.DataFrame:
+    With keyword predicates, the right cogroup side carries one packed
+    doc-set row per predicate; the kernel ANDs them into a local bitmap
+    and masks every term's decoded (docs, tfn) before scoring.  Block
+    metadata computed over the unfiltered lists remains a valid (looser)
+    upper bound for the masked lists, so BMW stays exact under filters.
+    A part lacking a row for some predicate has no qualifying docs.
+    """
+    from ..functions.codecs import unpack_doc_set
+
+    def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
         if len(postings_pdf) == 0:
-            return pd.DataFrame({"doc_idx": [], "score": []})
-        allowed = None
-        if allowed_pdf is not None:
-            allowed = allowed_pdf["doc_idx"].to_numpy(dtype=np.int64)
-            if len(allowed) == 0:
-                return pd.DataFrame({"doc_idx": [], "score": []})
+            return empty
+        bits = None
+        base = 0
+        if n_predicates:
+            if filter_pdf is None or len(filter_pdf) < n_predicates:
+                return empty  # some predicate matches nothing in this part
+            base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
+            for b in filter_pdf["bits"]:
+                arr = unpack_doc_set(bytes(b), docs_per_part)
+                bits = arr if bits is None else (bits & arr)
+            if not bits.any():
+                return empty
 
         terms = []
         for row in postings_pdf.itertuples(index=False):
@@ -139,6 +198,11 @@ def _make_part_kernel(widf: dict[str, float], avgdl: float, k: int, use_bmw: boo
                 bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
             )
             docs = docs.astype(np.int64)
+            if bits is not None:
+                keep = bits[docs - base]
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             tfn = _tfn(tfs, dls, avgdl)
             # avgdl-free bounds: tfn is ↑ in tf, ↓ in dl, so
             # tfn(max_tf, min_dl) dominates every member (block or list)
@@ -158,11 +222,13 @@ def _make_part_kernel(widf: dict[str, float], avgdl: float, k: int, use_bmw: boo
                     * float(_tfn(np.array([row.max_tf]), np.array([row.min_dl]), avgdl)[0]),
                 }
             )
+        if not terms:
+            return empty
 
-        if use_bmw and allowed is None:
+        if use_bmw:
             doc_idx, score = _bmw_topk(terms, k)
         else:
-            doc_idx, score = _exhaustive_topk(terms, k, allowed)
+            doc_idx, score = _exhaustive_topk(terms, k)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 
     return kernel
@@ -174,15 +240,12 @@ def _tfn(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return t / denom
 
 
-def _exhaustive_topk(terms, k, allowed=None):
+def _exhaustive_topk(terms, k):
     all_docs = np.concatenate([t["docs"] for t in terms])
     all_contrib = np.concatenate([t["w"] * t["tfn"] for t in terms])
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_contrib)
-    if allowed is not None:
-        mask = np.isin(uniq, allowed)
-        uniq, acc = uniq[mask], acc[mask]
     return _topk_arrays(uniq, acc, k)
 
 

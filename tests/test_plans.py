@@ -56,3 +56,60 @@ def test_postings_scan_prunes_columns(saved_index):
     plan = formatted_plan(slim.filter(F.col("term") == "if"))
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "docs_bin" not in read_schema[0], read_schema
+
+
+def test_repo_filtered_query_prunes_doc_parts(spark, tmp_path_factory):
+    """B17: a repo-scoped query must scan a strict subset of doc_part
+    partitions (routing analog: elastic/client.go:162), and the filtered
+    top-k must equal the full ranking restricted to that repo."""
+    rows = [
+        (f"r{r}_src/f{i}.py", f"if return getUser{i} alpha{r} beta{i % 5}",
+         f"r{r}", f"src/f{i}.py", "Python")
+        for r in range(4)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "id string, content string, repo string, path string, lang string"
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=32)
+    path = str(tmp_path_factory.mktemp("prunedidx"))
+    idx.save(path)
+    loaded = load_index(spark, path)
+
+    n_parts_total = loaded.part_meta.count()
+    pruned_parts = loaded.part_meta.filter(
+        (F.col("repo_min") <= "r2") & (F.col("repo_max") >= "r2")
+    ).count()
+    assert 0 < pruned_parts < n_parts_total  # routing is selective
+
+    hits = search(loaded, "if alpha2", k=5, repo="r2", mode="bmw")
+    plan = formatted_plan(hits)
+    # the static IN list reaches the partitioned postings scan
+    assert "PartitionFilters" in plan and "doc_part" in plan
+
+    got = [(r["id"], round(r["score"], 6)) for r in hits.collect()]
+    full = search(loaded, "if alpha2", k=1000).collect()
+    want = [
+        (r["id"], round(r["score"], 6)) for r in full if r["repo"] == "r2"
+    ][:5]
+    assert got == want
+
+
+def test_lang_filtered_bmw_equals_exhaustive(spark):
+    """Filtered BMW must be exact: bitmap-masked block-max pruning may
+    not change the top-k or scores vs the exhaustive filtered kernel."""
+    rows = [
+        (f"d{i:03d}", f"if token{i % 11} return extra{i % 3}",
+         f"repo{i % 2}", f"p{i}", "Python" if i % 3 else "Go")
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(
+        rows, "id string, content string, repo string, path string, lang string"
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=48)
+    for q in ["if token3", "return extra1 token5", "if"]:
+        a = [(r["id"], round(r["score"], 9))
+             for r in search(idx, q, k=7, lang="Go", mode="bmw").collect()]
+        b = [(r["id"], round(r["score"], 9))
+             for r in search(idx, q, k=7, lang="Go", mode="exhaustive").collect()]
+        assert a == b and len(a) > 0
