@@ -781,8 +781,8 @@ def q_simhash_fingerprints(spark, sf_dir):
                                    id_col="doc_id")
 
 
-SQL_SIMHASH = f"""
-WITH {_CORPUS_SQL.strip()},
+_SIMHASH_CTES = f"""
+{_CORPUS_SQL.strip()},
 tok AS (
     SELECT id, t.tok AS tok
     FROM corpus,
@@ -807,16 +807,32 @@ sig AS (
     FROM bits GROUP BY id
 ),
 empty AS (SELECT id, 0::BIGINT AS simhash FROM corpus
-          WHERE length(trim(text)) = 0)
-SELECT id, simhash FROM sig
-UNION ALL
-SELECT id, simhash FROM empty
+          WHERE length(trim(text)) = 0),
+fp AS (
+    SELECT id, simhash FROM sig
+    UNION ALL
+    SELECT id, simhash FROM empty
+)
+"""
+
+SQL_SIMHASH = f"WITH {_SIMHASH_CTES} SELECT id, simhash FROM fp"
+
+# The 16-bit-chunk pigeonhole blocking is COMPLETE for hamming ≤ 3, so
+# the blocked Spark result must equal the unblocked all-pairs SQL —
+# the oracle checks both the fingerprints and the blocking's recall.
+SQL_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTES}
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — bit kernels aren't SQL-expressible; the
-    driver records a rows-only check, pytest verifies vs pure python."""
+    """SimHash near-dup pairs, chunk-blocked; DuckDB replays the full
+    quadratic xor/bit_count scan (feasible at oracle scale), which also
+    certifies the pigeonhole blocking loses no pairs."""
     fps = dd.simhash_fingerprints(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
     return dd.simhash_near_pairs(fps, max_hamming=3)
 
@@ -956,9 +972,34 @@ FROM documents
 
 
 def q_rolling_fingerprint(spark, sf_dir):
-    """Rolling polynomial hash — modular bignum arithmetic, not SQL-
-    expressible; rows-only (pytest verifies vs a pure-python reference)."""
+    """Rolling polynomial hash (base 1000003 mod 2^61-1).  DuckDB
+    replays it exactly in HUGEINT (128-bit) arithmetic: a recursive CTE
+    builds the modular power table and Σ byte·BASE^(n-1-i) is reduced
+    once at the end (partial sums stay < 2^90)."""
     return ts.fingerprint_rolling(load_table(spark, sf_dir, "documents"))
+
+
+SQL_ROLLING = """
+WITH RECURSIVE pw(j, v) AS (
+    SELECT 0::BIGINT, 1::HUGEINT
+    UNION ALL
+    SELECT j + 1, (v * 1000003) % 2305843009213693951::HUGEINT
+    FROM pw WHERE j + 1 < (SELECT max(octet_length(encode(text))) FROM documents)
+),
+b AS (SELECT doc_id AS id, hex(encode(text)) AS hx,
+             octet_length(encode(text))::BIGINT AS n FROM documents),
+h AS (
+    SELECT b.id,
+           (sum((('0x' || substr(hx, (2 * pos.j + 1)::INT, 2))::BIGINT)::HUGEINT
+                * pw.v) % 2305843009213693951::HUGEINT)::BIGINT AS rhash
+    FROM b
+    JOIN pw pos ON pos.j < b.n
+    JOIN pw ON pw.j = b.n - 1 - pos.j
+    GROUP BY b.id
+)
+SELECT b.id AS id, coalesce(h.rhash, 0::BIGINT) AS rhash
+FROM b LEFT JOIN h USING (id)
+"""
 
 
 def q_media_metadata(spark, sf_dir):
@@ -1081,8 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d3_ngram_jaccard_pairs": SQL_JACCARD,
         "d4a_simhash_fingerprints": SQL_SIMHASH,
-        # d4_simhash_near_pairs: rows-only (chunk-blocked Hamming join;
-        # fingerprints themselves are gate-checked via d4a)
+        "d4_simhash_near_pairs": SQL_SIMHASH_PAIRS,
         "d5_embedding_cosine_pairs": SQL_COSINE_DEDUP,
         "s1_ann_cosine_topk": SQL_ANN_COSINE,
         # s2_ann_lsh_topk: rows-only (hyperplane folds; pytest-verified)
@@ -1090,7 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "t2_quality_scores": SQL_QUALITY,
         "t3_langid": SQL_LANGID,
         "t4_fingerprint_md5": SQL_FINGERPRINT,
-        # t5_rolling_fingerprint: rows-only (modular bignum arithmetic)
+        "t5_rolling_fingerprint": SQL_ROLLING,
         "m1_media_metadata": SQL_MEDIA_METADATA,
         "m2_media_frame_counts": SQL_MEDIA_FRAMES,
     }

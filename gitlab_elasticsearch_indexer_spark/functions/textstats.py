@@ -101,20 +101,81 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.select(F.col(id_col).alias("id"), F.md5(canon).alias("fingerprint"))
 
 
+_RH_MOD = np.uint64((1 << 61) - 1)
+_RH_BASE = 1000003
+_RH_MASK29 = np.uint64((1 << 29) - 1)
+
+# BASE^j mod M for j < 64Ki, extended on demand; split hi/lo for the
+# overflow-free vectorized modmul below
+_rh_pows: np.ndarray = np.empty(0, dtype=np.uint64)
+
+
+def _rh_powers(n: int) -> np.ndarray:
+    global _rh_pows
+    if len(_rh_pows) < n:
+        size = max(n, 1 << 16)
+        m, b = int(_RH_MOD), _RH_BASE
+        p = np.empty(size, dtype=np.uint64)
+        acc = 1
+        # driver/executor-local one-time table; Python loop runs once per
+        # max-doc-length growth, not per row
+        for j in range(size):
+            p[j] = acc
+            acc = (acc * b) % m
+        _rh_pows = p
+    return _rh_pows
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod 2^61-1 (2^61 ≡ 1)."""
+    x = (x & _RH_MOD) + (x >> np.uint64(61))
+    x = (x & _RH_MOD) + (x >> np.uint64(61))
+    return np.where(x >= _RH_MOD, x - _RH_MOD, x)
+
+
 def _rolling_hash(texts: pd.Series) -> pd.Series:
-    """Vectorized polynomial rolling hash (base 1000003, mod 2^61-1)."""
-    MOD = (1 << 61) - 1
-    BASE = 1000003
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        b = (text or "").encode("utf-8")
-        arr = np.frombuffer(b, dtype=np.uint8).astype(object)
-        h = 0
-        # chunked horner: fold 64-byte chunks to bound the python loop
-        for chunk in np.array_split(arr, max(1, len(arr) // 64)) if len(arr) else []:
-            for c in chunk.tolist():
-                h = (h * BASE + int(c)) % MOD
-        out[i] = h
+    """Batch-vectorized polynomial rolling hash (base 1000003, mod 2^61-1).
+
+    h = Σ byte_i · BASE^(n-1-i) mod (2^61-1).  The whole Arrow batch is
+    processed as ONE byte stream: per-byte contributions are computed
+    with a hi/lo-split modmul (every intermediate fits uint64: byte <
+    2^8, power < 2^61, 2^61 ≡ 1 mod M), summed per document with two
+    ``np.add.reduceat`` passes over the contribution's 32-bit halves
+    (sums stay < 2^52 for docs ≤ 1 MiB), then recombined with one more
+    fold.  No per-byte — and no per-doc — Python arithmetic.
+    """
+    encoded = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    out = np.zeros(len(encoded), dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    if len(nonempty) == 0:
+        return pd.Series(out)
+
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # per-doc descending powers: O(1) reversed views per doc, one
+    # sequential copy in concatenate — cheaper than a random gather
+    pw = _rh_powers(int(lens.max()))
+    p = np.concatenate([pw[n - 1 :: -1][:n] for n in lens if n > 0])
+
+    # byte·power = byte·p_hi·2^32 + byte·p_lo with p split at 32 bits;
+    # with t = byte·p_hi < 2^37 and 2^61 ≡ 1:  t·2^32 ≡ (t>>29) + (t&m29)·2^32.
+    # Summing the three addends SEPARATELY per doc keeps every partial sum
+    # in uint64 for docs ≤ 1 MiB (Σ(t>>29) < n·2^8, Σ(t&m29) < n·2^29,
+    # Σ byte·p_lo < n·2^40), so no per-element fold pass is needed.
+    t = buf * (p >> np.uint64(32))
+    seg = starts[nonempty]
+    s_a = np.add.reduceat(t >> np.uint64(29), seg)
+    s_b = np.add.reduceat(t & _RH_MASK29, seg)
+    s_c = np.add.reduceat(buf * (p & np.uint64(0xFFFFFFFF)), seg)
+    # recombine: s_b·2^32 via the same 2^61-fold identity (s_b < 2^49)
+    h = _fold61(
+        s_a + (s_b >> np.uint64(29)) + ((s_b & _RH_MASK29) << np.uint64(32))
+    )
+    # s_c < 2^60 may exceed the single-add headroom only with h < 2^61: fine
+    h = _fold61(h + s_c)
+    out[nonempty] = h.astype(np.int64)
     return pd.Series(out)
 
 

@@ -176,23 +176,45 @@ def jaccard_pairs(
 
 
 def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit simhash over lowercase whitespace tokens (tf-weighted)."""
+    """64-bit simhash over lowercase whitespace tokens (tf-weighted).
+
+    Vectorized per Arrow batch: the batch's token stream is factorized
+    to a vocabulary, md5 runs ONCE per unique token (not per
+    occurrence), and the per-doc ±1 bit accumulation is a single
+    ``np.add.reduceat`` over the vocabulary's ±1 bit matrix gathered by
+    token code — no per-token Python in the hot loop.
+    """
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for row_i, text in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (text or "").lower().split():
-            h = int.from_bytes(
-                hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[row_i] = np.int64(sig.astype(np.int64))
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    out = np.zeros(len(tok_lists), dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    if len(nonempty) == 0:
+        return pd.Series(out)
+
+    flat = [tok for toks in tok_lists for tok in toks]
+    codes, vocab = pd.factorize(pd.Series(flat, dtype=object), sort=False)
+    # md5 per unique token; top-8 bytes big-endian, bit b = (h >> b) & 1
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    bits_pm = (
+        ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        .astype(np.int8) * 2 - 1
+    ).astype(np.int32)  # (V, 64) of ±1
+
+    starts = np.cumsum(lens) - lens
+    acc = np.add.reduceat(bits_pm[codes], starts[nonempty], axis=0)  # (D+, 64)
+    sig = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = sig.view(np.int64)
     return pd.Series(out)
 
 
@@ -209,6 +231,11 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     Pigeonhole: two signatures within Hamming 3 share at least one of 4
     16-bit chunks exactly — join per chunk, then verify distance.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: 4-chunk pigeonhole blocking is complete "
+            f"only for max_hamming <= 3 (got {max_hamming})"
+        )
     chunks = [
         F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
         for c in range(4)
@@ -252,10 +279,16 @@ def cosine_pairs(
     At scale the block column comes from LSH bucketing (see
     similarity.ann_lsh) — here any coarse partitioner works.
     """
+    if block_col is None:
+        raise ValueError(
+            "cosine_pairs requires a block column: block_col=None would "
+            "degenerate to an all-pairs cartesian join (use an LSH bucket "
+            "or label column)"
+        )
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        F.col(block_col).alias("blk"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
     a, b = v.alias("a"), v.alias("b")
