@@ -16,6 +16,7 @@ key (parquet partition pruning does the skip).
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -85,21 +86,33 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+@dataclass
+class IVFIndex:
+    """Prebuilt IVF artifacts: the ``ivf_list``-assigned vector table
+    (partitioned by list when loaded from disk) + the centroid matrix."""
+
+    lists: DataFrame
+    centroids: np.ndarray
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
 def build_ivf(
     emb: DataFrame,
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-):
+) -> IVFIndex:
     """IVF coarse quantizer: seeded KMeans centroids + per-row list id.
 
-    Returns (assigned DataFrame with an ``ivf_list`` column, centroids
-    ndarray).  At scale ``ivf_list`` is the partition column: a probe
-    reads only n_probe/n_lists of the data (parquet partition pruning).
+    This is the OFFLINE training job — run once per corpus, never per
+    query (persist with :func:`save_ivf`).  At scale ``ivf_list`` is
+    the partition column: a probe reads only n_probe/n_lists of the
+    data via parquet partition pruning.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
     feats = emb.withColumn("_features", array_to_vector(F.col(vec_col)))
     model = KMeans(
@@ -108,25 +121,52 @@ def build_ivf(
     ).fit(feats)
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
     assigned = model.transform(feats).drop("_features")
-    return assigned, centroids
+    return IVFIndex(lists=assigned, centroids=centroids,
+                    id_col=id_col, vec_col=vec_col)
+
+
+def save_ivf(ivf: IVFIndex, path: str) -> None:
+    """Persist the IVF index: list-partitioned vectors + centroid table."""
+    spark = ivf.lists.sparkSession
+    ivf.lists.write.mode("overwrite").partitionBy("ivf_list").parquet(
+        f"{path}/lists"
+    )
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(ivf.centroids)],
+        "ivf_list int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(ivf.id_col, ivf.vec_col)], "id_col string, vec_col string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf(spark, path: str) -> IVFIndex:
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("ivf_list").collect()
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return IVFIndex(
+        lists=spark.read.parquet(f"{path}/lists"),
+        centroids=np.array([r["centroid"] for r in cent_rows], dtype=np.float64),
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
 
 
 def ann_ivf_topk(
-    emb: DataFrame,
+    ivf: IVFIndex,
     query_vec: list[float],
     k: int = 10,
-    n_lists: int = 16,
     n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: probe the n_probe nearest inverted lists, exact re-rank."""
-    assigned, centroids = build_ivf(emb, n_lists, id_col, vec_col)
+    """IVF ANN probe against a PREBUILT index: nearest-centroid ranking
+    happens driver-side on the tiny centroid matrix, the scan touches
+    only the n_probe matching ``ivf_list`` partitions (partition
+    pruning on a saved index), and the survivors get an exact cosine
+    re-rank."""
     qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    d2 = ((ivf.centroids - qv) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2)[:n_probe]]
-    cand = assigned.filter(F.col("ivf_list").isin(probes))
-    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    cand = ivf.lists.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=ivf.id_col, vec_col=ivf.vec_col)
 
 
 def ann_lsh_topk(

@@ -125,3 +125,64 @@ def test_streaming_incremental(spark, snapshots, tmp_path):
     assert idx2.n_docs == idx1.n_docs + 1
     hits = _topk(idx2, "streamNewThing", k=5)
     assert hits and hits[0][0] == "streamrepo_src/new_stream.py"
+
+
+def test_streaming_rewrites_only_touched_state_partitions(spark, snapshots, tmp_path):
+    """Per-batch source-state I/O must be O(touched partitions): files
+    of untouched state_part directories stay byte-identical across a
+    micro-batch, and replayed snapshot ids are stable across stream
+    restarts (pinned base in _stream_meta)."""
+    import hashlib
+    import os
+
+    from gitlab_elasticsearch_indexer_spark.streaming import incremental_stream as st
+
+    docs1, _ = snapshots
+    path = str(tmp_path / "sidx2")
+    landing = str(tmp_path / "landing2")
+    scp = str(tmp_path / "scp2")
+
+    idx1 = build_index(spark, docs1, analyzer="code", docs_per_part=32)
+    inc.save_versioned(idx1, path, snapshot_id=0)
+    st.init_source_state(docs1, path)
+
+    def state_files():
+        out = {}
+        root = f"{path}/_source_state"
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = state_files()
+
+    batch = spark.createDataFrame(
+        [("streamrepo", "src/only_one.py", "d" * 40, "Python",
+          "def onlyOneTouched if")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    q = st.start_incremental_stream(spark, landing, path, scp, available_now=True)
+    q.awaitTermination(300)
+
+    after = state_files()
+    batch_part = int(
+        spark.createDataFrame([("streamrepo_src/only_one.py",)], "id string")
+        .select(st._state_part(F.col("id")).alias("p")).collect()[0]["p"]
+    )
+    touched_prefix = f"state_part={batch_part}"
+    untouched_before = {k: v for k, v in before.items()
+                        if not k.startswith(touched_prefix)}
+    untouched_after = {k: v for k, v in after.items()
+                       if not k.startswith(touched_prefix)}
+    assert untouched_before == untouched_after  # byte-identical
+    assert any(k.startswith(touched_prefix) for k in after)
+
+    # snapshot-id stability: base pinned at init, not at (re)start
+    base = spark.read.parquet(f"{path}/_stream_meta").collect()[0]["base_snapshot"]
+    assert base == 0
+    assert inc.latest_checkpoint(spark, path)["snapshot_id"] == 1

@@ -176,12 +176,28 @@ def test_multimodal_plumbing(docs, spark):
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
 
 
-def test_ann_ivf_recall(emb):
+def test_ann_ivf_recall(emb, spark, tmp_path):
+    """Probe a PERSISTED IVF index (built offline, loaded back) and
+    assert recall vs the exact scorer plus list-partition pruning."""
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf(similarity.build_ivf(emb, n_lists=8), path)
+    ivf = similarity.load_ivf(spark, path)
+
     rows = emb.collect()
     q = list(rows[3]["embedding"])
     exact = [r["id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
-    approx = [r["id"] for r in similarity.ann_ivf_topk(emb, q, k=10, n_lists=8,
+    approx = [r["id"] for r in similarity.ann_ivf_topk(ivf, q, k=10,
                                                        n_probe=3).collect()]
     assert rows[3]["vec_id"] in approx  # the query's own vector is found
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, (recall, exact, approx)
+
+    # a probe must scan only n_probe of the 8 list partitions
+    qv = __import__("numpy").asarray(q)
+    d2 = ((ivf.centroids - qv) ** 2).sum(axis=1)
+    probes = [int(i) for i in d2.argsort()[:3]]
+    cand = ivf.lists.filter(F.col("ivf_list").isin(probes))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+    touched = {r["ivf_list"] for r in cand.select("ivf_list").distinct().collect()}
+    assert touched <= set(probes) and len(touched) <= 3
