@@ -153,5 +153,13 @@ def materialize_fixtures(
 
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
-        generate_source_files(spark, n_files, n_repos).write.mode("overwrite").parquet(path)
+        from pyspark.sql import functions as F
+
+        (
+            generate_source_files(spark, n_files, n_repos)
+            # A3: store size so the 1 MiB filter pushes to the scan
+            .withColumn("size", F.octet_length("content").cast("long"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return path

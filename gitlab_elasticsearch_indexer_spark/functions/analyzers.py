@@ -54,12 +54,17 @@ except ImportError:  # pragma: no cover
 
 # The 7 pattern_capture regexes, transcribed from
 # /root/reference/elastic/index.go:21-29 (Java regex → `regex` module).
+# The quoted-string patterns are the JSON-UNESCAPED forms ES actually
+# compiles: the Go literal "\"((?:\\\"|[^\"]|\\\")*)\"" is the JSON text
+# "((?:\"|[^"]|\")*)" and JSON unescaping turns \" into a literal quote,
+# so the alternation is ("|[^"]|") — greedy across quotes (a token like
+# '"a","b"' captures 'a","b', not 'a' and 'b').
 _CODE_PATTERN_SRC = [
     r"(\p{Ll}+|\p{Lu}\p{Ll}+|\p{Lu}+)",  # camelCase / PascalCase / CAPS runs
     r"([0-9]+)",  # digit runs (Java \d is ASCII)
     r"(?=([\p{Lu}]+[\p{L}]+))",  # lookahead capital-run splits
-    r"\"((?:\\\"|[^\"]|\\\")*)\"",  # double-quoted contents
-    r"'((?:\\'|[^']|\\')*)'",  # single-quoted contents
+    "\"((?:\"|[^\"]|\")*)\"",  # double-quoted contents (greedy, per ES)
+    "'((?:'|[^']|')*)'",  # single-quoted contents (greedy, per ES)
     r"\.([^.]+)(?=\.|\s|\Z)",  # dot-path segments
     r"\/?([^\/]+)(?=\/|\b)",  # slash-path segments
 ]

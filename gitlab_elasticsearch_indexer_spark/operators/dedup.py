@@ -105,9 +105,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band signature → (id_a < id_b) pairs."""
+    """Banded LSH: docs sharing any band signature → (id_a < id_b) pairs.
+
+    ``max_bucket_size`` caps the quadratic within-bucket expansion: a
+    bucket of n identical/near-identical docs otherwise emits C(n,2)
+    pairs (a single mega-bucket of 10^6 dupes → 5·10^11 rows).  Over
+    the cap, a bucket is deterministically sub-split by id hash into
+    ⌈n/cap⌉ sub-buckets — pairs inside sub-buckets survive, cross-sub
+    pairs are dropped, and the dropped volume is LOGGED (never silent).
+    Exact-duplicate groups should be collapsed by ``exact_duplicates``
+    first, which is what makes the residual drop acceptable.
+    """
     rows_per_band = num_hashes // bands
     band_frames = []
     for b in range(bands):
@@ -120,6 +133,46 @@ def lsh_candidate_pairs(
     banded = band_frames[0]
     for f in band_frames[1:]:
         banded = banded.unionAll(f)
+
+    if max_bucket_size is not None:
+        import logging
+        import math
+
+        sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("_n"))
+        big = sizes.filter(F.col("_n") > max_bucket_size).persist()
+        stats = big.agg(
+            F.count("*").alias("buckets"),
+            F.sum((F.col("_n") * (F.col("_n") - 1) / 2)
+                  - F.ceil(F.col("_n") / max_bucket_size)
+                  * ((F.col("_n") / F.ceil(F.col("_n") / max_bucket_size))
+                     * (F.col("_n") / F.ceil(F.col("_n") / max_bucket_size) - 1) / 2)
+                  ).alias("dropped_est"),
+        ).collect()[0]
+        if stats["buckets"]:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: capped %d oversized bucket(s) at %d "
+                "members; ~%d candidate pair(s) dropped by sub-splitting",
+                stats["buckets"], max_bucket_size,
+                int(math.ceil(stats["dropped_est"] or 0)),
+            )
+        banded = (
+            banded.join(F.broadcast(big), ["band", "sig"], "left")
+            .withColumn(
+                "sig",
+                F.when(
+                    F.col("_n").isNotNull(),
+                    F.concat(
+                        F.col("sig"), F.lit("#"),
+                        F.pmod(
+                            F.xxhash64("id"),
+                            F.ceil(F.col("_n") / max_bucket_size),
+                        ).cast("string"),
+                    ),
+                ).otherwise(F.col("sig")),
+            )
+            .drop("_n")
+        )
+
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -35,10 +35,18 @@ LIMIT_FILE_SIZE = 1024 * 1024  # git/gitaly.go:25
 BINARY_SNIFF_LIMIT = 8 * 1024  # indexer/blob.go:20
 
 def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """A5 + A6: drop too-large and binary blobs (both silent skips)."""
+    """A5 + A6: drop too-large and binary blobs (both silent skips).
+
+    A3: when the source carries a materialized ``size`` column (added
+    at ingest, SURVEY §4), the 1 MiB cut uses it — a plain comparison
+    on a stored column is parquet-pushable (row-group pruning before
+    any content byte is read), the analog of the reference skipping
+    the blob fetch on metadata alone (git/gitaly.go:243-247).
+    """
     c = F.col(content_col)
+    size = F.col("size") if "size" in df.columns else F.octet_length(c)
     return df.filter(
-        (F.octet_length(c) <= F.lit(LIMIT_FILE_SIZE))
+        (size <= F.lit(LIMIT_FILE_SIZE))
         & (~F.substring(c, 1, BINARY_SNIFF_LIMIT).contains(F.lit(chr(0))))
     )
 

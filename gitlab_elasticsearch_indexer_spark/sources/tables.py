@@ -53,4 +53,8 @@ def source_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.sha2(F.col("text"), 256), 1, 40).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
+        # A3: materialized size column — on a stored table this predicate
+        # is parquet-pushable, so the 1 MiB cut never reads content
+        # (git/gitaly.go:243-247 skips the blob fetch the same way)
+        F.octet_length(F.col("text")).cast("long").alias("size"),
     )

@@ -46,6 +46,14 @@ def test_pattern_capture_quoted_strings():
     assert "hello" in caps
 
 
+def test_pattern_capture_quoted_strings_are_greedy_like_es():
+    """The JSON-unescaped quoted-string patterns ES compiles have a
+    literal-quote alternative ("|[^"]|"), so multi-quoted tokens capture
+    greedily across quotes (elastic/index.go:25-26 after JSON decode)."""
+    assert 'a","b' in pattern_capture('"a","b"')
+    assert "y" in pattern_capture("x='y'")
+
+
 def test_pattern_capture_dot_and_slash_paths():
     caps = pattern_capture("foo/bar/baz.rb")
     for sub in ("foo", "bar", "rb"):

@@ -113,3 +113,20 @@ def test_lang_filtered_bmw_equals_exhaustive(spark):
         b = [(r["id"], round(r["score"], 9))
              for r in search(idx, q, k=7, lang="Go", mode="exhaustive").collect()]
         assert a == b and len(a) > 0
+
+
+def test_size_filter_is_pushed_to_parquet_scan(spark, tmp_path):
+    """A3: with a stored size column, the 1 MiB cut reaches the scan as
+    a pushed filter — no content bytes read to decide the skip
+    (git/gitaly.go:243-247 skips the fetch on metadata the same way)."""
+    from gitlab_elasticsearch_indexer_spark.operators.pipeline import filter_indexable
+
+    p = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(f"r_{i}", f"f{i}.py", "c" * 40, "Python", "if return " * i, 11 * i)
+         for i in range(1, 50)],
+        "repo string, path string, commit string, lang string, content string, size long",
+    ).write.parquet(p)
+    out = filter_indexable(spark.read.parquet(p))
+    assert_pushed_filter(out, "size")
+    assert out.count() == 49

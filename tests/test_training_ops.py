@@ -201,3 +201,29 @@ def test_ann_ivf_recall(emb, spark, tmp_path):
     assert "PartitionFilters" in plan and "ivf_list" in plan
     touched = {r["ivf_list"] for r in cand.select("ivf_list").distinct().collect()}
     assert touched <= set(probes) and len(touched) <= 3
+
+
+def test_lsh_mega_bucket_cap(spark, caplog):
+    """A bucket of near-identical docs must not explode quadratically:
+    over max_bucket_size it is sub-split (pairs bounded) and the dropped
+    volume is logged, never silent."""
+    import logging
+
+    docs = spark.createDataFrame(
+        [(i, "identical text body repeated tokens here now") for i in range(40)]
+        + [(1000, "a completely different document about other things entirely")],
+        "doc_id long, text string",
+    )
+    sh = dedup.with_shingles(docs, text_col="text", id_col="doc_id")
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+
+    uncapped = dedup.lsh_candidate_pairs(sig, num_hashes=8, bands=4).count()
+    assert uncapped == 40 * 39 // 2
+
+    with caplog.at_level(logging.WARNING):
+        capped = dedup.lsh_candidate_pairs(
+            sig, num_hashes=8, bands=4, max_bucket_size=10
+        ).count()
+    assert capped < uncapped
+    # every surviving pair is genuine; drop is logged with an estimate
+    assert any("dropped" in r.message for r in caplog.records)
