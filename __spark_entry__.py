@@ -649,6 +649,74 @@ ORDER BY raw DESC, id ASC LIMIT 15
 """
 
 
+def _commit_corpus(spark, sf_dir) -> DataFrame:
+    """Synthesized commit stream from events (A10 input shape) with
+    varied messages so BM25 over commit text is non-degenerate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("r"), (F.col("user_id") % 20).cast("string")).alias("repo"),
+        F.md5(F.col("event_id").cast("string")).alias("sha"),
+        F.lit("author").alias("author_name"),
+        F.lit("a@example.com").alias("author_email"),
+        F.col("ts").alias("author_time"),
+        F.lit("committer").alias("committer_name"),
+        F.lit("c@example.com").alias("committer_email"),
+        F.col("ts").alias("committer_time"),
+        F.concat(
+            F.col("event_type"), F.lit(" session"),
+            (F.col("event_id") % 13).cast("string"),
+            F.lit(" user"), (F.col("user_id") % 7).cast("string"),
+        ).alias("message"),
+    )
+
+
+def q_commit_search(spark, sf_dir):
+    """A10+B6 end-to-end: commit documents indexed with the default
+    analyzer (standard tokenizer + lowercase + light_english stem —
+    commit.message has no explicit analyzer, elastic/index.go:216-219),
+    searched via BM25 top-k."""
+    docs = pl.build_commit_documents(_commit_corpus(spark, sf_dir))
+    idx = ib.build_index(
+        spark,
+        docs.select("id", F.col("message").alias("content"),
+                    F.col("rid").alias("repo"), F.lit("").alias("path"),
+                    F.lit("").alias("lang")),
+        analyzer="default",
+        docs_per_part=2048,
+    )
+    hits = q.search(idx, "click session7", k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_COMMIT_SEARCH = f"""
+WITH c AS (
+    SELECT 'r' || (user_id % 20)::VARCHAR || '_' || md5(event_id::VARCHAR) AS id,
+           event_type || ' session' || (event_id % 13)::VARCHAR ||
+               ' user' || (user_id % 7)::VARCHAR AS message
+    FROM events
+),
+q AS (SELECT unnest(['click', 'session7']) AS term),
+tok AS (
+    SELECT id, {_STEM_SQL.format(t='lower(t.tok)')} AS term
+    FROM c, unnest(regexp_extract_all(message, '[a-zA-Z0-9]+')) AS t(tok)
+),
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.id,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+    FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+    CROSS JOIN stats s
+    GROUP BY tf.id
+)
+SELECT id, round(raw, 4) AS score FROM scored
+ORDER BY raw DESC, id ASC LIMIT 15
+"""
+
+
 def q_get_by_id(spark, sf_dir):
     """B19: point lookup by doc id."""
     idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
@@ -1081,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_repo_pruned_search": q_bm25_repo_pruned,
         "b15_bmw_topk": q_bm25_bmw_topk,
         "b6_bm25_stemmed_search": q_bm25_default_analyzer,
+        "a10_b6_commit_search": q_commit_search,
         "b14_bm25_search_many": q_bm25_search_many,
         "b19_get_by_id": q_get_by_id,
         # training-data pipeline operators
@@ -1126,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "b17_repo_pruned_search": _bm25_sql(["table", "scan"], 15, repo="src3"),
         "b15_bmw_topk": _bm25_sql(["table", "scan", "merge"], 20),
         "b6_bm25_stemmed_search": SQL_BM25_DEFAULT,
+        "a10_b6_commit_search": SQL_COMMIT_SEARCH,
         "b14_bm25_search_many": _sql_search_many(),
         "b19_get_by_id": SQL_GET_BY_ID,
         "d1_exact_dedup": SQL_EXACT_DEDUP,

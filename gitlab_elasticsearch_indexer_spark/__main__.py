@@ -32,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--source", required=True, help="parquet dir of (repo,path,commit,lang,content)")
     b.add_argument("--index", required=True)
     b.add_argument("--analyzer", default="code")
+    # main.go:16-18,69-77: blobs index as blob|wiki_blob; commits index
+    # by default alongside plain blobs unless --skip-commits
+    b.add_argument("--blob-type", choices=["blob", "wiki_blob"], default="blob")
+    b.add_argument("--skip-commits", action="store_true")
+    b.add_argument("--commits", default=None,
+                   help="parquet dir of commit rows (repo, sha, author_*, "
+                        "committer_*, message); indexed with the default "
+                        "analyzer unless --skip-commits")
 
     u = sub.add_parser("update")
     u.add_argument("--source", required=True)
@@ -45,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--lang", default=None)
     s.add_argument("--repo", default=None)
     s.add_argument("--bmw", action="store_true")
+    s.add_argument("--doc-type", choices=["blob", "commit"], default="blob",
+                   help="commit searches the commit-message index built "
+                        "alongside the blob index (GetBlob/GetCommit analog)")
 
     args = ap.parse_args(argv)
 
@@ -58,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build":
         src = spark.read.parquet(args.source)
-        docs = pl.run_blob_pipeline(spark, src)
+        docs = pl.run_blob_pipeline(spark, src, blob_type=args.blob_type)
         idx = ib.build_index(
             spark,
             docs.select("id", "content", F.col("rid").alias("repo"), "path",
@@ -66,8 +77,22 @@ def main(argv: list[str] | None = None) -> int:
             analyzer=args.analyzer,
         )
         inc.save_versioned(idx, args.index, snapshot_id=0)
-        print(json.dumps({"built": idx.n_docs, "avgdl": round(idx.avgdl, 3),
-                          "index": args.index}))
+        out = {"built": idx.n_docs, "avgdl": round(idx.avgdl, 3),
+               "index": args.index, "blob_type": args.blob_type}
+        # commits index by default only for plain blobs (main.go:73-77)
+        if args.blob_type == "blob" and not args.skip_commits and args.commits:
+            commits = spark.read.parquet(args.commits)
+            cdocs = pl.build_commit_documents(commits)
+            cidx = ib.build_index(
+                spark,
+                cdocs.select("id", F.col("message").alias("content"),
+                             F.col("rid").alias("repo"),
+                             F.lit("").alias("path"), F.lit("").alias("lang")),
+                analyzer="default",  # commit.message uses the default chain
+            )
+            inc.save_versioned(cidx, f"{args.index}/commit_index", snapshot_id=0)
+            out["commits_built"] = cidx.n_docs
+        print(json.dumps(out))
     elif args.cmd == "update":
         src = spark.read.parquet(args.source)
         docs = pl.run_blob_pipeline(spark, src)
@@ -79,12 +104,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"snapshot": args.snapshot, "n_docs": idx.n_docs}))
     else:  # search
-        idx = inc.load_versioned(spark, args.index)
+        root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
+        idx = inc.load_versioned(spark, root)
         hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                         repo=args.repo, mode="bmw" if args.bmw else "exhaustive")
         for r in hits.collect():
             print(json.dumps({"id": r["id"], "score": round(r["score"], 6),
-                              "path": r["path"], "lang": r["lang"]}))
+                              "repo": r["repo"], "path": r["path"],
+                              "lang": r["lang"]}))
     return 0
 
 

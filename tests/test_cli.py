@@ -1,0 +1,112 @@
+"""End-to-end CLI coverage of the reference binary's surface
+(main.go:16-18,46-47,69-79): blob + commit indexing by default,
+--skip-commits / --blob-type wiki_blob opt-outs, incremental update,
+and typed search."""
+
+import json
+from datetime import datetime
+
+import pytest
+
+from gitlab_elasticsearch_indexer_spark.__main__ import main
+
+SRC_SCHEMA = "repo string, path string, commit string, lang string, content string"
+COMMIT_SCHEMA = (
+    "repo string, sha string, author_name string, author_email string, "
+    "author_time timestamp, committer_name string, committer_email string, "
+    "committer_time timestamp, message string"
+)
+
+
+@pytest.fixture()
+def dirs(spark, tmp_path):
+    src = str(tmp_path / "src")
+    commits = str(tmp_path / "commits")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [
+            ("repo1", "src/app.py", "a" * 40, "Python", "def getUserById if return"),
+            ("repo1", "src/db.py", "b" * 40, "Python", "table scan merge index"),
+            ("repo2", "lib/util.rb", "c" * 40, "Ruby", "def helper method end"),
+        ],
+        SRC_SCHEMA,
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [
+            ("repo1", "d" * 40, "alice", "a@x.io", datetime(2024, 1, 2, 3, 4, 5),
+             "bob", "b@x.io", datetime(2024, 1, 2, 3, 4, 6), "Fixes the login flow"),
+            ("repo1", "e" * 40, "bob", "b@x.io", datetime(2024, 2, 2, 3, 4, 5),
+             "bob", "b@x.io", datetime(2024, 2, 2, 3, 4, 6), "Adds search endpoint"),
+            ("repo2", "f" * 40, "eve", "e@x.io", datetime(2024, 3, 2, 3, 4, 5),
+             "eve", "e@x.io", datetime(2024, 3, 2, 3, 4, 6), "Refactor helpers"),
+        ],
+        COMMIT_SCHEMA,
+    ).write.parquet(commits)
+    return src, commits, idx
+
+
+def _lines(capsys):
+    return [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l]
+
+
+def test_cli_build_search_commits_update(spark, dirs, capsys, tmp_path):
+    src, commits, idx = dirs
+
+    assert main(["build", "--source", src, "--index", idx, "--commits", commits]) == 0
+    out = _lines(capsys)[-1]
+    assert out["built"] == 3 and out["commits_built"] == 3
+
+    # commit-message search (default analyzer: 'fixes' stems to 'fixe',
+    # matching the indexed 'Fixes' — B6 end-to-end through the CLI)
+    assert main(["search", "--index", idx, "--doc-type", "commit",
+                 "--query", "fixes login"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_" + "d" * 40
+
+    # blob search still works beside the commit index
+    assert main(["search", "--index", idx, "--query", "getUserById", "--bmw"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_src/app.py"
+
+    # incremental update: new file lands, old content survives
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [
+            ("repo1", "src/app.py", "a" * 40, "Python", "def getUserById if return"),
+            ("repo1", "src/db.py", "b" * 40, "Python", "table scan merge index"),
+            ("repo2", "lib/util.rb", "c" * 40, "Ruby", "def helper method end"),
+            ("repo2", "lib/new.rb", "9" * 40, "Ruby", "def brandNewFunction end"),
+        ],
+        SRC_SCHEMA,
+    ).write.parquet(src2)
+    assert main(["update", "--source", src2, "--index", idx, "--snapshot", "1"]) == 0
+    assert _lines(capsys)[-1]["n_docs"] == 4
+
+    assert main(["search", "--index", idx, "--query", "brandNewFunction", "--bmw"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo2_lib/new.rb"
+
+
+def test_cli_wiki_blob_and_skip_commits(spark, dirs, capsys, tmp_path):
+    src, commits, idx = dirs
+    widx = str(tmp_path / "widx")
+
+    # wiki_blob: rid carries the wiki_ prefix (indexer/indexer.go:53-69);
+    # commits are never indexed for wiki builds (main.go:73-77)
+    assert main(["build", "--source", src, "--index", widx,
+                 "--blob-type", "wiki_blob", "--commits", commits]) == 0
+    out = _lines(capsys)[-1]
+    assert out["blob_type"] == "wiki_blob" and "commits_built" not in out
+
+    # the doc id keeps the plain "{repo}_{path}" form; ONLY rid carries
+    # the wiki_ prefix (indexer/blob.go:58-60 vs :100-102)
+    assert main(["search", "--index", widx, "--query", "helper"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo2_lib/util.rb"
+    assert hits[0]["repo"] == "wiki_repo2"
+
+    # --skip-commits suppresses the commit index even when provided
+    sidx = str(tmp_path / "sidx")
+    assert main(["build", "--source", src, "--index", sidx,
+                 "--commits", commits, "--skip-commits"]) == 0
+    assert "commits_built" not in _lines(capsys)[-1]
