@@ -134,32 +134,43 @@ def assign_doc_ids(
 ):
     """Dense deterministic doc_idx = global sorted rank of the string id.
 
-    Range-partition a slim (id) projection, count per partition, then add
-    cumulative offsets inside mapInPandas.  The rank is a property of the
-    total order, so it is independent of partition boundaries and
-    parallelism.  Cost at scale: one range shuffle of the id column plus
-    one sort-merge join back — both linear.
+    Range-partition the rows by id, sort within partitions, count per
+    partition, then add cumulative offsets inside mapInPandas.  The rank
+    is a property of the total order, so it is independent of partition
+    boundaries and parallelism.  Cost at scale: ONE linear range shuffle
+    of the input — the rows travel with their ids, so no join-back
+    shuffle of the (wide) content column is needed, and the output is
+    already doc_idx-range-partitioned (doc_part-aligned for the
+    downstream postings/doc_stats passes).
 
     ``with_count=True`` also returns the total doc count (the partition
     counts are already on the driver — no extra job).
     """
     spark = docs.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism * 2
-    slim = (
-        docs.select(id_col)
-        .repartitionByRange(num_ranges, F.col(id_col))
+    cols = docs.columns
+    # The persist is LOAD-BEARING, not a cache hint: RangePartitioner
+    # samples its boundaries per physical plan, so without pinning the
+    # materialized partitioning, the count job and the consumer jobs
+    # could see different boundaries → wrong offsets → colliding
+    # doc_idx (two docs merging into one posting).  Persisting fixes
+    # one RDD instance (one sampled boundary set) for every job.
+    parted = (
+        docs.repartitionByRange(num_ranges, F.col(id_col))
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     counts = dict(
-        slim.groupBy("_pid").count().collect()  # ≤ num_ranges rows
+        parted.groupBy("_pid").count().collect()  # ≤ num_ranges rows
     )
     offsets = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+
+    schema = parted.drop("_pid").schema.add("doc_idx", "long")
 
     def add_index(batches):
         local = 0
@@ -168,13 +179,12 @@ def assign_doc_ids(
                 continue
             pid = int(pdf["_pid"].iloc[0])
             start = offsets[pid] + local
-            out = pdf[[id_col]].copy()
+            out = pdf[cols].copy()
             out["doc_idx"] = np.arange(start, start + len(pdf), dtype=np.int64)
             local += len(pdf)
             yield out
 
-    ids = slim.mapInPandas(add_index, schema=f"{id_col} string, doc_idx long")
-    out = docs.join(ids, on=id_col, how="inner")
+    out = parted.mapInPandas(add_index, schema=schema)
     if with_count:
         return out, acc
     return out

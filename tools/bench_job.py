@@ -4,6 +4,10 @@ Modes:
   index  — timed: read cached fixture parquet → document pipeline →
            build inverted index (code analyzer) → save to parquet.
            Prints JSON {wall_sec, n_files, files_per_sec}.
+  core   — timed: same chain up to the materialized packed postings,
+           no save.  The scaling-efficiency measurement runs this mode
+           at two parallelism levels on the same (larger) corpus, where
+           the parallel fraction dominates the fixed per-job costs.
   query  — timed: load saved index, run the query set, report per-query
            wall times and p50.
   gen    — (untimed setup) materialize the synthetic corpus parquet.
@@ -34,7 +38,8 @@ QUERY_SET = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", required=True, choices=["gen", "index", "query"])
+    ap.add_argument("--mode", required=True,
+                    choices=["gen", "index", "core", "query"])
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--n-files", type=int, required=True)
     ap.add_argument("--fixtures", required=True)
@@ -60,7 +65,7 @@ def main() -> None:
         print(json.dumps({"gen_sec": round(time.time() - t0, 2)}))
         return
 
-    if args.mode == "index":
+    if args.mode in ("index", "core"):
         from gitlab_elasticsearch_indexer_spark.operators import index_build as ib
         from gitlab_elasticsearch_indexer_spark.operators import pipeline as pl
 
@@ -89,7 +94,8 @@ def main() -> None:
         )
         idx.postings.count()  # materialize the packed index (core build)
         core = time.time() - t0
-        idx.save(args.index_dir)
+        if args.mode == "index":
+            idx.save(args.index_dir)
         wall = time.time() - t0
         n = idx.n_docs
         print(json.dumps({
