@@ -55,7 +55,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--bmw", action="store_true")
     s.add_argument("--doc-type", choices=["blob", "commit"], default="blob",
                    help="commit searches the commit-message index built "
-                        "alongside the blob index (GetBlob/GetCommit analog)")
+                        "alongside the blob index")
+
+    g = sub.add_parser("get", help="typed point lookup returning the stored "
+                                   "document (GetBlob/GetCommit analog, "
+                                   "elastic/client.go:170-185)")
+    g.add_argument("--index", required=True)
+    g.add_argument("--type", dest="doc_type", choices=["blob", "wiki_blob", "commit"],
+                   default="blob")
+    g.add_argument("--parent", required=True, help="project/repo id")
+    g.add_argument("--path", default=None, help="blob path (blob types)")
+    g.add_argument("--sha", default=None, help="commit sha (commit type)")
 
     args = ap.parse_args(argv)
 
@@ -77,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
             analyzer=args.analyzer,
         )
         inc.save_versioned(idx, args.index, snapshot_id=0)
+        from .sources.doc_store import save_documents
+
+        save_documents(docs, args.index)  # _source store for typed GETs
         out = {"built": idx.n_docs, "avgdl": round(idx.avgdl, 3),
                "index": args.index, "blob_type": args.blob_type}
         # commits index by default only for plain blobs (main.go:73-77)
@@ -91,8 +104,25 @@ def main(argv: list[str] | None = None) -> int:
                 analyzer="default",  # commit.message uses the default chain
             )
             inc.save_versioned(cidx, f"{args.index}/commit_index", snapshot_id=0)
+            save_documents(cdocs, f"{args.index}/commit_index")
             out["commits_built"] = cidx.n_docs
         print(json.dumps(out))
+    elif args.cmd == "get":
+        from .sources import doc_store as ds
+
+        if args.doc_type == "commit":
+            if not args.sha:
+                ap.error("--sha is required for --type commit")
+            rows = ds.get_commit(
+                spark, f"{args.index}/commit_index", args.parent, args.sha
+            ).collect()
+        else:
+            if not args.path:
+                ap.error("--path is required for blob types")
+            rows = ds.get_blob(spark, args.index, args.parent, args.path,
+                               blob_type=args.doc_type).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(recursive=True), default=str))
     elif args.cmd == "update":
         src = spark.read.parquet(args.source)
         docs = pl.run_blob_pipeline(spark, src)

@@ -34,6 +34,36 @@ from pyspark.sql.window import Window
 LIMIT_FILE_SIZE = 1024 * 1024  # git/gitaly.go:25
 BINARY_SNIFF_LIMIT = 8 * 1024  # indexer/blob.go:20
 
+# The ES mapping is strict: "dynamic": "strict" (elastic/index.go:114)
+# rejects documents carrying unknown fields with
+# strict_dynamic_mapping_exception (proven by elastic/client_test.go:
+# 191-195).  The write-path analog: document frames headed for the
+# index must carry ONLY mapped fields.
+BLOB_DOC_FIELDS = frozenset(
+    ["type", "id", "oid", "rid", "commit_sha", "content", "path",
+     "file_name", "language"]
+)
+COMMIT_DOC_FIELDS = frozenset(
+    ["type", "id", "author", "committer", "rid", "message", "sha"]
+)
+
+
+class StrictSchemaError(ValueError):
+    """strict_dynamic_mapping_exception analog (elastic/index.go:114)."""
+
+
+def enforce_strict_schema(df: DataFrame, doc_type: str = "blob") -> DataFrame:
+    """Reject document frames with fields outside the strict mapping."""
+    allowed = BLOB_DOC_FIELDS if doc_type != "commit" else COMMIT_DOC_FIELDS
+    unknown = set(df.columns) - allowed
+    if unknown:
+        raise StrictSchemaError(
+            f"strict_dynamic_mapping_exception: unknown {doc_type} document "
+            f"fields {sorted(unknown)} (mapping is dynamic=strict, "
+            "elastic/index.go:114)"
+        )
+    return df
+
 def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
     """A5 + A6: drop too-large and binary blobs (both silent skips).
 
@@ -168,14 +198,17 @@ def build_commit_documents(commits: DataFrame, repo_col: str = "repo") -> DataFr
             F.date_format(F.col(f"{prefix}_time"), tfmt).alias("time"),
         )
 
-    return commits.select(
-        F.lit("commit").alias("type"),
-        F.concat(F.col(repo_col), F.lit("_"), F.col("sha")).alias("id"),
-        person("author").alias("author"),
-        person("committer").alias("committer"),
-        F.col(repo_col).alias("rid"),
-        F.col("message"),
-        F.col("sha"),
+    return enforce_strict_schema(
+        commits.select(
+            F.lit("commit").alias("type"),
+            F.concat(F.col(repo_col), F.lit("_"), F.col("sha")).alias("id"),
+            person("author").alias("author"),
+            person("committer").alias("committer"),
+            F.col(repo_col).alias("rid"),
+            F.col("message"),
+            F.col("sha"),
+        ),
+        doc_type="commit",
     )
 
 
@@ -188,4 +221,4 @@ def run_blob_pipeline(
     # input lang column is advisory; the pipeline's detected value is
     # cross-checked in tests, the stored doc keeps the input lang when
     # present (it is authoritative in the source table).
-    return build_blob_documents(enriched, blob_type)
+    return enforce_strict_schema(build_blob_documents(enriched, blob_type))

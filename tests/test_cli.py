@@ -110,3 +110,55 @@ def test_cli_wiki_blob_and_skip_commits(spark, dirs, capsys, tmp_path):
     assert main(["build", "--source", src, "--index", sidx,
                  "--commits", commits, "--skip-commits"]) == 0
     assert "commits_built" not in _lines(capsys)[-1]
+
+
+def test_cli_typed_get_returns_stored_source(spark, dirs, capsys):
+    """GetBlob/GetCommit analogs (elastic/client.go:170-185): typed point
+    lookups return the full stored document including content."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx, "--commits", commits]) == 0
+    _lines(capsys)
+
+    assert main(["get", "--index", idx, "--parent", "repo1",
+                 "--path", "src/app.py"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["content"] == "def getUserById if return"
+    assert rows[0]["type"] == "blob" and rows[0]["language"] == "Python"
+
+    assert main(["get", "--index", idx, "--type", "commit",
+                 "--parent", "repo1", "--sha", "d" * 40]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["message"] == "Fixes the login flow"
+    assert rows[0]["author"]["name"] == "alice"
+
+    # miss → zero rows, no error
+    assert main(["get", "--index", idx, "--parent", "repo1",
+                 "--path", "no/such.file"]) == 0
+    assert _lines(capsys) == []
+
+
+def test_strict_schema_rejects_unknown_fields(spark):
+    """'dynamic': 'strict' analog (elastic/index.go:114; rejection test
+    elastic/client_test.go:191-195): unmapped document fields error."""
+    import pytest as _pt
+
+    from gitlab_elasticsearch_indexer_spark.operators.pipeline import (
+        StrictSchemaError,
+        build_blob_documents,
+        enforce_strict_schema,
+    )
+
+    docs = spark.createDataFrame(
+        [("r1", "a.py", "c" * 40, "Python", "body", 4)],
+        "repo string, path string, commit string, lang string, content string, size long",
+    )
+    good = build_blob_documents(docs)
+    assert enforce_strict_schema(good) is good  # exact mapping passes
+
+    bad = good.withColumn("rogue_field", good["id"])
+    with _pt.raises(StrictSchemaError, match="rogue_field"):
+        enforce_strict_schema(bad)
+    with _pt.raises(StrictSchemaError, match="oid"):
+        enforce_strict_schema(good, doc_type="commit")  # blob cols ∉ commit mapping

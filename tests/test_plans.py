@@ -130,3 +130,20 @@ def test_size_filter_is_pushed_to_parquet_scan(spark, tmp_path):
     out = filter_indexable(spark.read.parquet(p))
     assert_pushed_filter(out, "size")
     assert out.count() == 49
+
+
+def test_doc_store_point_lookup_pushes_id_filter(spark, tmp_path):
+    """B19/_source store: a typed GET must reach the parquet scan as a
+    pushed id filter over id-sorted files (row-group pruning path)."""
+    from gitlab_elasticsearch_indexer_spark.sources import doc_store as ds
+
+    docs = spark.createDataFrame(
+        [(f"r1_f{i:04d}.py", "blob", f"body {i}") for i in range(500)],
+        "id string, type string, content string",
+    )
+    path = str(tmp_path / "docidx")
+    ds.save_documents(docs, path)
+    got = ds.get_document(spark, path, "r1_f0042.py", "blob")
+    assert_pushed_filter(got, "id")
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["content"] == "body 42"
