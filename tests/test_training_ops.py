@@ -227,3 +227,29 @@ def test_lsh_mega_bucket_cap(spark, caplog):
     assert capped < uncapped
     # every surviving pair is genuine; drop is logged with an estimate
     assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_dedup_groups_connected_components(spark, docs):
+    """Pairs → components: exact dups + near dups of one source doc must
+    land in one group labeled by the minimum id; chains collapse."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + [(i, i + 1) for i in range(30, 35)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["group_id"] for r in dedup.dedup_groups(pairs).collect()}
+    assert got == {
+        **{i: 1 for i in (1, 2, 3, 4)},
+        **{i: 10 for i in (10, 11, 12)},
+        20: 20, 21: 20,
+        **{i: 30 for i in range(30, 36)},
+    }
+
+    # real pipeline shape: LSH pairs over the dup-seeded corpus — every
+    # exact-dup pair (i, i+100000) must share a group rooted at i
+    sh = dedup.with_shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=4)
+    groups = {r["id"]: r["group_id"] for r in dedup.dedup_groups(cand).collect()}
+    for i in range(0, 50, 10):
+        assert groups[i + 100000] == groups[i] <= i
