@@ -362,6 +362,39 @@ SELECT user_id, event_type, event_id FROM (
 # Family B — analysis, index statistics, BM25 top-k
 
 
+def q_delete_by_id(spark, sf_dir):
+    """A13/A16 end-to-end: versioned full build → incremental update
+    whose snapshot DELETES every 13th doc (bulk-delete analog,
+    elastic/client.go:187-195) → the surviving doc_stats.  Exercises the
+    real checkpoint/manifest machinery against a scratch index dir."""
+    import os
+    import shutil
+
+    from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+
+    scratch = f"/root/repo/.cache/a13_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    docs = _docs(spark, sf_dir)
+    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=128)
+    inc.save_versioned(idx, scratch, snapshot_id=0)
+
+    doc_num = F.substring("id", 5, 6).cast("long")
+    curr = docs.filter(doc_num % 13 != 3)
+    out = inc.update_index(spark, scratch, curr, snapshot_id=1)
+    return out.doc_stats.select("id", F.col("dl").cast("long").alias("dl"))
+
+
+SQL_DELETE_BY_ID = """
+WITH tok AS (
+    SELECT {id} AS id, lower(t.tok) AS term
+    FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(tok)
+    WHERE t.tok <> '' AND doc_id % 13 <> 3
+)
+SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id
+""".format(id=_DOC_ID_SQL)
+
+
 def q_parent_child_join(spark, sf_dir):
     """B18/A11: the ES join_field parent-child relation realized as a
     broadcast equi-join of blob docs against a projects dim
@@ -1175,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_build_blob_docs": q_build_blob_docs,
         "a10_commit_docs": q_commit_docs,
         "a12_upsert_last_write_wins": q_upsert_last_write_wins,
+        "a13_a16_delete_by_id": q_delete_by_id,
         "a11_b18_parent_child_join": q_parent_child_join,
         "b1_b3_tokenize_tf": q_tokenize_tf,
         "b5_edge_ngram_tf": q_edge_ngram_tf,
@@ -1222,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_build_blob_docs": SQL_BUILD_BLOB_DOCS,
         "a10_commit_docs": SQL_COMMIT_DOCS,
         "a12_upsert_last_write_wins": SQL_UPSERT,
+        "a13_a16_delete_by_id": SQL_DELETE_BY_ID,
         "a11_b18_parent_child_join": SQL_PARENT_CHILD,
         "b1_b3_tokenize_tf": SQL_TOKENIZE_TF,
         "b5_edge_ngram_tf": SQL_EDGE_NGRAM_TF,
