@@ -1152,6 +1152,47 @@ FROM b LEFT JOIN h USING (id)
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """T6: PII/secret redaction — emails, IPv4s, long hex secrets
+    replaced and counted, all whole-stage-codegen regexp ops.  Every row
+    gets synthesized PII appended so the redaction is exercised on each
+    document; the oracle replays the identical RE2-compatible patterns."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 key "),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    out = ts.redact_pii(d)
+    return out.select(
+        "id", F.md5("redacted").alias("red_hash"), "n_emails", "n_ips", "n_secrets"
+    )
+
+
+SQL_REDACT_PII = r"""
+WITH d AS (
+    SELECT doc_id AS id,
+           text || ' reach user' || doc_id::VARCHAR || '@example.com via 10.0.'
+                || (doc_id % 256)::VARCHAR || '.7 key ' || md5(doc_id::VARCHAR) AS text
+    FROM documents
+)
+SELECT id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\b[0-9a-fA-F]{32,}\b', '<HEX>', 'g')) AS red_hash,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '\b[0-9a-fA-F]{32,}\b'))::BIGINT AS n_secrets
+FROM d
+"""
+
+
 def q_media_metadata(spark, sf_dir):
     media = mm.synth_media(load_table(spark, sf_dir, "documents"))
     return mm.media_metadata(media)
@@ -1241,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_langid": q_langid,
         "t4_fingerprint_md5": q_fingerprint,
         "t5_rolling_fingerprint": q_rolling_fingerprint,
+        "t6_redact_pii": q_redact_pii,
         "m1_media_metadata": q_media_metadata,
         "m2_media_frame_counts": q_media_frame_counts,
     }
@@ -1287,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         "t3_langid": SQL_LANGID,
         "t4_fingerprint_md5": SQL_FINGERPRINT,
         "t5_rolling_fingerprint": SQL_ROLLING,
+        "t6_redact_pii": SQL_REDACT_PII,
         "m1_media_metadata": SQL_MEDIA_METADATA,
         "m2_media_frame_counts": SQL_MEDIA_FRAMES,
     }

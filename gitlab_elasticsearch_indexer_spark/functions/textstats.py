@@ -186,3 +186,38 @@ def fingerprint_rolling(df: DataFrame, text_col: str = "text", id_col: str = "do
     return df.select(
         F.col(id_col).alias("id"), rolling_hash_udf(F.col(text_col)).alias("rhash")
     )
+
+
+# --------------------------------------------------------------------------
+# PII / secret redaction (training-data cleaning)
+
+# RE2- and Java-regex-compatible patterns (no lookbehind), so the exact
+# same redaction is replayable in the DuckDB oracle
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_HEX_SECRET = r"\b[0-9a-fA-F]{32,}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / long hex secrets; emit per-doc counts.
+
+    Whole-stage-codegen path: three chained ``regexp_replace`` plus
+    ``regexp_count`` columns — no Python, scales as a pure map.  Order
+    matters (emails first: an address would otherwise survive with its
+    domain dots mistaken for an IP fragment).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_HEX_SECRET,
+        "<HEX>",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        red.alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_HEX_SECRET)).cast("long").alias("n_secrets"),
+    )

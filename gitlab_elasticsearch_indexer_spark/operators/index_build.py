@@ -208,8 +208,18 @@ class InvertedIndex:
     part_meta: DataFrame | None = None  # doc_part, repo_min, repo_max, n_docs
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
-        rows = self.term_stats.filter(F.col("term").isin(list(set(terms)))).collect()
-        return {r["term"]: r["idf"] for r in rows}
+        """idf per query term, memoized on the handle: a query service
+        resolves most terms from the driver-side cache and pays the
+        term_stats lookup job only for never-seen terms (misses are
+        cached too, so repeated zero-hit terms stay job-free)."""
+        cache = self.__dict__.setdefault("_idf_cache", {})
+        missing = [t for t in set(terms) if t not in cache]
+        if missing:
+            rows = self.term_stats.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: r["idf"] for r in rows}
+            for t in missing:
+                cache[t] = found.get(t)
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
 
     def save(self, path: str) -> None:
         spark = self.postings.sparkSession

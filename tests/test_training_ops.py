@@ -253,3 +253,21 @@ def test_dedup_groups_connected_components(spark, docs):
     groups = {r["id"]: r["group_id"] for r in dedup.dedup_groups(cand).collect()}
     for i in range(0, 50, 10):
         assert groups[i + 100000] == groups[i] <= i
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@ex-a.co.uk now"),
+         (2, "srv at 10.0.255.5 and 1.2.3.4"),
+         (3, "key deadbeefdeadbeefdeadbeefdeadbeef end"),
+         (4, "clean text only 1.2 not.an.ip"),
+         (5, "a@b.io 127.0.0.1 " + "ab" * 20)],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in textstats.redact_pii(df).collect()}
+    assert got[1]["redacted"] == "mail <EMAIL> now"
+    assert got[2]["redacted"] == "srv at <IP> and <IP>" and got[2]["n_ips"] == 2
+    assert got[3]["redacted"] == "key <HEX> end" and got[3]["n_secrets"] == 1
+    assert got[4]["redacted"] == "clean text only 1.2 not.an.ip"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_secrets"]) == (0, 0, 0)
+    assert got[5]["redacted"] == "<EMAIL> <IP> <HEX>"
