@@ -120,6 +120,11 @@ def search(
         widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates)
     )
     if predicates:
+        if index.filters is None:
+            raise ValueError(
+                "keyword-filtered search needs the index's filters sidecar "
+                "(rebuild or re-save the index with this version)"
+            )
         # keyword filters travel as per-part packed doc-set rows (one
         # per predicate per part, ≤ docs_per_part/8 bytes each) — never
         # the allowed-doc list itself

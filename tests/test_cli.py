@@ -86,6 +86,12 @@ def test_cli_build_search_commits_update(spark, dirs, capsys, tmp_path):
     hits = _lines(capsys)
     assert hits and hits[0]["id"] == "repo2_lib/new.rb"
 
+    # the doc store follows the update: typed GET sees the new file
+    assert main(["get", "--index", idx, "--parent", "repo2",
+                 "--path", "lib/new.rb"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1 and rows[0]["content"] == "def brandNewFunction end"
+
 
 def test_cli_wiki_blob_and_skip_commits(spark, dirs, capsys, tmp_path):
     src, commits, idx = dirs
