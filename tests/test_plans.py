@@ -147,3 +147,32 @@ def test_doc_store_point_lookup_pushes_id_filter(spark, tmp_path):
     assert_pushed_filter(got, "id")
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["content"] == "body 42"
+
+
+def test_combined_lang_and_repo_filter_is_exact(spark):
+    """Both predicates together AND their bitmaps in the kernel — the
+    combined-filter top-k must equal the full ranking restricted to
+    docs satisfying both, under BMW and exhaustive alike."""
+    rows = [
+        (f"r{r}_f{i}.py", f"if alpha{r} beta{i % 4} gamma{i % 7}",
+         f"r{r}", f"f{i}.py", "Python" if i % 2 else "Go")
+        for r in range(3)
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "id string, content string, repo string, path string, lang string"
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=64)
+    full = search(idx, "if beta1", k=1000).collect()
+    want = [
+        (r["id"], round(r["score"], 9))
+        for r in full
+        if r["repo"] == "r1" and r["lang"] == "Go"
+    ][:6]
+    for mode in ("bmw", "exhaustive"):
+        got = [
+            (r["id"], round(r["score"], 9))
+            for r in search(idx, "if beta1", k=6, lang="Go", repo="r1",
+                            mode=mode).collect()
+        ]
+        assert got == want and len(got) > 0, mode
