@@ -317,19 +317,38 @@ WHERE (CASE WHEN b.text IS NULL THEN 'deleted'
 
 
 def q_incremental_range(spark, sf_dir):
-    """A2/A16: half-open (from, to] range scan (git/gitaly.go:265-301)."""
+    """A2/A16: half-open (from, to] range scan (git/gitaly.go:265-301).
+
+    The FROM/TO boundaries are the event timestamps at ranks 100 and 900
+    of the sorted stream — both are REAL rows at every SF, so the result
+    (non-empty by construction) pins both halves of the half-open
+    contract: the rank-100 row (ts == from) is excluded, the rank-900
+    row (ts == to) is included (boundary behavior per
+    git/repository_test.go:213-223)."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    lo, hi = "2024-03-01 00:00:00", "2024-06-01 00:00:00"
-    return ev.filter(
-        (F.col("ts") > F.lit(lo).cast("timestamp"))
-        & (F.col("ts") <= F.lit(hi).cast("timestamp"))
-    ).select("event_id", F.date_format("ts", "yyyyMMdd'T'HHmmss").alias("ts_s"))
+    ranked = ev.select("ts", F.row_number().over(Window.orderBy("ts")).alias("rn"))
+    bounds = ranked.filter(F.col("rn").isin(100, 900)).agg(
+        F.min("ts").alias("_lo"), F.max("ts").alias("_hi")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter((F.col("ts") > F.col("_lo")) & (F.col("ts") <= F.col("_hi")))
+        .select("event_id", F.date_format("ts", "yyyyMMdd'T'HHmmss").alias("ts_s"))
+    )
 
 
 SQL_INCREMENTAL_RANGE = """
+WITH ranked AS (
+    SELECT ts, row_number() OVER (ORDER BY ts) AS rn FROM events
+),
+bounds AS (
+    SELECT min(ts) AS lo, max(ts) AS hi FROM ranked WHERE rn IN (100, 900)
+)
 SELECT event_id, strftime(ts, '%Y%m%dT%H%M%S') AS ts_s
-FROM events
-WHERE ts > TIMESTAMP '2024-03-01 00:00:00' AND ts <= TIMESTAMP '2024-06-01 00:00:00'
+FROM events, bounds
+WHERE ts > lo AND ts <= hi
 """
 
 

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 LIMIT_FILE_SIZE = 1024 * 1024  # git/gitaly.go:25
 BINARY_SNIFF_LIMIT = 8 * 1024  # indexer/blob.go:20
+SUBMODULE_MODE = 0o160000  # gitlink entry mode (git/gitaly.go:147-149)
 
 # The ES mapping is strict: "dynamic": "strict" (elastic/index.go:114)
 # rejects documents carrying unknown fields with
@@ -72,13 +73,21 @@ def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
     on a stored column is parquet-pushable (row-group pruning before
     any content byte is read), the analog of the reference skipping
     the blob fetch on metadata alone (git/gitaly.go:243-247).
+
+    A4: when the source carries a git ``mode`` column, submodule
+    entries (gitlink mode 0160000) are dropped before any content work
+    (git/gitaly.go:147-149) — also a pushable stored-column predicate.
+    The synthetic columnar input has no mode column, so the filter is
+    conditional on the column's presence.
     """
     c = F.col(content_col)
     size = F.col("size") if "size" in df.columns else F.octet_length(c)
-    return df.filter(
-        (size <= F.lit(LIMIT_FILE_SIZE))
-        & (~F.substring(c, 1, BINARY_SNIFF_LIMIT).contains(F.lit(chr(0))))
+    cond = (size <= F.lit(LIMIT_FILE_SIZE)) & (
+        ~F.substring(c, 1, BINARY_SNIFF_LIMIT).contains(F.lit(chr(0)))
     )
+    if "mode" in df.columns:
+        cond = cond & (F.col("mode").cast("long") != F.lit(SUBMODULE_MODE))
+    return df.filter(cond)
 
 
 def detect_language(

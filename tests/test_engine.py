@@ -63,6 +63,21 @@ def test_skip_rules(spark, corpus):
     assert "files/empty" in paths            # empty file → kept
 
 
+def test_submodule_mode_filter(spark):
+    """A4: gitlink entries (mode 0160000) drop when a mode column exists
+    (git/gitaly.go:147-149); regular file modes survive."""
+    rows = [
+        ("r1", "vendor/dep", "c1", "", "", 0o160000),
+        ("r1", "src/a.py", "c1", "Python", "x = 1", 0o100644),
+        ("r1", "bin/run", "c1", "Shell", "#!/bin/sh", 0o100755),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, mode long")
+    kept = {r["path"] for r in filter_indexable(df).select("path").collect()}
+    assert kept == {"src/a.py", "bin/run"}
+
+
 def test_blob_document_shape_and_upsert(documents):
     cols = set(documents.columns)
     assert cols == {"type", "id", "oid", "rid", "commit_sha", "content",
