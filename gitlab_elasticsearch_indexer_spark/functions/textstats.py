@@ -161,20 +161,28 @@ def _rolling_hash(texts: pd.Series) -> pd.Series:
 
     # byte·power = byte·p_hi·2^32 + byte·p_lo with p split at 32 bits;
     # with t = byte·p_hi < 2^37 and 2^61 ≡ 1:  t·2^32 ≡ (t>>29) + (t&m29)·2^32.
-    # Summing the three addends SEPARATELY per doc keeps every partial sum
-    # in uint64 for docs ≤ 1 MiB (Σ(t>>29) < n·2^8, Σ(t&m29) < n·2^29,
-    # Σ byte·p_lo < n·2^40), so no per-element fold pass is needed.
+    # Every addend is ALSO split before its per-doc sum so no partial sum
+    # can wrap uint64 for docs up to 2^32 bytes (the binding term is
+    # Σ(q&m32) < n·2^32): Σ(t>>29) < n·2^8, Σ(t&m29) < n·2^29,
+    # Σ(q>>32) < n·2^8.  This is a general text API — the 1 MiB blob cap
+    # does not bound its inputs, so length-safety is the kernel's job.
     t = buf * (p >> np.uint64(32))
+    q = buf * (p & np.uint64(0xFFFFFFFF))  # byte·p_lo < 2^40
     seg = starts[nonempty]
     s_a = np.add.reduceat(t >> np.uint64(29), seg)
     s_b = np.add.reduceat(t & _RH_MASK29, seg)
-    s_c = np.add.reduceat(buf * (p & np.uint64(0xFFFFFFFF)), seg)
-    # recombine: s_b·2^32 via the same 2^61-fold identity (s_b < 2^49)
+    s_ch = np.add.reduceat(q >> np.uint64(32), seg)
+    s_cl = np.add.reduceat(q & np.uint64(0xFFFFFFFF), seg)
+    # recombine: x·2^32 via the same 2^61-fold identity for both the
+    # t-half (x = s_b) and the q-high-half (x = s_ch); each folded
+    # addend is < 2^61 so the three-way sums stay inside uint64
     h = _fold61(
         s_a + (s_b >> np.uint64(29)) + ((s_b & _RH_MASK29) << np.uint64(32))
     )
-    # s_c < 2^60 may exceed the single-add headroom only with h < 2^61: fine
-    h = _fold61(h + s_c)
+    c = _fold61(
+        _fold61(s_cl) + (s_ch >> np.uint64(29)) + ((s_ch & _RH_MASK29) << np.uint64(32))
+    )
+    h = _fold61(h + c)
     out[nonempty] = h.astype(np.int64)
     return pd.Series(out)
 

@@ -105,10 +105,15 @@ def start_incremental_stream(
         prev_touched = spark.read.parquet(src_path).filter(
             F.col("state_part").isin(touched)
         )
+        # localCheckpoint (eager) — NOT persist: the write below
+        # dynamic-overwrites the same path this plan reads, so the plan
+        # must hold the folded rows themselves, with NO lineage back to
+        # src_path.  A persist() only caches lazily; cache eviction or
+        # executor loss would recompute from the half-overwritten source.
         folded = (
             prev_touched.join(batch_docs.select("id"), "id", "left_anti")
             .unionByName(batch_docs.filter(F.col("content").isNotNull()))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         surviving = {
             int(r["state_part"])
@@ -126,7 +131,6 @@ def start_incremental_stream(
             folded.write.mode("overwrite").partitionBy("state_part").parquet(src_path)
         finally:
             spark.conf.set(mode_key, prev_mode)
-        folded.unpersist()
         batch_docs.unpersist()
         # a partition whose every row was deleted writes no data under
         # dynamic overwrite — drop its directory explicitly (under a

@@ -150,6 +150,33 @@ def test_fingerprints(docs):
     assert rh[2] == h
 
 
+def test_rolling_hash_large_doc_no_wrap():
+    """Docs past ~2^24 bytes used to wrap the uint64 partial sum of the
+    byte*p_lo addend.  Verify a 20 MB doc against the compositional
+    identity h(a||b) = h(a)*BASE^len(b) + h(b) (mod M), evaluated over
+    sub-1MiB chunks (the independently-proven regime)."""
+    import pandas as pd
+
+    from gitlab_elasticsearch_indexer_spark.functions.textstats import (
+        _rolling_hash,
+    )
+
+    rng = np.random.default_rng(7)
+    big = bytes(rng.integers(32, 127, size=20_000_000, dtype=np.uint8)).decode(
+        "ascii"
+    )
+    direct = int(_rolling_hash(pd.Series([big])).iloc[0])
+
+    MOD, BASE = (1 << 61) - 1, 1000003
+    CH = 1 << 19  # 512 KiB chunks — well inside the proven bound
+    chunks = [big[i : i + CH] for i in range(0, len(big), CH)]
+    hashes = _rolling_hash(pd.Series(chunks)).tolist()
+    h = 0
+    for ch, hc in zip(chunks, hashes):
+        h = (h * pow(BASE, len(ch), MOD) + int(hc)) % MOD
+    assert direct == h
+
+
 def test_multimodal_plumbing(docs, spark):
     media = multimodal.synth_media(docs)
     meta = {r["id"]: (r["kind"], r["n_bytes"], r["magic"])
