@@ -96,6 +96,8 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
         f"{vdir}/doc_stats"
     )
     index.term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+    _write_sidecars(index.filters, index.part_meta, index.doc_stats,
+                    index.docs_per_part, vdir)
 
     parts = [r["doc_part"] for r in index.doc_stats.select("doc_part").distinct().collect()]
     manifest = spark.createDataFrame(
@@ -108,6 +110,24 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
           index.docs_per_part, round(time.time() - t0, 3), "full_build")],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
+
+
+def _write_sidecars(filters, part_meta, doc_stats, docs_per_part: int,
+                    vdir: str) -> None:
+    """Persist the keyword-filter bitmaps + routing manifest next to a
+    version's postings — the ES analog is on-disk doc values and
+    ``_routing`` (elastic/index.go:115-117), NOT per-query recomputation.
+    ``doc_stats`` here covers only the partitions this version owns, so
+    an incremental update writes sidecars for its rebuilt parts only;
+    the manifest resolves each part's sidecar like its postings."""
+    if filters is None:
+        filters = filters_from_doc_stats(doc_stats, docs_per_part)
+    if part_meta is None:
+        part_meta = part_meta_from_doc_stats(doc_stats)
+    filters.write.mode("overwrite").partitionBy("doc_part").parquet(
+        f"{vdir}/filters"
+    )
+    part_meta.write.mode("overwrite").parquet(f"{vdir}/part_meta")
 
 
 def _write_lineage(spark, path, snapshot_id, index: InvertedIndex,
@@ -135,29 +155,66 @@ def latest_checkpoint(spark: SparkSession, path: str) -> dict:
     return row.asDict()
 
 
+def _manifest_by_version(spark: SparkSession, path: str,
+                         snapshot_id: int) -> dict[int, list[int]]:
+    manifest = spark.read.parquet(f"{path}/v{snapshot_id}/manifest")
+    by_version: dict[int, list[int]] = {}
+    for r in manifest.collect():
+        by_version.setdefault(int(r["version"]), []).append(int(r["doc_part"]))
+    return by_version
+
+
+def _read_parts(spark: SparkSession, path: str,
+                by_version: dict[int, list[int]], table: str) -> DataFrame:
+    """Union a partitioned table across the versions that own its parts;
+    the static IN lists reach each scan as partition filters."""
+    out = None
+    for version, parts in sorted(by_version.items()):
+        t = spark.read.parquet(f"{path}/v{version}/{table}").filter(
+            F.col("doc_part").isin(parts)
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
 def load_versioned(spark: SparkSession, path: str,
                    snapshot_id: int | None = None) -> InvertedIndex:
-    """Load the index at a checkpoint (default: latest)."""
+    """Load the index at a checkpoint (default: latest).
+
+    The filter-bitmap and routing sidecars are read from disk (written
+    per version since this round, manifest-resolved like postings) so a
+    filtered/routed query on a loaded index reads ≤ one tiny sidecar row
+    per part instead of recomputing bitmaps from all of doc_stats per
+    query.  Index dirs written before the sidecars existed fall back to
+    lazy derivation.
+    """
+    import os
+
     cp = spark.read.parquet(f"{path}/checkpoint")
     if snapshot_id is None:
         snapshot_id = cp.agg(F.max("snapshot_id")).collect()[0][0]
     g = cp.filter(F.col("snapshot_id") == snapshot_id).collect()[0]
 
-    manifest = spark.read.parquet(f"{path}/v{snapshot_id}/manifest")
-    by_version: dict[int, list[int]] = {}
-    for r in manifest.collect():
-        by_version.setdefault(int(r["version"]), []).append(int(r["doc_part"]))
+    by_version = _manifest_by_version(spark, path, snapshot_id)
+    postings = _read_parts(spark, path, by_version, "postings")
+    doc_stats = _read_parts(spark, path, by_version, "doc_stats")
 
-    postings = doc_stats = None
-    for version, parts in sorted(by_version.items()):
-        p = spark.read.parquet(f"{path}/v{version}/postings").filter(
-            F.col("doc_part").isin(parts)
-        )
-        d = spark.read.parquet(f"{path}/v{version}/doc_stats").filter(
-            F.col("doc_part").isin(parts)
-        )
-        postings = p if postings is None else postings.unionByName(p)
-        doc_stats = d if doc_stats is None else doc_stats.unionByName(d)
+    have_sidecars = all(
+        os.path.isdir(f"{path}/v{v}/filters")
+        and os.path.isdir(f"{path}/v{v}/part_meta")
+        for v in by_version
+    )
+    if have_sidecars:
+        filters = _read_parts(spark, path, by_version, "filters")
+        part_meta = None
+        for version, parts in sorted(by_version.items()):
+            pm = spark.read.parquet(f"{path}/v{version}/part_meta").filter(
+                F.col("doc_part").isin(parts)
+            )
+            part_meta = pm if part_meta is None else part_meta.unionByName(pm)
+    else:  # pre-sidecar index layout: derive views (legacy fallback)
+        filters = filters_from_doc_stats(doc_stats, int(g["docs_per_part"]))
+        part_meta = part_meta_from_doc_stats(doc_stats)
 
     return InvertedIndex(
         postings=postings,
@@ -167,10 +224,8 @@ def load_versioned(spark: SparkSession, path: str,
         avgdl=g["avgdl"],
         analyzer=g["analyzer"],
         docs_per_part=g["docs_per_part"],
-        # derived views over the manifest-resolved doc_stats — always
-        # consistent with the loaded snapshot, no extra persisted state
-        filters=filters_from_doc_stats(doc_stats, int(g["docs_per_part"])),
-        part_meta=part_meta_from_doc_stats(doc_stats),
+        filters=filters,
+        part_meta=part_meta,
     )
 
 
@@ -254,6 +309,11 @@ def update_index(
     new_doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
         f"{vdir}/doc_stats"
     )
+    # sidecars for the REBUILT parts only — derived from the just-written
+    # doc_stats (covers exactly this version's parts); untouched parts'
+    # sidecars stay owned by their versions via the manifest
+    _write_sidecars(None, None, spark.read.parquet(f"{vdir}/doc_stats"),
+                    dpp, vdir)
 
     rebuilt_parts = {
         int(r["doc_part"]) for r in new_doc_stats.select("doc_part").distinct().collect()
@@ -279,42 +339,25 @@ def update_index(
     term_stats = term_stats_from_postings(staged.postings, n_docs)
     term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
 
-    out = InvertedIndex(
-        postings=staged.postings,
-        doc_stats=staged.doc_stats,
-        term_stats=spark.read.parquet(f"{vdir}/term_stats"),
-        n_docs=n_docs,
-        avgdl=avgdl,
-        analyzer=prev.analyzer,
-        docs_per_part=dpp,
-        filters=filters_from_doc_stats(staged.doc_stats, dpp),
-        part_meta=part_meta_from_doc_stats(staged.doc_stats),
-    )
-    _write_lineage(spark, path, snapshot_id, out, rebuilt_parts=rebuilt_parts)
+    _write_lineage(spark, path, snapshot_id, staged, rebuilt_parts=rebuilt_parts)
     spark.createDataFrame(
         [(snapshot_id, n_docs, avgdl, prev.analyzer, dpp,
           round(time.time() - t0, 3), "incremental")],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
-    return out
+    # the returned handle reads everything (incl. the persisted filter/
+    # routing sidecars) back through the committed manifest
+    return load_versioned(spark, path, snapshot_id)
 
 
 def _load_via_manifest(spark: SparkSession, path: str, snapshot_id: int) -> InvertedIndex:
-    manifest = spark.read.parquet(f"{path}/v{snapshot_id}/manifest")
-    by_version: dict[int, list[int]] = {}
-    for r in manifest.collect():
-        by_version.setdefault(int(r["version"]), []).append(int(r["doc_part"]))
-    postings = doc_stats = None
-    for version, parts in sorted(by_version.items()):
-        p = spark.read.parquet(f"{path}/v{version}/postings").filter(
-            F.col("doc_part").isin(parts)
-        )
-        d = spark.read.parquet(f"{path}/v{version}/doc_stats").filter(
-            F.col("doc_part").isin(parts)
-        )
-        postings = p if postings is None else postings.unionByName(p)
-        doc_stats = d if doc_stats is None else doc_stats.unionByName(d)
+    """Pre-checkpoint staging view: postings/doc_stats through a manifest
+    whose snapshot row does not exist yet (used to compute the globals
+    that go INTO that row)."""
+    by_version = _manifest_by_version(spark, path, snapshot_id)
     return InvertedIndex(
-        postings=postings, doc_stats=doc_stats, term_stats=None,  # type: ignore[arg-type]
+        postings=_read_parts(spark, path, by_version, "postings"),
+        doc_stats=_read_parts(spark, path, by_version, "doc_stats"),
+        term_stats=None,  # type: ignore[arg-type]
         n_docs=0, avgdl=0.0, analyzer="", docs_per_part=0,
     )

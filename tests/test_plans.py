@@ -149,6 +149,62 @@ def test_doc_store_point_lookup_pushes_id_filter(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["content"] == "body 42"
 
 
+def test_versioned_load_reads_persisted_filter_sidecars(spark, tmp_path):
+    """A filtered search on a load_versioned index must read the on-disk
+    filters parquet (the ES doc-values analog) — not recompute bitmaps
+    from doc_stats per query — and an incremental update must write
+    sidecars for its rebuilt parts only."""
+    import os
+
+    from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+
+    rows = [
+        (f"r{r}_f{i}.py", f"if alpha{r} beta{i % 4}", f"r{r}", f"f{i}.py",
+         "Python" if i % 2 else "Go")
+        for r in range(3)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "id string, content string, repo string, path string, lang string"
+    )
+    path = str(tmp_path / "vidx")
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=32)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    assert os.path.isdir(f"{path}/v0/filters")
+    assert os.path.isdir(f"{path}/v0/part_meta")
+
+    # incremental update: modify one repo's docs → v1 sidecars cover only
+    # the rebuilt parts, the rest resolve to v0 through the manifest
+    docs2 = docs.withColumn(
+        "content",
+        F.when(F.col("repo") == "r1", F.concat("content", F.lit(" patched")))
+        .otherwise(F.col("content")),
+    )
+    upd = inc.update_index(spark, path, docs2, snapshot_id=1)
+    v1_parts = {
+        int(r["doc_part"])
+        for r in spark.read.parquet(f"{path}/v1/filters")
+        .select("doc_part").distinct().collect()
+    }
+    all_parts = {
+        int(r["doc_part"])
+        for r in upd.doc_stats.select("doc_part").distinct().collect()
+    }
+    assert v1_parts and v1_parts < all_parts  # strict subset: rebuilt only
+
+    loaded = inc.load_versioned(spark, path)
+    hits = search(loaded, "if beta1", k=5, lang="Go", mode="bmw")
+    plan = formatted_plan(hits)
+    scan_locations = [l for l in plan.splitlines() if "Location" in l]
+    assert any("/filters" in l for l in scan_locations), scan_locations
+
+    # and the filtered result over the loaded index is still exact
+    full = search(loaded, "if beta1", k=1000).collect()
+    want = [(r["id"], round(r["score"], 9)) for r in full if r["lang"] == "Go"][:5]
+    got = [(r["id"], round(r["score"], 9)) for r in hits.collect()]
+    assert got == want and len(got) > 0
+
+
 def test_combined_lang_and_repo_filter_is_exact(spark):
     """Both predicates together AND their bitmaps in the kernel — the
     combined-filter top-k must equal the full ranking restricted to
