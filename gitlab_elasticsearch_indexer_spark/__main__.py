@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.doc_store import save_documents
 
         save_documents(docs, args.index)  # _source store for typed GETs
+        idx.unpersist()  # everything is on disk; release build caches
         out = {"built": idx.n_docs, "avgdl": round(idx.avgdl, 3),
                "index": args.index, "blob_type": args.blob_type}
         # commits index by default only for plain blobs (main.go:73-77)
@@ -105,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             inc.save_versioned(cidx, f"{args.index}/commit_index", snapshot_id=0)
             save_documents(cdocs, f"{args.index}/commit_index")
+            cidx.unpersist()
             out["commits_built"] = cidx.n_docs
         print(json.dumps(out))
     elif args.cmd == "get":

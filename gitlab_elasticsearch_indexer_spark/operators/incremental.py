@@ -256,14 +256,19 @@ def update_index(
     for c in ("repo", "path", "lang"):
         if c not in curr_docs.columns:
             curr_docs = curr_docs.withColumn(c, F.lit(""))
+    caches: list = []  # update-scoped persists, released before return
     curr = curr_docs.select(
         F.col(id_col).alias("id"), F.col(content_col).alias("content"),
         "repo", "path", "lang", F.sha2(content_col, 256).alias("oid"),
     ).persist()
+    caches.append(curr)
 
     diff = snapshot_diff(prev.doc_stats, curr).persist()
+    caches.append(diff)
     changed = {r["op"] for r in diff.select("op").distinct().collect()}
     if not changed:
+        for df in caches:
+            df.unpersist()
         return prev
 
     old_max = prev.doc_stats.agg(F.max("doc_idx")).collect()[0][0] or -1
@@ -294,10 +299,14 @@ def update_index(
     )
     # new/modified docs get appended doc_idx (deterministic rank among batch)
     appended = (
-        assign_doc_ids(curr.join(new_ids, "id").select("id", "content", "repo", "path", "lang"))
+        assign_doc_ids(
+            curr.join(new_ids, "id").select("id", "content", "repo", "path", "lang"),
+            caches=caches,
+        )
         .withColumn("doc_idx", F.col("doc_idx") + F.lit(old_max + 1))
     )
     rebuilt_src = surviving.unionByName(appended).persist()
+    caches.append(rebuilt_src)
 
     new_doc_stats = doc_stats_from_docs(rebuilt_src, prev.analyzer, dpp)
     new_postings = postings_from_docs(rebuilt_src, prev.analyzer, dpp)
@@ -345,8 +354,11 @@ def update_index(
           round(time.time() - t0, 3), "incremental")],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
+    # every output is on disk by now — release the update-scoped caches;
     # the returned handle reads everything (incl. the persisted filter/
     # routing sidecars) back through the committed manifest
+    for df in caches:
+        df.unpersist()
     return load_versioned(spark, path, snapshot_id)
 
 

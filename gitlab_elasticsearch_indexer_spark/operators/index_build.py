@@ -131,6 +131,7 @@ def assign_doc_ids(
     id_col: str = "id",
     num_ranges: int | None = None,
     with_count: bool = False,
+    caches: list | None = None,
 ):
     """Dense deterministic doc_idx = global sorted rank of the string id.
 
@@ -155,12 +156,18 @@ def assign_doc_ids(
     # could see different boundaries → wrong offsets → colliding
     # doc_idx (two docs merging into one posting).  Persisting fixes
     # one RDD instance (one sampled boundary set) for every job.
+    # ``caches`` (if given) collects the persisted handle so the caller
+    # can release it once every consumer has materialized — the persist
+    # must OUTLIVE all jobs over the output (see above), so it cannot be
+    # unpersisted inside this function.
     parted = (
         docs.repartitionByRange(num_ranges, F.col(id_col))
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if caches is not None:
+        caches.append(parted)
     counts = dict(
         parted.groupBy("_pid").count().collect()  # ≤ num_ranges rows
     )
@@ -206,6 +213,19 @@ class InvertedIndex:
     # used for routing-style doc_part pruning (elastic/client.go:162).
     filters: DataFrame | None = None
     part_meta: DataFrame | None = None  # doc_part, repo_min, repo_max, n_docs
+    # persisted DataFrames backing this handle (build-path caches).
+    # Service-lifetime contract: they stay cached while the handle serves
+    # queries; call unpersist() when done (after save(), or when the
+    # query service retires the index) to release executor storage.
+    caches: list | None = None
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every build-path cache registered on this handle.
+        The handle's DataFrames remain VALID but recompute from source
+        on next use — call after save() + reload, or at end of life."""
+        for df in self.caches or []:
+            df.unpersist(blocking)
+        self.caches = []
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """idf per query term, memoized on the handle: a query service
@@ -473,9 +493,10 @@ def build_index(
         if c not in docs.columns:
             docs = docs.withColumn(c, F.lit(""))
 
+    caches: list = []
     with_idx, n_docs = assign_doc_ids(
         docs.select(id_col, content_col, "repo", "path", "lang"), id_col,
-        with_count=True,
+        with_count=True, caches=caches,
     )
     with_idx = with_idx.persist()  # consumed by two jobs (doc_stats,
     # postings); at cluster scale this would be a checkpointed staging
@@ -498,6 +519,7 @@ def build_index(
     postings = postings_from_docs(with_idx, analyzer, docs_per_part,
                                   content_col=content_col).persist()
     term_stats = term_stats_from_postings(postings, n_docs)
+    caches += [with_idx, doc_stats, postings]
 
     return InvertedIndex(
         postings=postings,
@@ -511,6 +533,7 @@ def build_index(
         # save() consumes them (no extra build-path jobs)
         filters=filters_from_doc_stats(doc_stats, docs_per_part),
         part_meta=part_meta_from_doc_stats(doc_stats),
+        caches=caches,
     )
 
 

@@ -149,6 +149,36 @@ def test_doc_store_point_lookup_pushes_id_filter(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["content"] == "body 42"
 
 
+def test_build_save_unpersist_releases_all_caches(spark, tmp_path):
+    """A build→save→unpersist cycle must leave no persisted RDDs behind
+    (a long-lived query service would otherwise leak executor storage
+    per build), and an update_index call must release its own persists."""
+    from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", f"if token{i % 5}", f"r{i % 2}", f"p{i}", "Go")
+         for i in range(100)],
+        "id string, content string, repo string, path string, lang string",
+    )
+    path = str(tmp_path / "cidx")
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=32)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    assert n_cached() > before  # build does cache (by design)
+    idx.unpersist()
+    assert n_cached() == before
+
+    docs2 = docs.withColumn(
+        "content", F.when(F.col("id") == "d000", F.lit("patched if"))
+        .otherwise(F.col("content")))
+    upd = inc.update_index(spark, path, docs2, snapshot_id=1)
+    assert n_cached() == before  # update released its own persists
+    assert upd.n_docs == 100
+
+
 def test_versioned_load_reads_persisted_filter_sidecars(spark, tmp_path):
     """A filtered search on a load_versioned index must read the on-disk
     filters parquet (the ES doc-values analog) — not recompute bitmaps
