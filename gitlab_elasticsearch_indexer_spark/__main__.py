@@ -133,10 +133,8 @@ def main(argv: list[str] | None = None) -> int:
             docs.select("id", "content", F.col("rid").alias("repo"), "path",
                         F.col("language").alias("lang")),
             snapshot_id=args.snapshot,
+            store_docs=docs,  # typed-GET store maintained from the diff
         )
-        from .sources.doc_store import save_documents
-
-        save_documents(docs, args.index)  # keep typed GETs current
         print(json.dumps({"snapshot": args.snapshot, "n_docs": idx.n_docs}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"

@@ -240,6 +240,7 @@ def update_index(
     snapshot_id: int,
     id_col: str = "id",
     content_col: str = "content",
+    store_docs: DataFrame | None = None,
 ) -> InvertedIndex:
     """Apply a new source snapshot to a versioned index; returns the new view.
 
@@ -247,6 +248,12 @@ def update_index(
     tail) are rebuilt and written; the rest is carried by manifest
     reference.  Resumable: until the checkpoint row is written the
     previous snapshot stays authoritative.
+
+    ``store_docs`` (optional): the full-document frame backing the
+    ``_source`` store — when given and a documents store exists at
+    ``path``, the store is maintained INCREMENTALLY from this update's
+    own diff (changed ids only; touched store partitions only), never
+    rewritten whole.
     """
     t0 = time.time()
     prev = load_versioned(spark, path)
@@ -354,6 +361,19 @@ def update_index(
           round(time.time() - t0, 3), "incremental")],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
+    # keep the _source store current from the SAME diff: upserted docs'
+    # rows replace, deleted ids drop — touched store partitions only
+    import os
+
+    if store_docs is not None and os.path.isdir(f"{path}/documents"):
+        from ..sources.doc_store import update_documents
+
+        update_documents(
+            spark, path,
+            store_docs.join(new_ids, "id"),
+            delete_ids=diff.filter(F.col("op") == "deleted").select("id"),
+        )
+
     # every output is on disk by now — release the update-scoped caches;
     # the returned handle reads everything (incl. the persisted filter/
     # routing sidecars) back through the committed manifest

@@ -3,9 +3,19 @@
 The reference's ES index stores every document's full source; GetBlob /
 GetCommit return it by typed id (elastic/client.go:170-185).  The index
 tables here carry only metadata (doc_stats), so point lookups that must
-return *content* read a documents sidecar written at build time:
-id-range-partitioned, id-sorted parquet — a point lookup prunes to one
-file's row groups via min/max id statistics (plan-asserted in tests).
+return *content* read a documents sidecar written at build time.
+
+Layout (scale contract): hash-partitioned by ``store_part =
+pmod(xxhash64(id), N)`` — stable under corpus growth — with rows
+id-sorted inside each partition:
+
+* a point lookup prunes to ONE partition directory (the store_part
+  predicate constant-folds: both operands are literals) and then to one
+  file's row groups via min/max id statistics (plan-asserted in tests);
+* an incremental update rewrites ONLY the partitions containing changed
+  ids (dynamic partition overwrite, same scheme as the streaming source
+  state) — per-update write I/O is O(touched partitions), never
+  O(corpus).
 """
 
 from __future__ import annotations
@@ -13,27 +23,108 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+N_STORE_PARTS = 64
 
-def save_documents(docs: DataFrame, index_path: str, num_ranges: int | None = None) -> None:
-    """Persist full documents next to the index, id-sorted for pruning."""
-    spark = docs.sparkSession
-    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+
+def _store_part(col):
+    return F.pmod(F.xxhash64(col), F.lit(N_STORE_PARTS)).cast("int")
+
+
+def save_documents(docs: DataFrame, index_path: str,
+                   num_parts: int = N_STORE_PARTS) -> None:
+    """Persist full documents next to the index (full build / overwrite)."""
     (
-        docs.repartitionByRange(num_ranges, F.col("id"))
+        docs.withColumn("store_part",
+                        F.pmod(F.xxhash64(F.col("id")), F.lit(num_parts)).cast("int"))
+        .repartition("store_part")
         .sortWithinPartitions("id")
         .write.mode("overwrite")
+        .partitionBy("store_part")
         .parquet(f"{index_path}/documents")
     )
+
+
+def update_documents(
+    spark: SparkSession,
+    index_path: str,
+    upserts: DataFrame,
+    delete_ids: DataFrame | None = None,
+) -> None:
+    """Fold a change set into the store, rewriting touched partitions only.
+
+    ``upserts`` must carry the store's full document schema (same columns
+    as the rows passed to save_documents); ``delete_ids`` needs an ``id``
+    column.  Untouched partition directories' files are left byte-
+    identical (asserted in tests).  Deterministic content per partition
+    makes replays idempotent (at-least-once safe).
+    """
+    path = f"{index_path}/documents"
+    ups = upserts.withColumn("store_part", _store_part(F.col("id")))
+    change_ids = ups.select("id", "store_part")
+    if delete_ids is not None:
+        change_ids = change_ids.unionByName(
+            delete_ids.select("id").withColumn("store_part", _store_part(F.col("id")))
+        )
+    touched = [
+        int(r["store_part"])
+        for r in change_ids.select("store_part").distinct().collect()
+    ]
+    if not touched:
+        return
+
+    prev_touched = spark.read.parquet(path).filter(
+        F.col("store_part").isin(touched)
+    )
+    # eager localCheckpoint, NOT persist: the write below dynamic-
+    # overwrites the path this plan reads — the plan must hold the rows
+    # with no lineage back to it (same hazard as the streaming fold)
+    folded = (
+        prev_touched.join(change_ids.select("id").distinct(), "id", "left_anti")
+        .unionByName(ups)
+        .localCheckpoint(eager=True)
+    )
+    surviving = {
+        int(r["store_part"])
+        for r in folded.select("store_part").distinct().collect()
+    }
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            folded.repartition("store_part")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .partitionBy("store_part")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(mode_key, prev_mode)
+
+    # a partition whose every row was deleted writes no data under
+    # dynamic overwrite — drop its directory explicitly (under a real
+    # table format this is the DELETE's metadata operation)
+    import shutil
+
+    for p in set(touched) - surviving:
+        shutil.rmtree(f"{path}/store_part={p}", ignore_errors=True)
 
 
 def get_document(
     spark: SparkSession, index_path: str, doc_id: str, doc_type: str | None = None
 ) -> DataFrame:
-    """Point lookup by document id (Client.Get analog)."""
-    df = spark.read.parquet(f"{index_path}/documents").filter(F.col("id") == doc_id)
+    """Point lookup by document id (Client.Get analog): partition-pruned
+    via the constant-folded store_part predicate, then row-group-pruned
+    via the id sort."""
+    df = spark.read.parquet(f"{index_path}/documents")
+    cond = F.col("id") == doc_id
+    if "store_part" in df.columns:  # legacy un-partitioned stores skip this
+        cond = cond & (F.col("store_part") == _store_part(F.lit(doc_id)))
+    df = df.filter(cond)
     if doc_type is not None:
         df = df.filter(F.col("type") == doc_type)
-    return df
+    return df.drop("store_part")
 
 
 def get_blob(

@@ -145,8 +145,67 @@ def test_doc_store_point_lookup_pushes_id_filter(spark, tmp_path):
     ds.save_documents(docs, path)
     got = ds.get_document(spark, path, "r1_f0042.py", "blob")
     assert_pushed_filter(got, "id")
+    # and the constant-folded store_part predicate prunes partitions
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "store_part" in plan
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["content"] == "body 42"
+
+
+def test_doc_store_update_touches_only_changed_partitions(spark, tmp_path):
+    """Incremental _source maintenance: an update rewrites only the
+    store partitions containing changed ids — untouched partition
+    directories stay byte-identical — and typed GETs see the fold."""
+    import hashlib
+    import os
+
+    from gitlab_elasticsearch_indexer_spark.sources import doc_store as ds
+
+    docs = spark.createDataFrame(
+        [(f"r1_f{i:04d}.py", "blob", f"body {i}") for i in range(400)],
+        "id string, type string, content string",
+    )
+    path = str(tmp_path / "docinc")
+    ds.save_documents(docs, path)
+
+    def store_files():
+        out = {}
+        root = f"{path}/documents"
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        open(p, "rb").read()).hexdigest()
+        return out
+
+    before = store_files()
+    ups = spark.createDataFrame(
+        [("r1_f0042.py", "blob", "patched body"),
+         ("r1_new.py", "blob", "brand new")],
+        "id string, type string, content string",
+    )
+    dels = spark.createDataFrame([("r1_f0007.py",)], "id string")
+    ds.update_documents(spark, path, ups, delete_ids=dels)
+    after = store_files()
+
+    touched = {
+        int(r["p"]) for r in spark.createDataFrame(
+            [("r1_f0042.py",), ("r1_new.py",), ("r1_f0007.py",)], "id string"
+        ).select(ds._store_part(F.col("id")).alias("p")).collect()
+    }
+    untouched_b = {k: v for k, v in before.items()
+                   if not any(k.startswith(f"store_part={t}") for t in touched)}
+    untouched_a = {k: v for k, v in after.items()
+                   if not any(k.startswith(f"store_part={t}") for t in touched)}
+    assert untouched_b == untouched_a and untouched_b  # byte-identical
+
+    assert ds.get_document(spark, path, "r1_f0042.py").collect()[0][
+        "content"] == "patched body"
+    assert ds.get_document(spark, path, "r1_new.py").count() == 1
+    assert ds.get_document(spark, path, "r1_f0007.py").count() == 0
+    assert ds.get_document(spark, path, "r1_f0100.py").collect()[0][
+        "content"] == "body 100"
 
 
 def test_build_save_unpersist_releases_all_caches(spark, tmp_path):
