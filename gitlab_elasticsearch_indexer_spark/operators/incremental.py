@@ -382,6 +382,397 @@ def update_index(
     return load_versioned(spark, path, snapshot_id)
 
 
+# --------------------------------------------------------------------------
+# delta-driven incremental update (the reference's actual execution model)
+
+
+def _restrict_versions(by_version: dict[int, list[int]],
+                       parts: set[int]) -> dict[int, list[int]]:
+    out: dict[int, list[int]] = {}
+    for v, ps in by_version.items():
+        sel = [p for p in ps if p in parts]
+        if sel:
+            out[v] = sel
+    return out
+
+
+def _make_repack_kernel():
+    """Cogrouped kernel: (postings of one doc_part, dead (doc_part,
+    doc_idx) rows) → repacked postings with dead docs dropped.
+
+    Decode → mask → ONE vectorized pack_partition call per part; a term
+    whose every posting survives is re-encoded identically (codec is
+    deterministic), a term losing all postings disappears.  No content,
+    no tokenization — the stored postings are self-contained.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import pack_partition, unpack_postings
+    from .index_build import PACK_SCHEMA
+
+    cols = ["doc_part", "term", *PACK_SCHEMA.fieldNames()]
+
+    def repack(post_pdf: pd.DataFrame, dead_pdf: pd.DataFrame) -> pd.DataFrame:
+        # typed empty frame: a zero-row slice of the input keeps Arrow-
+        # compatible dtypes (a dict-of-[] frame defaults every column to
+        # float64, which Arrow cannot cast to list/binary fields) — hit
+        # when a batch kills every doc of a partition (e.g. re-modifying
+        # a doc that lives alone in a previously-appended part)
+        empty = post_pdf.iloc[0:0] if len(post_pdf) else pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in cols}
+        )
+        if len(post_pdf) == 0:
+            return empty
+        dead = np.unique(dead_pdf["doc_idx"].to_numpy(np.int64))
+        terms: list[str] = []
+        lens: list[int] = []
+        docs_l, tfs_l, dls_l = [], [], []
+        for row in post_pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            if len(dead):
+                pos = np.minimum(np.searchsorted(dead, docs), len(dead) - 1)
+                keep = dead[pos] != docs
+            else:
+                keep = np.ones(len(docs), dtype=bool)
+            if not keep.any():
+                continue
+            docs_l.append(docs[keep])
+            tfs_l.append(tfs[keep])
+            dls_l.append(dls[keep])
+            terms.append(row.term)
+            lens.append(int(keep.sum()))
+        if not terms:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        packed = pack_partition(
+            starts,
+            np.concatenate(docs_l),
+            np.concatenate(tfs_l),
+            np.concatenate(dls_l),
+        )
+        out = pd.DataFrame(packed)
+        out.insert(0, "term", terms)
+        out.insert(0, "doc_part",
+                   np.full(len(terms), post_pdf["doc_part"].iloc[0],
+                           dtype=np.int64))
+        return out
+
+    return repack
+
+
+def update_index_delta(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame,
+    deletes: DataFrame | None,
+    snapshot_id: int,
+    store_docs: DataFrame | None = None,
+) -> InvertedIndex:
+    """Apply a PRE-CLASSIFIED change set — no full-corpus read anywhere.
+
+    This is the reference's execution model: Gitaly streams only the
+    ``GetRawChanges(from, to)`` change set (git/gitaly.go:123-174) and
+    the indexer applies puts/dels one change at a time
+    (indexer/indexer.go:35-76); it never re-reads the repository.  The
+    Spark contract:
+
+    * classify: the batch joins against doc_stats partitions PRUNED by
+      the repo routing manifest (part_meta) — a 1-doc batch reads one
+      doc_part's metadata, not the corpus;
+    * deletes/modifications: the owning partitions' postings are
+      REPACKED (decode → drop dead doc ids → re-encode) from the stored
+      lists themselves — surviving documents are never re-read, never
+      re-tokenized;
+    * adds (and modified docs' new content) land in FRESH doc
+      partitions past the manifest's max part — the Lucene
+      segment-append analog — so a pure-add batch rebuilds nothing;
+    * term_stats/globals update by a vocab-bounded delta merge
+      (old stats − removed df/cf + added df/cf), never a corpus pass;
+    * replays are idempotent: a committed snapshot_id short-circuits,
+      and an upsert whose stored oid already matches classifies as a
+      no-op.
+
+    ``upserts``: (id, content, repo, path, lang) rows to add-or-replace.
+    ``deletes``: rows with ``id`` (plus ``repo`` to keep partition
+    pruning — without it the classify scans all doc_stats partitions).
+    The id↔repo binding must be stable across a document's life (ids
+    here are "repo_path", as in indexer/blob.go:58-60).
+
+    Many small batches accrete many small doc partitions — compact with
+    ``compact_index`` (the ES/Lucene segment-merge analog).
+    """
+    import os
+
+    t0 = time.time()
+    last = latest_checkpoint(spark, path)
+    if snapshot_id <= int(last["snapshot_id"]):
+        return load_versioned(spark, path)  # replay of a committed batch
+    prev_snapshot = int(last["snapshot_id"])
+    dpp = int(last["docs_per_part"])
+    analyzer = last["analyzer"]
+    old_n_docs, old_avgdl = int(last["n_docs"]), float(last["avgdl"])
+
+    by_version = _manifest_by_version(spark, path, prev_snapshot)
+    all_parts = {p for ps in by_version.values() for p in ps}
+
+    caches: list = []
+    ups = upserts.select(
+        "id", "content", "repo", "path", "lang",
+        F.sha2("content", 256).alias("oid"),
+    ).persist()
+    caches.append(ups)
+
+    change_keys = ups.select("id", "repo")
+    have_repos = True
+    if deletes is not None:
+        if "repo" in deletes.columns:
+            change_keys = change_keys.unionByName(deletes.select("id", "repo"))
+        else:
+            change_keys = change_keys.unionByName(
+                deletes.select("id", F.lit(None).cast("string").alias("repo"))
+            )
+            have_repos = False
+
+    # candidate partitions via the routing manifest (repo ranges); the
+    # repo list is batch-bounded.  Falls back to all parts when repos
+    # are unknown or the batch touches too many to prune usefully.
+    repos = [r["repo"] for r in change_keys.select("repo").distinct().collect()]
+    have_repos = have_repos and all(r is not None for r in repos)
+    cand_parts = set(all_parts)
+    if have_repos and all_parts and 0 < len(repos) <= 256:
+        pm = None
+        if all(os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version):
+            for v, ps in by_version.items():
+                t = spark.read.parquet(f"{path}/v{v}/part_meta").filter(
+                    F.col("doc_part").isin(ps))
+                pm = t if pm is None else pm.unionByName(t)
+        if pm is not None:
+            cond = None
+            for r in repos:
+                c = (F.col("repo_min") <= r) & (F.col("repo_max") >= r)
+                cond = c if cond is None else (cond | c)
+            cand_parts = {
+                int(r["doc_part"]) for r in pm.filter(cond)
+                .select("doc_part").collect()
+            }
+
+    # classify against PRUNED doc_stats metadata (broadcast the batch)
+    ids = change_keys.select("id").distinct()
+    existing = None
+    if cand_parts:
+        cand_ds = _read_parts(
+            spark, path, _restrict_versions(by_version, cand_parts), "doc_stats"
+        )
+        existing = cand_ds.join(F.broadcast(ids), "id").select(
+            "id", "doc_idx", "doc_part", "oid", "dl"
+        ).persist()
+        caches.append(existing)
+
+    if existing is not None:
+        # unchanged-oid upserts are no-ops (idempotent replay)
+        ex_oid = existing.select("id", F.col("oid").alias("_old_oid"))
+        live_ups = ups.join(F.broadcast(ex_oid), "id", "left").filter(
+            (F.col("_old_oid").isNull()) | (F.col("_old_oid") != F.col("oid"))
+        ).drop("_old_oid").persist()
+        caches.append(live_ups)
+        del_ids = (
+            deletes.select("id") if deletes is not None
+            else spark.createDataFrame([], "id string")
+        )
+        dead = existing.join(
+            F.broadcast(
+                live_ups.select("id").unionByName(del_ids).distinct()
+            ), "id",
+        ).persist()  # old rows of modified docs + present deletes
+        caches.append(dead)
+    else:  # empty index or no candidate partitions: everything is an add
+        live_ups = ups
+        dead = spark.createDataFrame(
+            [], "id string, doc_idx long, doc_part long, oid string, dl int"
+        )
+
+    dead_agg = dead.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")
+    ).collect()[0]
+    n_dead, dl_dead = int(dead_agg["n"]), int(dead_agg["dl"])
+    affected = {
+        int(r["doc_part"]) for r in dead.select("doc_part").distinct().collect()
+    }
+    n_app = live_ups.count()
+    if n_dead == 0 and n_app == 0:
+        for df in caches:
+            df.unpersist()
+        return load_versioned(spark, path)  # fully no-op batch
+
+    vdir = f"{path}/v{snapshot_id}"
+
+    # 1) repack affected partitions from their stored postings
+    new_postings = new_doc_stats = None
+    if affected:
+        aff_versions = _restrict_versions(by_version, affected)
+        old_post = _read_parts(spark, path, aff_versions, "postings")
+        repacked = (
+            old_post.groupBy("doc_part")
+            .cogroup(dead.select("doc_part", "doc_idx").groupBy("doc_part"))
+            .applyInPandas(
+                _make_repack_kernel(),
+                schema=old_post.schema,
+            )
+        )
+        surv_ds = _read_parts(spark, path, aff_versions, "doc_stats").join(
+            F.broadcast(dead.select("id")), "id", "left_anti"
+        )
+        new_postings, new_doc_stats = repacked, surv_ds
+
+    # 2) append new/modified docs into FRESH partitions
+    app_parts: set[int] = set()
+    if n_app:
+        next_part = (max(all_parts) + 1) if all_parts else 0
+        base_idx = next_part * dpp
+        appended = (
+            assign_doc_ids(
+                live_ups.select("id", "content", "repo", "path", "lang"),
+                caches=caches,
+            ).withColumn("doc_idx", F.col("doc_idx") + F.lit(base_idx))
+        )
+        app_post = postings_from_docs(appended, analyzer, dpp)
+        app_ds = doc_stats_from_docs(appended, analyzer, dpp)
+        new_postings = (
+            app_post if new_postings is None
+            else new_postings.unionByName(app_post)
+        )
+        new_doc_stats = (
+            app_ds if new_doc_stats is None
+            else new_doc_stats.unionByName(app_ds)
+        )
+        app_parts = set(range(next_part, next_part + (n_app + dpp - 1) // dpp))
+
+    new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("doc_part").parquet(f"{vdir}/postings")
+    new_doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
+        f"{vdir}/doc_stats"
+    )
+    try:  # a batch that empties every touched partition writes no rows
+        vds = spark.read.parquet(f"{vdir}/doc_stats")
+        written_parts = {
+            int(r["doc_part"]) for r in vds.select("doc_part").distinct().collect()
+        }
+    except Exception:
+        vds, written_parts = None, set()
+    if vds is not None:
+        _write_sidecars(None, None, vds, dpp, vdir)
+    dead_parts = affected - written_parts  # fully-deleted partitions
+
+    old_manifest = spark.read.parquet(f"{path}/v{prev_snapshot}/manifest")
+    kept = old_manifest.filter(
+        ~F.col("doc_part").isin([int(p) for p in (written_parts | dead_parts)])
+    )
+    new_rows = spark.createDataFrame(
+        [(int(p), snapshot_id) for p in sorted(written_parts)],
+        "doc_part long, version long",
+    )
+    kept.unionByName(new_rows).write.mode("overwrite").parquet(f"{vdir}/manifest")
+
+    # 3) vocab-bounded term_stats delta: old − removed + added
+    n_docs = old_n_docs - n_dead + n_app
+    dl_added = 0
+    if n_app or affected:
+        if vds is not None:
+            vpost = spark.read.parquet(f"{vdir}/postings")
+            added_stats = vpost.groupBy("term").agg(
+                F.sum("df").alias("d_df"), F.sum("cf").alias("d_cf")
+            )
+        else:
+            added_stats = spark.createDataFrame(
+                [], "term string, d_df long, d_cf long"
+            )
+        if affected:
+            removed_stats = (
+                _read_parts(spark, path, _restrict_versions(by_version, affected),
+                            "postings")
+                .groupBy("term")
+                .agg((-F.sum("df")).alias("d_df"), (-F.sum("cf")).alias("d_cf"))
+            )
+            added_stats = added_stats.unionByName(removed_stats)
+        delta = added_stats.groupBy("term").agg(
+            F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf")
+        )
+        old_ts = spark.read.parquet(f"{path}/v{prev_snapshot}/term_stats").select(
+            "term", "df", "cf"
+        )
+        merged = (
+            old_ts.join(delta, "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+            )
+            .filter(F.col("df") > 0)
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+        )
+        merged.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+        if n_app and vds is not None:
+            dl_added = int(
+                vds.filter(F.col("doc_part").isin([int(p) for p in app_parts]))
+                .agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
+            )
+
+    avgdl = (
+        (old_avgdl * old_n_docs - dl_dead + dl_added) / n_docs if n_docs else 0.0
+    )
+
+    # per-partition lineage for the parts THIS snapshot produced (the
+    # rest keep the lineage rows of their owning snapshots) — keeps the
+    # lineage write batch-bounded, not corpus-bounded
+    if vds is not None:
+        staged = InvertedIndex(
+            postings=spark.read.parquet(f"{vdir}/postings"),
+            doc_stats=vds, term_stats=None,  # type: ignore[arg-type]
+            n_docs=0, avgdl=0.0, analyzer="", docs_per_part=0,
+        )
+        _write_lineage(spark, path, snapshot_id, staged,
+                       rebuilt_parts=written_parts)
+
+    if store_docs is not None and os.path.isdir(f"{path}/documents"):
+        from ..sources.doc_store import update_documents
+
+        update_documents(
+            spark, path,
+            store_docs.join(live_ups.select("id"), "id"),
+            delete_ids=dead.select("id"),
+        )
+
+    spark.createDataFrame(
+        [(snapshot_id, n_docs, float(avgdl), analyzer, dpp,
+          round(time.time() - t0, 3), "delta")],
+        CHECKPOINT_SCHEMA,
+    ).write.mode("append").parquet(f"{path}/checkpoint")
+    for df in caches:
+        df.unpersist()
+    out = load_versioned(spark, path, snapshot_id)
+    out.__dict__["delta_stats"] = {
+        "cand_parts": sorted(cand_parts),
+        "affected_parts": sorted(affected),
+        "appended_parts": sorted(app_parts),
+        "written_parts": sorted(written_parts),
+        "n_dead": n_dead,
+        "n_appended": int(n_app),
+    }
+    return out
+
+
 def _load_via_manifest(spark: SparkSession, path: str, snapshot_id: int) -> InvertedIndex:
     """Pre-checkpoint staging view: postings/doc_stats through a manifest
     whose snapshot row does not exist yet (used to compute the globals

@@ -391,9 +391,11 @@ def postings_from_docs(
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
+            # dtype=object: an untyped [] column defaults to float64,
+            # which Arrow cannot cast to the list/binary output fields
             return pd.DataFrame(
                 {"doc_part": [], "term": [],
-                 **{k: [] for k in PACK_SCHEMA.fieldNames()}}
+                 **{k: [] for k in PACK_SCHEMA.fieldNames()}}, dtype=object
             )
         term_s = pdf["term"]
         docs_a = pdf["doc_idx"].to_numpy(np.int64)
@@ -417,7 +419,8 @@ def postings_from_docs(
             if not g_terms:
                 return pd.DataFrame(
                     {"doc_part": [], "term": [],
-                     **{k2: [] for k2 in PACK_SCHEMA.fieldNames()}}
+                     **{k2: [] for k2 in PACK_SCHEMA.fieldNames()}},
+                    dtype=object,
                 )
             term_arr = np.concatenate(g_terms)
             docs_a = np.concatenate(g_docs)

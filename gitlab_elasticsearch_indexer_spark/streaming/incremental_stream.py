@@ -14,17 +14,26 @@ row is the commit point, and Spark's streaming checkpoint (the
 ``checkpointLocation``) guarantees each batch is applied at least once
 with the version directory making replays idempotent.
 
-Scale design (the round-1 version rewrote the ENTIRE source state twice
-per micro-batch — O(corpus) I/O per trigger):
+Scale design (round 1 rewrote the ENTIRE source state twice per
+micro-batch; round 2 still RE-READ and re-hashed the whole corpus per
+trigger to re-derive the diff the batch already encoded):
 
-* source state lives hash-partitioned by ``state_part =
-  pmod(xxhash64(id), N)``; a batch rewrites ONLY the partitions that
-  contain its ids (dynamic partition overwrite), so per-batch write I/O
-  is O(|touched partitions|), not O(corpus);
+* the batch IS the change set: non-NULL-content rows are upserts,
+  NULL-content rows are deletes — it feeds ``update_index_delta``
+  directly, so per-trigger index compute is O(batch + touched doc
+  partitions), never a corpus re-read or re-hash (the reference model:
+  git/gitaly.go:123-174 streams only GetRawChanges);
+* the optional source-state mirror lives hash-partitioned by
+  ``state_part = pmod(xxhash64(id), N)``; a batch rewrites ONLY the
+  partitions that contain its ids (dynamic partition overwrite), so
+  per-batch state I/O is O(|touched partitions|), not O(corpus).  It
+  exists for snapshot reconstruction/tooling — the index update does
+  not read it;
 * snapshot ids derive from ``batch_id`` against a base snapshot pinned
   ONCE in ``_stream_meta`` at stream initialization — a post-crash
   replay of batch b maps to the same snapshot_id it had on the first
-  attempt, keeping replays idempotent across restarts.
+  attempt, keeping replays idempotent across restarts (the delta
+  updater additionally short-circuits committed snapshot ids).
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.incremental import latest_checkpoint, update_index
+from ..operators.incremental import latest_checkpoint, update_index_delta
 
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
@@ -44,9 +53,10 @@ def _state_part(col):
 
 
 def init_source_state(docs: DataFrame, index_dir: str) -> None:
-    """Persist the initial source snapshot next to the index (streaming
-    needs previous contents to reconstruct full snapshots from deltas),
-    hash-partitioned so batches can rewrite only touched partitions."""
+    """OPTIONAL: persist a source-state mirror next to the index (for
+    snapshot reconstruction / tooling — the index update itself consumes
+    batches as deltas and never reads this), hash-partitioned so batches
+    rewrite only touched partitions."""
     (
         docs.select("id", "content", "repo", "path", "lang")
         .withColumn("state_part", _state_part(F.col("id")))
@@ -88,20 +98,41 @@ def start_incremental_stream(
     base_snapshot = _stream_base_snapshot(spark, index_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         if batch_df.isEmpty():
             return
         src_path = f"{index_dir}/_source_state"
         batch_docs = batch_df.select(
             F.concat("repo", F.lit("_"), "path").alias("id"),
             "content", "repo", "path", "lang",
-        ).withColumn("state_part", _state_part(F.col("id"))).persist()
+        ).persist()
 
+        # THE index update: the micro-batch is the change set — upserts
+        # are the non-NULL-content rows, deletes the NULL-content rows.
+        # No source-state read, no corpus re-hash: cost is O(batch +
+        # touched doc partitions) end-to-end.
+        update_index_delta(
+            spark, index_dir,
+            upserts=batch_docs.filter(F.col("content").isNotNull()),
+            deletes=batch_docs.filter(F.col("content").isNull())
+            .select("id", "repo"),
+            snapshot_id=base_snapshot + batch_id + 1,
+        )
+
+        # optional source-state mirror (snapshot reconstruction/tooling):
+        # fold into touched state partitions only; skipped when
+        # init_source_state was never called
+        if os.path.isdir(src_path):
+            _fold_source_state(spark, src_path, batch_docs)
+        batch_docs.unpersist()
+
+    def _fold_source_state(spark, src_path: str, batch_docs: DataFrame) -> None:
+        staged = batch_docs.withColumn("state_part", _state_part(F.col("id")))
         touched = [
             int(r["state_part"])
-            for r in batch_docs.select("state_part").distinct().collect()
+            for r in staged.select("state_part").distinct().collect()
         ]
-        # fold the batch into ONLY the touched partitions: anti-join out
-        # the batch ids (covers modify + delete), union the upserts
         prev_touched = spark.read.parquet(src_path).filter(
             F.col("state_part").isin(touched)
         )
@@ -111,8 +142,8 @@ def start_incremental_stream(
         # src_path.  A persist() only caches lazily; cache eviction or
         # executor loss would recompute from the half-overwritten source.
         folded = (
-            prev_touched.join(batch_docs.select("id"), "id", "left_anti")
-            .unionByName(batch_docs.filter(F.col("content").isNotNull()))
+            prev_touched.join(staged.select("id"), "id", "left_anti")
+            .unionByName(staged.filter(F.col("content").isNotNull()))
             .localCheckpoint(eager=True)
         )
         surviving = {
@@ -131,19 +162,13 @@ def start_incremental_stream(
             folded.write.mode("overwrite").partitionBy("state_part").parquet(src_path)
         finally:
             spark.conf.set(mode_key, prev_mode)
-        batch_docs.unpersist()
         # a partition whose every row was deleted writes no data under
         # dynamic overwrite — drop its directory explicitly (under a
         # real table format this is the DELETE's metadata operation)
         import shutil
 
         for p in set(touched) - surviving:
-            d = f"{src_path}/state_part={p}"
-            shutil.rmtree(d, ignore_errors=True)
-
-        curr = spark.read.parquet(src_path)
-        update_index(spark, index_dir, curr,
-                     snapshot_id=base_snapshot + batch_id + 1)
+            shutil.rmtree(f"{src_path}/state_part={p}", ignore_errors=True)
 
     reader = (
         spark.readStream.schema(SOURCE_SCHEMA)

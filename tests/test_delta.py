@@ -1,0 +1,244 @@
+"""Delta-driven incremental updates (update_index_delta): the change
+set is consumed directly — no corpus re-read, no re-hash, no surviving
+document ever re-tokenized (the reference's GetRawChanges model,
+git/gitaly.go:123-174, indexer/indexer.go:35-76)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+from gitlab_elasticsearch_indexer_spark.operators.index_build import build_index
+from gitlab_elasticsearch_indexer_spark.operators.query import search
+
+DOCS_SCHEMA = "id string, content string, repo string, path string, lang string"
+
+
+def _base_docs(spark, n=120, repos=4):
+    rows = [
+        (f"r{i % repos}_f{i:04d}.py", f"if return getUser{i} alpha{i % repos} tok{i % 9}",
+         f"r{i % repos}", f"f{i:04d}.py", "Python" if i % 2 else "Go")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+@pytest.fixture()
+def base_index(spark, tmp_path):
+    docs = _base_docs(spark)
+    path = str(tmp_path / "didx")
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=16)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+    return docs, path
+
+
+def _topk(index, q, k=10, **kw):
+    return [(r["id"], round(r["score"], 9))
+            for r in search(index, q, k=k, **kw).collect()]
+
+
+def test_delta_matches_full_rebuild(spark, base_index):
+    docs, path = base_index
+    ups = spark.createDataFrame(
+        [
+            ("r1_f0005.py", "patched deltaContent if", "r1", "f0005.py", "Go"),
+            ("rX_new1.py", "brandNew deltaContent return", "rX", "new1.py", "Go"),
+            ("r0_f0000.py", "if return getUser0 alpha0 tok0", "r0", "f0000.py",
+             "Go"),  # unchanged content → must classify as a no-op
+        ],
+        DOCS_SCHEMA,
+    )
+    dels = spark.createDataFrame([("r2_f0002.py", "r2")], "id string, repo string")
+
+    out = inc.update_index_delta(spark, path, ups, dels, snapshot_id=1)
+
+    # equivalent corpus, built from scratch
+    last = F.substring("id", -7, 7)
+    expect = (
+        _base_docs(spark)
+        .filter(~F.col("id").isin("r1_f0005.py", "r2_f0002.py"))
+        .unionByName(ups.filter(F.col("id") != "r0_f0000.py")
+                     .filter(F.col("id") != "rX_new1.py"))
+        .unionByName(ups.filter(F.col("id") == "rX_new1.py"))
+    )
+    full = build_index(spark, expect, analyzer="simple", docs_per_part=16)
+
+    assert out.n_docs == full.n_docs
+    assert abs(out.avgdl - full.avgdl) < 1e-9
+    t_d = {r["term"]: (r["df"], r["cf"]) for r in out.term_stats.collect()}
+    t_f = {r["term"]: (r["df"], r["cf"]) for r in full.term_stats.collect()}
+    assert t_d == t_f
+
+    for q in ["if", "deltacontent", "getuser5", "brandnew", "alpha2"]:
+        a, b = _topk(out, q), _topk(full, q)
+        assert [x[0] for x in a] == [x[0] for x in b], (q, a, b)
+        assert np.allclose([x[1] for x in a], [x[1] for x in b], rtol=1e-9)
+
+    # deleted doc gone; unchanged-oid upsert did not churn
+    assert out.doc_stats.filter(F.col("id") == "r2_f0002.py").count() == 0
+    st = out.__dict__["delta_stats"]
+    assert st["n_appended"] == 2  # modified + new, NOT the no-op upsert
+    assert st["n_dead"] == 2      # old row of modified + the delete
+
+    # resumable: reload equals the returned view
+    re = inc.load_versioned(spark, path)
+    assert re.n_docs == full.n_docs
+    assert _topk(re, "deltacontent") == _topk(full, "deltacontent")
+    full.unpersist()
+
+
+def test_pure_add_touches_no_existing_partition(spark, base_index):
+    """A pure-add batch must open FRESH doc partitions and rebuild
+    nothing: the new version owns only parts past the old max, every old
+    part still resolves to version 0, and v0's files are untouched."""
+    import os
+
+    docs, path = base_index
+    old_parts = {
+        int(r["doc_part"])
+        for r in inc.load_versioned(spark, path).doc_stats
+        .select("doc_part").distinct().collect()
+    }
+    ups = spark.createDataFrame(
+        [("zz_newA.py", "freshPartDoc if", "zz", "newA.py", "Go"),
+         ("zz_newB.py", "freshPartDoc return", "zz", "newB.py", "Go")],
+        DOCS_SCHEMA,
+    )
+    v0_files = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(f"{path}/v0") for f in fs
+    }
+    out = inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+    st = out.__dict__["delta_stats"]
+    assert st["affected_parts"] == []  # nothing rebuilt
+    assert set(st["written_parts"]) == set(st["appended_parts"])
+    assert min(st["appended_parts"]) > max(old_parts)
+    # manifest: every pre-existing part still owned by v0
+    man = {int(r["doc_part"]): int(r["version"])
+           for r in spark.read.parquet(f"{path}/v1/manifest").collect()}
+    assert all(man[p] == 0 for p in old_parts)
+    v0_after = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(f"{path}/v0") for f in fs
+    }
+    assert v0_after == v0_files
+    assert _topk(out, "freshpartdoc", k=3)[0][0] in {"zz_newA.py", "zz_newB.py"}
+
+
+def test_delete_repacks_only_owning_partition_with_pruned_reads(spark, base_index):
+    """A 1-doc delete must (a) classify against a repo-PRUNED subset of
+    doc_stats partitions (the routing-manifest read path), and (b) write
+    only the owning partition's repack into the new version."""
+    docs, path = base_index
+    target = "r3_f0003.py"
+    before = inc.load_versioned(spark, path)
+    owner = int(before.doc_stats.filter(F.col("id") == target)
+                .select("doc_part").collect()[0][0])
+    n_before = before.n_docs
+
+    dels = spark.createDataFrame([(target, "r3")], "id string, repo string")
+    empty_ups = spark.createDataFrame([], DOCS_SCHEMA)
+    out = inc.update_index_delta(spark, path, empty_ups, dels, snapshot_id=1)
+
+    st = out.__dict__["delta_stats"]
+    all_parts = {
+        int(r["doc_part"])
+        for r in before.doc_stats.select("doc_part").distinct().collect()
+    }
+    assert set(st["cand_parts"]) < all_parts  # classify was pruned
+    assert st["written_parts"] == [owner]     # only the owner repacked
+    assert out.n_docs == n_before - 1
+    assert out.doc_stats.filter(F.col("id") == target).count() == 0
+    # the deleted doc's terms lost exactly one df everywhere it appeared
+    old_df = {r["term"]: r["df"] for r in before.term_stats.collect()}
+    new_df = {r["term"]: r["df"] for r in out.term_stats.collect()}
+    assert old_df["getuser3"] - new_df.get("getuser3", 0) == 1
+    # search result excludes it and scores reflect the new stats
+    assert all(h[0] != target for h in _topk(out, "getuser3 if", k=20))
+
+
+def test_delta_replay_is_idempotent(spark, base_index):
+    docs, path = base_index
+    ups = spark.createDataFrame(
+        [("r1_f0001.py", "replayed patched if", "r1", "f0001.py", "Go")],
+        DOCS_SCHEMA,
+    )
+    a = inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+    t_a = {r["term"]: (r["df"], r["cf"]) for r in a.term_stats.collect()}
+    # replay the SAME committed snapshot: short-circuits, state unchanged
+    b = inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+    t_b = {r["term"]: (r["df"], r["cf"]) for r in b.term_stats.collect()}
+    assert a.n_docs == b.n_docs and t_a == t_b
+    # re-sending the same change under a NEW snapshot is a no-op too
+    c = inc.update_index_delta(spark, path, ups, None, snapshot_id=2)
+    assert c.n_docs == b.n_docs
+    assert {r["term"]: (r["df"], r["cf"])
+            for r in c.term_stats.collect()} == t_b
+    assert inc.latest_checkpoint(spark, path)["snapshot_id"] == 1  # no v2
+
+
+def test_repeated_modification_empties_appended_part(spark, base_index):
+    """Modifying the same doc across consecutive deltas: the second
+    delta's repack kills EVERY doc of the part the first delta appended
+    (a 1-doc fresh part) — the part must die cleanly (empty-repack path)
+    and the manifest/stats must stay exact."""
+    docs, path = base_index
+    for s, text in enumerate(
+        ["first patchOne if", "second patchTwo if", "third patchThree if"], 1
+    ):
+        ups = spark.createDataFrame(
+            [("r1_f0001.py", text, "r1", "f0001.py", "Go")], DOCS_SCHEMA)
+        out = inc.update_index_delta(spark, path, ups, None, snapshot_id=s)
+    assert out.n_docs == 120  # modified in place, never duplicated
+    assert out.doc_stats.filter(F.col("id") == "r1_f0001.py").count() == 1
+    tdf = {r["term"]: r["df"] for r in out.term_stats.collect()}
+    assert tdf.get("patchthree") == 1
+    assert "patchone" not in tdf and "patchtwo" not in tdf
+    hits = _topk(out, "patchthree", k=3)
+    assert hits and hits[0][0] == "r1_f0001.py"
+    assert not _topk(out, "patchone", k=3)
+    # equivalence with a from-scratch build of the final corpus
+    final = _base_docs(spark).withColumn(
+        "content",
+        F.when(F.col("id") == "r1_f0001.py", F.lit("third patchThree if"))
+        .otherwise(F.col("content")))
+    full = build_index(spark, final, analyzer="simple", docs_per_part=16)
+    assert abs(out.avgdl - full.avgdl) < 1e-9
+    t_f = {r["term"]: r["df"] for r in full.term_stats.collect()}
+    assert tdf == t_f
+    full.unpersist()
+
+
+def test_streaming_uses_delta_path_without_source_state(spark, tmp_path):
+    """The stream must work with NO source-state mirror at all — proof
+    the index update consumes the batch as a delta rather than
+    reconstructing snapshots."""
+    from gitlab_elasticsearch_indexer_spark.streaming.incremental_stream import (
+        start_incremental_stream,
+    )
+
+    docs = _base_docs(spark, n=60)
+    path = str(tmp_path / "sidx")
+    landing = str(tmp_path / "landing")
+    scp = str(tmp_path / "scp")
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=16)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+
+    batch = spark.createDataFrame(
+        [
+            ("zz", "stream_new.py", "c" * 40, "Go", "streamDeltaDoc if"),
+            ("r1", "f0001.py", "d" * 40, "Go", None),  # NULL content = delete
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    q = start_incremental_stream(spark, landing, path, scp, available_now=True)
+    q.awaitTermination(300)
+
+    out = inc.load_versioned(spark, path)
+    assert out.n_docs == 60  # +1 add, -1 delete
+    assert out.doc_stats.filter(F.col("id") == "r1_f0001.py").count() == 0
+    hits = _topk(out, "streamdeltadoc", k=3)
+    assert hits and hits[0][0] == "zz_stream_new.py"
