@@ -659,6 +659,60 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_BATCH_FILTERED = {
+    "q_lang": {"q": "window batch", "lang": "en"},
+    "q_repo": {"q": "table scan", "repo": "src3"},
+    "q_both": {"q": "spark merge", "lang": "en", "repo": "src1"},
+}
+
+
+def q_search_many_filtered(spark, sf_dir):
+    """B16/B17 feature parity on the BATCHED path: per-query lang/repo
+    predicates ride the same per-part bitmap sidecars, repo-scoped
+    entries prune their doc_parts, and the per-query kernel is block-max
+    WAND — one Spark job for the whole filtered batch."""
+    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
+                         docs_per_part=128)
+    out = q.search_many(idx, _BATCH_FILTERED, k=10, mode="bmw")
+    return out.select("query_id", "rank", "id", F.round("score", 4).alias("score"))
+
+
+def _sql_search_many_filtered() -> str:
+    qrows, qfrows = [], []
+    for qid, spec in _BATCH_FILTERED.items():
+        for t in spec["q"].split():
+            qrows.append(f"('{qid}', '{t}')")
+        lang = f"'{spec['lang']}'" if spec.get("lang") else "NULL"
+        repo = f"'{spec['repo']}'" if spec.get("repo") else "NULL"
+        qfrows.append(f"('{qid}', {lang}, {repo})")
+    return f"""
+WITH q(query_id, term) AS (VALUES {", ".join(qrows)}),
+qf(query_id, f_lang, f_repo) AS (VALUES {", ".join(qfrows)}),
+{_BM25_CTES.removeprefix("WITH ")},
+per_query AS (
+    SELECT q.query_id, tf.id,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+    FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.id
+),
+filtered AS (
+    SELECT p.query_id, p.id, p.raw
+    FROM per_query p JOIN qf USING (query_id) JOIN meta USING (id)
+    WHERE (qf.f_lang IS NULL OR meta.lang = qf.f_lang)
+      AND (qf.f_repo IS NULL OR meta.repo = qf.f_repo)
+),
+ranked AS (
+    SELECT query_id, id, raw,
+           row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, id ASC) AS rank
+    FROM filtered
+)
+SELECT query_id, rank::INTEGER AS rank, id, round(raw, 4) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_bm25_default_analyzer(spark, sf_dir):
     """B6: default analyzer (standard tokenizer + lowercase +
     light_english stem) end-to-end — a plural query form matches
@@ -1284,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b6_bm25_stemmed_search": q_bm25_default_analyzer,
         "a10_b6_commit_search": q_commit_search,
         "b14_bm25_search_many": q_bm25_search_many,
+        "b16_b17_search_many_filtered": q_search_many_filtered,
         "b19_get_by_id": q_get_by_id,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
@@ -1333,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "b6_bm25_stemmed_search": SQL_BM25_DEFAULT,
         "a10_b6_commit_search": SQL_COMMIT_SEARCH,
         "b14_bm25_search_many": _sql_search_many(),
+        "b16_b17_search_many_filtered": _sql_search_many_filtered(),
         "b19_get_by_id": SQL_GET_BY_ID,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,

@@ -361,7 +361,7 @@ def _bmw_topk(terms, k):
 
 def search_many(
     index: InvertedIndex,
-    queries: dict[str, str],
+    queries: dict[str, str | dict],
     k: int = 10,
     mode: str = "exhaustive",
 ) -> DataFrame:
@@ -371,10 +371,31 @@ def search_many(
     postings are decoded once and reused by all queries containing it —
     the amortization that makes a query *service* viable on Spark (per-
     query jobs pay ~0.3 s scheduling floor each; a batch pays it once).
+
+    Full feature parity with :func:`search`: each entry of ``queries``
+    is either a plain query string or a spec dict ``{"q": str,
+    "lang": str|None, "repo": str|None}``.  Keyword predicates ride the
+    same per-part packed bitmaps (B16), repo-scoped entries prune their
+    scoring to the doc_parts whose ``part_meta`` range covers the repo
+    (B17) — and when EVERY entry is repo-scoped the postings scan itself
+    is pruned to the union of their parts.  ``mode="bmw"`` runs the
+    block-max WAND kernel per query over the shared decodes.
     """
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
-    weights = {qid: Counter(analyze_query(qs)) for qid, qs in queries.items()}
+    use_bmw = mode == "bmw"
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, id string, score double"
+    )
+
+    specs: dict[str, tuple[str, str | None, str | None]] = {}
+    for qid, spec in queries.items():
+        if isinstance(spec, str):
+            specs[qid] = (spec, None, None)
+        else:
+            specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
+
+    weights = {qid: Counter(analyze_query(qs)) for qid, (qs, _, _) in specs.items()}
     all_terms = sorted({t for w in weights.values() for t in w})
     idf = index.idf_map(all_terms)
     widf_by_query = {
@@ -383,41 +404,89 @@ def search_many(
     }
     widf_by_query = {qid: w for qid, w in widf_by_query.items() if w}
     if not widf_by_query:
-        return spark.createDataFrame(
-            [], "query_id string, rank int, id string, score double"
+        return empty
+
+    preds_by_query: dict[str, list[tuple[str, str]]] = {}
+    for qid in widf_by_query:
+        _, lang, repo = specs[qid]
+        p = []
+        if lang is not None:
+            p.append(("lang", lang))
+        if repo is not None:
+            p.append(("repo", repo))
+        preds_by_query[qid] = p
+    needed_preds = sorted({p for ps in preds_by_query.values() for p in ps})
+    if needed_preds and index.filters is None:
+        raise ValueError(
+            "keyword-filtered search_many needs the index's filters sidecar "
+            "(rebuild or re-save the index with this version)"
         )
 
-    live_terms = sorted({t for w in widf_by_query.values() for t in w})
-    cand = index.postings.filter(F.col("term").isin(live_terms)).select(
-        "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
+    # B17 routing: one bounded part_meta collect covers every repo-scoped
+    # entry; each such query scores only its covering doc_parts.
+    parts_by_query: dict[str, set[int]] = {}
+    repos = sorted(
+        {specs[qid][2] for qid in widf_by_query if specs[qid][2] is not None}
     )
-    avgdl = index.avgdl
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded = {}
-        for row in pdf.itertuples(index=False):
-            docs, tfs, dls = unpack_postings(
-                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
-            )
-            decoded[row.term] = (docs.astype(np.int64), _tfn(tfs, dls, avgdl))
-        qids, didx, scores = [], [], []
-        for qid, widf in widf_by_query.items():
-            terms = [
-                {"w": w, "docs": decoded[t][0], "tfn": decoded[t][1]}
-                for t, w in widf.items()
-                if t in decoded
-            ]
-            if not terms:
+    if repos and index.part_meta is not None:
+        cond = None
+        for r in repos:
+            c = (F.col("repo_min") <= r) & (F.col("repo_max") >= r)
+            cond = c if cond is None else (cond | c)
+        pm_rows = index.part_meta.filter(cond).select(
+            "doc_part", "repo_min", "repo_max"
+        ).collect()
+        for qid in widf_by_query:
+            repo = specs[qid][2]
+            if repo is None:
                 continue
-            d, s = _exhaustive_topk(terms, k)
-            qids.extend([qid] * len(d))
-            didx.extend(d.tolist())
-            scores.extend(s.tolist())
-        return pd.DataFrame({"query_id": qids, "doc_idx": didx, "score": scores})
+            parts_by_query[qid] = {
+                int(r["doc_part"]) for r in pm_rows
+                if r["repo_min"] <= repo <= r["repo_max"]
+            }
+        # a repo pruned to zero parts can have no hits — drop it now
+        widf_by_query = {
+            qid: w for qid, w in widf_by_query.items()
+            if parts_by_query.get(qid) is None or parts_by_query[qid]
+        }
+        if not widf_by_query:
+            return empty
 
-    scored = cand.groupBy("doc_part").applyInPandas(
-        kernel, schema="query_id string, doc_idx long, score double"
+    cols = ["doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"]
+    if use_bmw:
+        cols += ["block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl"]
+    live_terms = sorted({t for w in widf_by_query.values() for t in w})
+    cand = index.postings.filter(F.col("term").isin(live_terms)).select(*cols)
+
+    # scan-level pruning is sound only when EVERY live entry is part-
+    # restricted; one unrestricted query needs all parts anyway
+    scan_parts: list[int] | None = None
+    if all(qid in parts_by_query for qid in widf_by_query):
+        scan_parts = sorted({p for ps in parts_by_query.values() for p in ps})
+        cand = cand.filter(F.col("doc_part").isin(scan_parts))
+
+    kernel = _make_batch_kernel(
+        widf_by_query, preds_by_query, parts_by_query,
+        index.avgdl, k, use_bmw, index.docs_per_part,
     )
+    out_schema = "query_id string, doc_idx long, score double"
+    if needed_preds:
+        cond = None
+        for f, v in needed_preds:
+            c = (F.col("field") == f) & (F.col("value") == v)
+            cond = c if cond is None else (cond | c)
+        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        if scan_parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(scan_parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=out_schema)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=out_schema
+        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -430,6 +499,101 @@ def search_many(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "score")
     )
+
+
+def _make_batch_kernel(
+    widf_by_query: dict[str, dict[str, float]],
+    preds_by_query: dict[str, list[tuple[str, str]]],
+    parts_by_query: dict[str, set[int]],
+    avgdl: float,
+    k: int,
+    use_bmw: bool,
+    docs_per_part: int,
+):
+    """Per-doc_part batched kernel: decode each term ONCE, score every
+    query against the shared decodes (masked per query by its predicate
+    bitmaps; skipped entirely when the query's repo routing excludes this
+    part).  Block metadata stays a valid looser bound under masks, so the
+    per-query BMW kernel remains exact (same argument as the single-query
+    path)."""
+    from ..functions.codecs import unpack_doc_set
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_idx": [], "score": []})
+        if len(post_pdf) == 0:
+            return empty
+        part = int(post_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        bitmaps: dict[tuple[str, str], np.ndarray] = {}
+        if filter_pdf is not None and len(filter_pdf):
+            for row in filter_pdf.itertuples(index=False):
+                bitmaps[(row.field, row.value)] = unpack_doc_set(
+                    bytes(row.bits), docs_per_part
+                )
+
+        decoded: dict[str, dict] = {}
+        for row in post_pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            ent = {"docs": docs.astype(np.int64), "tfn": _tfn(tfs, dls, avgdl)}
+            if use_bmw:
+                ent["block_last"] = np.asarray(row.block_last, dtype=np.int64)
+                ent["block_max"] = _tfn(
+                    np.asarray(row.block_max_tf, dtype=np.int64),
+                    np.asarray(row.block_min_dl, dtype=np.int64),
+                    avgdl,
+                )
+                ent["ub_tfn"] = float(
+                    _tfn(np.array([row.max_tf]), np.array([row.min_dl]), avgdl)[0]
+                )
+            decoded[row.term] = ent
+
+        qids: list[str] = []
+        didx: list[int] = []
+        scores: list[float] = []
+        for qid, widf in widf_by_query.items():
+            pq = parts_by_query.get(qid)
+            if pq is not None and part not in pq:
+                continue  # repo routing excludes this part for this query
+            bits = None
+            missing_pred = False
+            for p in preds_by_query.get(qid) or []:
+                b = bitmaps.get(p)
+                if b is None:  # predicate matches no doc in this part
+                    missing_pred = True
+                    break
+                bits = b if bits is None else (bits & b)
+            if missing_pred or (bits is not None and not bits.any()):
+                continue
+            terms = []
+            for t, w in widf.items():
+                ent = decoded.get(t)
+                if ent is None:
+                    continue
+                docs, tfn = ent["docs"], ent["tfn"]
+                if bits is not None:
+                    keep = bits[docs - base]
+                    if not keep.any():
+                        continue
+                    docs, tfn = docs[keep], tfn[keep]
+                term = {"w": w, "docs": docs, "tfn": tfn}
+                if use_bmw:
+                    term["block_last"] = ent["block_last"]
+                    term["block_max"] = ent["block_max"]
+                    term["ub"] = w * ent["ub_tfn"]
+                terms.append(term)
+            if not terms:
+                continue
+            d, s = _bmw_topk(terms, k) if use_bmw else _exhaustive_topk(terms, k)
+            qids.extend([qid] * len(d))
+            didx.extend(d.tolist())
+            scores.extend(s.tolist())
+        if not qids:
+            return empty
+        return pd.DataFrame({"query_id": qids, "doc_idx": didx, "score": scores})
+
+    return kernel
 
 
 def get_by_id(index: InvertedIndex, doc_id: str) -> DataFrame:

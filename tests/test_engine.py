@@ -221,3 +221,65 @@ def test_search_many_matches_single_queries(index):
         got = sorted(by_q.get(qid, []))
         assert [g[:2] for g in got] == [s[:2] for s in single], (qid, got, single)
         assert np.allclose([g[2] for g in got], [s[2] for s in single], rtol=1e-9)
+
+
+_BATCH_SPECS = {
+    "plain": "if return",
+    "lang": {"q": "if", "lang": "Python"},
+    "repo": {"q": "return", "repo": "repo-003"},
+    "both": {"q": "if def", "lang": "Python", "repo": "repo-001"},
+    "miss": {"q": "if", "repo": "no-such-repo"},
+}
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw"])
+def test_search_many_filtered_matches_single(index, mode):
+    """B16/B17 parity on the batched path: per-query lang/repo predicates
+    (bitmap-masked) and repo part-pruning must reproduce per-query
+    ``search`` exactly, in both kernels."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    batched = search_many(index, _BATCH_SPECS, k=5, mode=mode).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["score"]))
+    for qid, spec in _BATCH_SPECS.items():
+        if isinstance(spec, str):
+            spec = {"q": spec}
+        single = [
+            (i + 1, r["id"], r["score"])
+            for i, r in enumerate(
+                search(index, spec["q"], k=5, lang=spec.get("lang"),
+                       repo=spec.get("repo"), mode=mode).collect()
+            )
+        ]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [s[:2] for s in single], (
+            mode, qid, got, single
+        )
+        assert np.allclose([g[2] for g in got], [s[2] for s in single], rtol=1e-9)
+
+
+def test_search_many_all_repo_scoped_prunes_scan(index):
+    """When every batch entry is repo-scoped, the postings scan itself is
+    pruned to the union of covering doc_parts (static IN on doc_part)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    all_parts = {
+        r["doc_part"] for r in index.part_meta.select("doc_part").collect()
+    }
+    one_repo = {"only": {"q": "return", "repo": "repo-003"}}
+    covering = {
+        int(r["doc_part"])
+        for r in index.part_meta.filter(
+            (F.col("repo_min") <= "repo-003") & (F.col("repo_max") >= "repo-003")
+        ).select("doc_part").collect()
+    }
+    assert covering and covering < all_parts, "fixture must allow pruning"
+    plan = search_many(index, one_repo, k=5)._jdf.queryExecution().toString()
+    assert "doc_part" in plan and "IN" in plan.upper()
+    # and the pruned run still matches the unpruned per-query search
+    got = [(r["rank"], r["id"]) for r in search_many(index, one_repo, k=5).collect()]
+    exp = [(i + 1, r["id"]) for i, r in enumerate(
+        search(index, "return", k=5, repo="repo-003").collect())]
+    assert sorted(got) == exp
