@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--source", required=True)
     u.add_argument("--index", required=True)
     u.add_argument("--snapshot", type=int, required=True)
+    # the reference re-indexes commits on EVERY incremental run unless
+    # --skip-commits (main.go:73-77) — mirror that here
+    u.add_argument("--commits", default=None,
+                   help="parquet dir of the commit snapshot; keeps the "
+                        "commit index current through the update")
+    u.add_argument("--skip-commits", action="store_true")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -135,7 +141,24 @@ def main(argv: list[str] | None = None) -> int:
             snapshot_id=args.snapshot,
             store_docs=docs,  # typed-GET store maintained from the diff
         )
-        print(json.dumps({"snapshot": args.snapshot, "n_docs": idx.n_docs}))
+        out = {"snapshot": args.snapshot, "n_docs": idx.n_docs}
+        import os
+
+        croot = f"{args.index}/commit_index"
+        if (not args.skip_commits and args.commits
+                and os.path.isdir(f"{croot}/checkpoint")):
+            commits = spark.read.parquet(args.commits)
+            cdocs = pl.build_commit_documents(commits)
+            cidx = inc.update_index(
+                spark, croot,
+                cdocs.select("id", F.col("message").alias("content"),
+                             F.col("rid").alias("repo"),
+                             F.lit("").alias("path"), F.lit("").alias("lang")),
+                snapshot_id=args.snapshot,
+                store_docs=cdocs,
+            )
+            out["commits_n_docs"] = cidx.n_docs
+        print(json.dumps(out))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)

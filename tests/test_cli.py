@@ -93,6 +93,45 @@ def test_cli_build_search_commits_update(spark, dirs, capsys, tmp_path):
     assert len(rows) == 1 and rows[0]["content"] == "def brandNewFunction end"
 
 
+def test_cli_update_maintains_commit_index(spark, dirs, capsys, tmp_path):
+    """The reference re-indexes commits on every incremental run unless
+    --skip-commits (main.go:73-77): an update given the commit snapshot
+    must make new commit messages searchable and typed-GETtable."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx, "--commits", commits]) == 0
+    _lines(capsys)
+
+    commits2 = str(tmp_path / "commits2")
+    spark.read.parquet(commits).unionByName(
+        spark.createDataFrame(
+            [("repo2", "1" * 40, "mallory", "m@x.io",
+              datetime(2024, 4, 2, 3, 4, 5), "mallory", "m@x.io",
+              datetime(2024, 4, 2, 3, 4, 6), "Hardens threadsafe quicksort")],
+            COMMIT_SCHEMA,
+        )
+    ).write.parquet(commits2)
+    assert main(["update", "--source", src, "--index", idx,
+                 "--snapshot", "1", "--commits", commits2]) == 0
+    out = _lines(capsys)[-1]
+    assert out["n_docs"] == 3 and out["commits_n_docs"] == 4
+
+    assert main(["search", "--index", idx, "--doc-type", "commit",
+                 "--query", "threadsafe quicksort"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo2_" + "1" * 40
+
+    assert main(["get", "--index", idx, "--type", "commit",
+                 "--parent", "repo2", "--sha", "1" * 40]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1 and rows[0]["message"] == "Hardens threadsafe quicksort"
+
+    # --skip-commits leaves the commit index at its previous snapshot
+    assert main(["update", "--source", src, "--index", idx,
+                 "--snapshot", "2", "--commits", commits2,
+                 "--skip-commits"]) == 0
+    assert "commits_n_docs" not in _lines(capsys)[-1]
+
+
 def test_cli_wiki_blob_and_skip_commits(spark, dirs, capsys, tmp_path):
     src, commits, idx = dirs
     widx = str(tmp_path / "widx")
