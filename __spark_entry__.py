@@ -414,6 +414,81 @@ SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id
 """.format(id=_DOC_ID_SQL)
 
 
+_COMP_DOCS = [
+    ("zzz_comp_0", "compaction spark segment alpha"),
+    ("zzz_comp_1", "compaction merge segment beta"),
+    ("zzz_comp_2", "spark merge gamma"),
+    ("zzz_comp_3", "segment spark delta"),
+    ("zzz_comp_4", "compaction spark epsilon"),
+]
+
+
+def q_compacted_search(spark, sf_dir):
+    """B11/B12 segment merge: versioned build → two small delta appends
+    (each opens a tiny fresh doc partition) → ``compact_index`` merges
+    the accreted parts (Lucene merge / ES _forcemerge analog) → BM25
+    search over the COMPACTED index must equal a flat oracle over the
+    union corpus (renumbering docs must be score-invisible)."""
+    import os
+    import shutil
+
+    from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+
+    scratch = f"/root/repo/.cache/b11c_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    docs = _docs(spark, sf_dir)
+    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=128)
+    inc.save_versioned(idx, scratch, snapshot_id=0)
+    idx.unpersist()
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, t, "zzz", i, "xx") for i, t in rows],
+            "id string, content string, repo string, path string, lang string",
+        )
+
+    inc.update_index_delta(spark, scratch, batch(_COMP_DOCS[:3]), None,
+                           snapshot_id=1)
+    inc.update_index_delta(spark, scratch, batch(_COMP_DOCS[3:]), None,
+                           snapshot_id=2)
+    out = inc.compact_index(spark, scratch, snapshot_id=3)
+    hits = q.search(out, "spark segment", k=15, mode="bmw")
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+def _sql_compacted_search() -> str:
+    vals = ", ".join(f"('{i}', '{t}')" for i, t in _COMP_DOCS)
+    return f"""
+WITH alldocs AS (
+    SELECT {_DOC_ID_SQL} AS id, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {vals}) v(id, text)
+),
+q AS (SELECT unnest(['spark', 'segment']) AS term),
+tok AS (
+    SELECT id, lower(t.tok) AS term
+    FROM alldocs, unnest(string_split_regex(text, '\\s+')) AS t(tok)
+    WHERE t.tok <> ''
+),
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.id,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+    FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+    CROSS JOIN stats s
+    GROUP BY tf.id
+)
+SELECT id, round(raw, 4) AS score FROM scored
+ORDER BY raw DESC, id ASC
+LIMIT 15
+"""
+
+
 def q_parent_child_join(spark, sf_dir):
     """B18/A11: the ES join_field parent-child relation realized as a
     broadcast equi-join of blob docs against a projects dim
@@ -1323,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_commit_docs": q_commit_docs,
         "a12_upsert_last_write_wins": q_upsert_last_write_wins,
         "a13_a16_delete_by_id": q_delete_by_id,
+        "b11_b12_compacted_search": q_compacted_search,
         "a11_b18_parent_child_join": q_parent_child_join,
         "b1_b3_tokenize_tf": q_tokenize_tf,
         "b5_edge_ngram_tf": q_edge_ngram_tf,
@@ -1373,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "a10_commit_docs": SQL_COMMIT_DOCS,
         "a12_upsert_last_write_wins": SQL_UPSERT,
         "a13_a16_delete_by_id": SQL_DELETE_BY_ID,
+        "b11_b12_compacted_search": _sql_compacted_search(),
         "a11_b18_parent_child_join": SQL_PARENT_CHILD,
         "b1_b3_tokenize_tf": SQL_TOKENIZE_TF,
         "b5_edge_ngram_tf": SQL_EDGE_NGRAM_TF,

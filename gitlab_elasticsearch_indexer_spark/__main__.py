@@ -52,6 +52,14 @@ def main(argv: list[str] | None = None) -> int:
                         "commit index current through the update")
     u.add_argument("--skip-commits", action="store_true")
 
+    co = sub.add_parser("compact", help="merge under-filled doc partitions "
+                                        "accreted by incremental updates "
+                                        "(Lucene segment-merge analog)")
+    co.add_argument("--index", required=True)
+    co.add_argument("--snapshot", type=int, required=True)
+    co.add_argument("--min-fill", type=float, default=0.5,
+                    help="parts below this fill fraction are merged")
+
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -159,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["commits_n_docs"] = cidx.n_docs
         print(json.dumps(out))
+    elif args.cmd == "compact":
+        idx = inc.compact_index(spark, args.index, snapshot_id=args.snapshot,
+                                min_fill=args.min_fill)
+        st = idx.__dict__.get("compact_stats",
+                              {"compacted_parts": [], "written_parts": []})
+        print(json.dumps({"snapshot": args.snapshot, "n_docs": idx.n_docs,
+                          "compacted_parts": len(st["compacted_parts"]),
+                          "written_parts": len(st["written_parts"])}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)

@@ -773,6 +773,207 @@ def update_index_delta(
     return out
 
 
+def _make_remap_kernel():
+    """Cogrouped kernel: (postings of one small doc_part, that part's
+    (old_idx → new doc_idx) rows) → decoded gram-level term rows carrying
+    the NEW doc ids.  The remap is monotone (rank of old doc_idx), so
+    every decoded list stays sorted; no content, no re-tokenization."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import unpack_postings
+
+    def remap(post_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"term": pd.Series(dtype=object),
+             "doc_idx": pd.Series(dtype=np.int64),
+             "tf": pd.Series(dtype=np.int32),
+             "dl": pd.Series(dtype=np.int32)}
+        )
+        if len(post_pdf) == 0 or len(map_pdf) == 0:
+            return empty
+        old_idx = map_pdf["old_idx"].to_numpy(np.int64)
+        new_idx = map_pdf["doc_idx"].to_numpy(np.int64)
+        order = np.argsort(old_idx)
+        old_idx, new_idx = old_idx[order], new_idx[order]
+        terms, t_doc, t_tf, t_dl = [], [], [], []
+        for row in post_pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            pos = np.searchsorted(old_idx, docs.astype(np.int64))
+            terms.append(np.full(len(docs), row.term, dtype=object))
+            t_doc.append(new_idx[pos])
+            t_tf.append(tfs.astype(np.int32))
+            t_dl.append(dls.astype(np.int32))
+        return pd.DataFrame(
+            {"term": np.concatenate(terms),
+             "doc_idx": np.concatenate(t_doc),
+             "tf": np.concatenate(t_tf),
+             "dl": np.concatenate(t_dl)}
+        )
+
+    return remap
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int,
+    min_fill: float = 0.5,
+    min_parts: int = 2,
+) -> InvertedIndex:
+    """Segment-merge analog (Lucene merge / ES _forcemerge): coalesce
+    the under-filled doc partitions that delta appends accrete into
+    dense partitions — WITHOUT reading or re-tokenizing any document.
+
+    * small parts: ``n_docs < min_fill * docs_per_part`` per the
+      part_meta sidecars (fallback: a doc_stats count); a no-op below
+      ``min_parts`` of them;
+    * their docs get new dense doc_idx past the current max partition —
+      the rank of the old doc_idx, a monotone remap, so every decoded
+      posting list stays sorted and lists merge by concatenation;
+    * postings are decoded → remapped → merged per (new part, term) →
+      re-packed (``expand=None``: the stored grams must not be
+      re-expanded); doc_stats rows are remapped identically;
+    * untouched partitions carry over by manifest reference; term_stats
+      and the collection globals are invariant under doc renumbering
+      and carry forward;
+    * replays are idempotent (committed snapshot_id short-circuits) and
+      a crash before the checkpoint row leaves the previous snapshot
+      authoritative.
+
+    Cost: O(size of the compacted segments) — the accretion since the
+    last compaction — never O(corpus).
+    """
+    import os
+
+    from .index_build import PACK_SCHEMA, make_pack_group_kernel
+
+    t0 = time.time()
+    last = latest_checkpoint(spark, path)
+    if snapshot_id <= int(last["snapshot_id"]):
+        return load_versioned(spark, path)
+    prev_snapshot = int(last["snapshot_id"])
+    dpp = int(last["docs_per_part"])
+    by_version = _manifest_by_version(spark, path, prev_snapshot)
+    all_parts = {p for ps in by_version.values() for p in ps}
+
+    pm = None
+    if by_version and all(
+        os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version
+    ):
+        for v, ps in by_version.items():
+            t = spark.read.parquet(f"{path}/v{v}/part_meta").filter(
+                F.col("doc_part").isin(ps)
+            )
+            pm = t if pm is None else pm.unionByName(t)
+    if pm is None:
+        pm = _read_parts(spark, path, by_version, "doc_stats").groupBy(
+            "doc_part"
+        ).agg(F.count("*").alias("n_docs"))
+    small = sorted(
+        int(r["doc_part"])
+        for r in pm.filter(F.col("n_docs") < int(min_fill * dpp))
+        .select("doc_part").collect()
+    )
+    if len(small) < min_parts:
+        return load_versioned(spark, path)
+
+    caches: list = []
+    small_versions = _restrict_versions(by_version, set(small))
+    old_ds = _read_parts(spark, path, small_versions, "doc_stats")
+    new_base = (max(all_parts) + 1) * dpp
+
+    remapped = (
+        assign_doc_ids(
+            old_ds.withColumnRenamed("doc_idx", "old_idx")
+            .withColumnRenamed("doc_part", "old_part"),
+            id_col="old_idx", caches=caches,
+        )
+        .withColumn("doc_idx", F.col("doc_idx") + F.lit(new_base))
+        .persist()
+    )
+    caches.append(remapped)
+    new_ds = remapped.select(
+        (F.col("doc_idx") / dpp).cast("long").alias("doc_part"),
+        "doc_idx", "id", "repo", "path", "lang", "oid", "dl",
+    )
+
+    old_post = _read_parts(spark, path, small_versions, "postings")
+    term_rows = (
+        old_post.groupBy("doc_part")
+        .cogroup(remapped.select("old_part", "old_idx", "doc_idx")
+                 .groupBy("old_part"))
+        .applyInPandas(
+            _make_remap_kernel(),
+            schema="term string, doc_idx long, tf int, dl int",
+        )
+    )
+    bucketed = term_rows.select(
+        (F.col("doc_idx") / dpp).cast("long").alias("doc_part"),
+        F.pmod(F.xxhash64(F.substring("term", 1, 2)), F.lit(32)).alias("bucket"),
+        "term", "doc_idx", "tf", "dl",
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("doc_part", LongType()), StructField("term", StringType())]
+        + list(PACK_SCHEMA.fields)
+    )
+    new_post = bucketed.groupBy("doc_part", "bucket").applyInPandas(
+        make_pack_group_kernel(None), schema=out_schema
+    )
+
+    vdir = f"{path}/v{snapshot_id}"
+    new_post.repartition("doc_part").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("doc_part").parquet(f"{vdir}/postings")
+    new_ds.write.mode("overwrite").partitionBy("doc_part").parquet(
+        f"{vdir}/doc_stats"
+    )
+    vds = spark.read.parquet(f"{vdir}/doc_stats")
+    _write_sidecars(None, None, vds, dpp, vdir)
+    written_parts = {
+        int(r["doc_part"]) for r in vds.select("doc_part").distinct().collect()
+    }
+
+    old_manifest = spark.read.parquet(f"{path}/v{prev_snapshot}/manifest")
+    kept = old_manifest.filter(
+        ~F.col("doc_part").isin([int(p) for p in (set(small) | written_parts)])
+    )
+    new_rows = spark.createDataFrame(
+        [(int(p), snapshot_id) for p in sorted(written_parts)],
+        "doc_part long, version long",
+    )
+    kept.unionByName(new_rows).write.mode("overwrite").parquet(f"{vdir}/manifest")
+
+    # df/cf/idf are invariant under doc renumbering — carry forward
+    spark.read.parquet(f"{path}/v{prev_snapshot}/term_stats").write.mode(
+        "overwrite"
+    ).parquet(f"{vdir}/term_stats")
+
+    staged = InvertedIndex(
+        postings=spark.read.parquet(f"{vdir}/postings"),
+        doc_stats=vds, term_stats=None,  # type: ignore[arg-type]
+        n_docs=0, avgdl=0.0, analyzer="", docs_per_part=0,
+    )
+    _write_lineage(spark, path, snapshot_id, staged, rebuilt_parts=written_parts)
+    spark.createDataFrame(
+        [(snapshot_id, int(last["n_docs"]), float(last["avgdl"]),
+          last["analyzer"], dpp, round(time.time() - t0, 3), "compact")],
+        CHECKPOINT_SCHEMA,
+    ).write.mode("append").parquet(f"{path}/checkpoint")
+    for df in caches:
+        df.unpersist()
+    out = load_versioned(spark, path, snapshot_id)
+    out.__dict__["compact_stats"] = {
+        "compacted_parts": small,
+        "written_parts": sorted(written_parts),
+    }
+    return out
+
+
 def _load_via_manifest(spark: SparkSession, path: str, snapshot_id: int) -> InvertedIndex:
     """Pre-checkpoint staging view: postings/doc_stats through a manifest
     whose snapshot row does not exist yet (used to compute the globals

@@ -387,7 +387,20 @@ def postings_from_docs(
         + list(PACK_SCHEMA.fields)
     )
 
-    expand = EXPAND_PREFIXES[analyzer]
+    pack_group = make_pack_group_kernel(EXPAND_PREFIXES[analyzer])
+    return term_rows.groupBy("doc_part", "bucket").applyInPandas(
+        pack_group, schema=out_schema
+    )
+
+
+def make_pack_group_kernel(expand: tuple[int, int] | None):
+    """(doc_part, bucket)-group kernel: term rows → packed posting rows.
+
+    ``expand``: (lo, hi) edgeNGram prefix range to apply post-shuffle
+    (the "code" analyzer ships captures), or None when the input rows
+    already carry final terms (simple/default analyzers — and
+    :func:`compact_index`'s decoded gram rows, which must NOT be
+    re-expanded)."""
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -461,9 +474,7 @@ def postings_from_docs(
         )
         return out
 
-    return term_rows.groupBy("doc_part", "bucket").applyInPandas(
-        pack_group, schema=out_schema
-    )
+    return pack_group
 
 
 def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:

@@ -210,6 +210,76 @@ def test_repeated_modification_empties_appended_part(spark, base_index):
     full.unpersist()
 
 
+def test_compact_merges_small_parts_losslessly(spark, base_index):
+    """compact_index (Lucene segment-merge analog): the tiny doc
+    partitions accreted by single-doc delta appends merge into one dense
+    partition with IDENTICAL search results, term stats, and doc stats —
+    docs are renumbered, never re-read; full partitions are untouched."""
+    import os
+
+    docs, path = base_index
+    for s in range(1, 5):  # accrete four 1-doc appended partitions
+        ups = spark.createDataFrame(
+            [(f"zz_acc{s}.py", f"accreted{s} compactme if", "zz",
+              f"acc{s}.py", "Go")], DOCS_SCHEMA)
+        inc.update_index_delta(spark, path, ups, None, snapshot_id=s)
+
+    before = inc.load_versioned(spark, path)
+    parts_before = {int(r["doc_part"]) for r in
+                    before.doc_stats.select("doc_part").distinct().collect()}
+    queries = ["if", "compactme", "accreted2", "getuser7", "alpha1"]
+    q_before = {q: _topk(before, q, k=25) for q in queries}
+    ts_before = {r["term"]: (r["df"], r["cf"]) for r in before.term_stats.collect()}
+    ds_before = {(r["id"], r["oid"], r["dl"]) for r in before.doc_stats.collect()}
+    v0_files = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(f"{path}/v0/postings") for f in fs
+    }
+
+    out = inc.compact_index(spark, path, snapshot_id=9, min_fill=0.5)
+    st = out.__dict__["compact_stats"]
+    assert len(st["compacted_parts"]) == 4          # the four 1-doc parts
+    assert len(st["written_parts"]) == 1            # merged into one
+    parts_after = {int(r["doc_part"]) for r in
+                   out.doc_stats.select("doc_part").distinct().collect()}
+    assert len(parts_after) == len(parts_before) - 3
+
+    # lossless: results, term stats, and (id, oid, dl) sets identical
+    for q in queries:
+        assert _topk(out, q, k=25) == q_before[q], q
+    assert {r["term"]: (r["df"], r["cf"])
+            for r in out.term_stats.collect()} == ts_before
+    assert {(r["id"], r["oid"], r["dl"])
+            for r in out.doc_stats.collect()} == ds_before
+    assert out.n_docs == before.n_docs and abs(out.avgdl - before.avgdl) < 1e-12
+
+    # full v0 partitions untouched on disk and still owned by v0
+    v0_after = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(f"{path}/v0/postings") for f in fs
+    }
+    assert v0_after == v0_files
+    man = {int(r["doc_part"]): int(r["version"])
+           for r in spark.read.parquet(f"{path}/v9/manifest").collect()}
+    for p in parts_before & parts_after:
+        assert man[p] == 0
+
+    # filtered/routed queries still exact post-compaction (sidecars
+    # rewritten for the merged part)
+    lf = _topk(out, "if", k=25, lang="Go", mode="bmw")
+    assert lf == _topk(before, "if", k=25, lang="Go")
+
+    # replay is idempotent; further deltas keep working
+    again = inc.compact_index(spark, path, snapshot_id=9)
+    assert again.n_docs == out.n_docs
+    ups = spark.createDataFrame(
+        [("zz_post.py", "postCompact if", "zz", "post.py", "Go")], DOCS_SCHEMA)
+    nxt = inc.update_index_delta(spark, path, ups, None, snapshot_id=10)
+    assert nxt.n_docs == out.n_docs + 1
+    assert _topk(nxt, "postcompact", k=3)[0][0] == "zz_post.py"
+    assert len(_topk(nxt, "compactme", k=5)) == 4  # compacted docs intact
+
+
 def test_streaming_uses_delta_path_without_source_state(spark, tmp_path):
     """The stream must work with NO source-state mirror at all — proof
     the index update consumes the batch as a delta rather than
