@@ -1369,6 +1369,51 @@ WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
 """
 
 
+def q_media_decode(spark, sf_dir):
+    """M3: REAL media decode — synth_real_media writes genuine binary-PPM
+    and PCM16-WAV payloads; decode_media parses the actual bytes (pure
+    numpy/stdlib) into dimensions + pixel/sample statistics.  The oracle
+    computes the SAME statistics analytically from the closed-form
+    generators, so a decode bug (header walk, chunk alignment, dtype)
+    mismatches."""
+    media = mm.synth_real_media(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
+    out = mm.decode_media(media)
+    return out.select(
+        "id", "kind", "width", "height", "rate", "n_samples",
+        F.round("mean", 4).alias("mean"), F.round("rms", 4).alias("rms"),
+    )
+
+
+SQL_MEDIA_DECODE = """
+WITH RECURSIVE e(k) AS (SELECT 0 UNION ALL SELECT k + 1 FROM e WHERE k < 1534),
+ids AS (SELECT doc_id::BIGINT AS id FROM documents),
+img AS (SELECT id, 16 + id % 16 AS w, 8 + id % 8 AS h FROM ids WHERE id % 3 = 0),
+img_px AS (
+    SELECT id, w, h, ((id * 31 + e.k * 7) % 256)::DOUBLE AS v
+    FROM img JOIN e ON e.k < 3 * w * h
+),
+img_feat AS (
+    SELECT id, 'image' AS kind, w::INTEGER AS width, h::INTEGER AS height,
+           NULL::INTEGER AS rate, NULL::INTEGER AS n_samples,
+           round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
+    FROM img_px GROUP BY id, w, h
+),
+aud AS (SELECT id, 256 + id % 256 AS n FROM ids WHERE id % 3 = 1),
+aud_px AS (
+    SELECT id, n, (((id * 13 + e.k * 5) % 65536) - 32768)::DOUBLE AS v
+    FROM aud JOIN e ON e.k < n
+),
+aud_feat AS (
+    SELECT id, 'audio' AS kind, NULL::INTEGER AS width, NULL::INTEGER AS height,
+           8000 AS rate, n::INTEGER AS n_samples,
+           round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
+    FROM aud_px GROUP BY id, n
+)
+SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -1435,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_redact_pii": q_redact_pii,
         "m1_media_metadata": q_media_metadata,
         "m2_media_frame_counts": q_media_frame_counts,
+        "m3_media_decode": q_media_decode,
     }
 
 
@@ -1484,4 +1530,5 @@ def oracle_sql() -> dict[str, str]:
         "t6_redact_pii": SQL_REDACT_PII,
         "m1_media_metadata": SQL_MEDIA_METADATA,
         "m2_media_frame_counts": SQL_MEDIA_FRAMES,
+        "m3_media_decode": SQL_MEDIA_DECODE,
     }

@@ -2,6 +2,7 @@
 text stats, multimodal plumbing) on the driver's sf0.001 tables."""
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
@@ -195,12 +196,66 @@ def test_multimodal_plumbing(docs, spark):
     vid_ids = {r["id"] for r in frames}
     assert all(i % 3 == 2 for i in vid_ids)
 
-    # real decode path is stubbed: must raise cleanly
+    # compressed-codec decode path is stubbed: must raise cleanly
     import pytest as _pt
     from py4j.protocol import Py4JJavaError
     with _pt.raises(Exception) as ei:
         multimodal.decode_features(media).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_ppm_and_wav_decoders_golden():
+    """Pure-kernel goldens: hand-built binary-PPM and PCM16-WAV payloads
+    decode to their known dimensions and statistics."""
+    # 2x2 P6: pixels 0..11
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    w, h, px = multimodal._decode_ppm(ppm)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == list(range(12))
+    # whitespace-variant header parses too
+    w2, h2, px2 = multimodal._decode_ppm(b"P6 2\t2  255\n" + bytes(range(12)))
+    assert (w2, h2) == (2, 2) and px2.tolist() == px.tolist()
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    wav = multimodal._wav_container(samples.tobytes(), rate=8000)
+    rate, got = multimodal._decode_wav(wav)
+    assert rate == 8000 and got.tolist() == samples.tolist()
+    # odd-sized chunk before data: 2-byte RIFF alignment honored
+    odd = (wav[:12] + b"junk" + (3).to_bytes(4, "little") + b"abc\x00"
+           + wav[12:])
+    rate2, got2 = multimodal._decode_wav(odd)
+    assert rate2 == 8000 and got2.tolist() == samples.tolist()
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):  # stereo → honest stub boundary
+        stereo = multimodal._wav_container(samples.tobytes(), rate=8000)
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        multimodal._decode_wav(
+            stereo[:16] + struct.pack("<I", len(fmt)) + fmt
+            + stereo[16 + 4 + 16:]
+        )
+
+
+def test_synth_real_media_decodes_to_generator_truth(spark, docs):
+    """End-to-end: generated REAL payloads → decode_media recovers the
+    closed-form generator's dimensions and statistics exactly."""
+    media = multimodal.synth_real_media(docs.select("doc_id"))
+    rows = {r["id"]: r for r in multimodal.decode_media(media).collect()}
+    assert rows  # both modalities present
+    for i, r in rows.items():
+        if r["kind"] == "image":
+            w, h = 16 + i % 16, 8 + i % 8
+            v = (i * 31 + np.arange(3 * w * h, dtype=np.int64) * 7) % 256
+            assert (r["width"], r["height"]) == (w, h)
+        else:
+            n = 256 + i % 256
+            v = ((i * 13 + np.arange(n, dtype=np.int64) * 5) % 65536) - 32768
+            assert (r["rate"], r["n_samples"]) == (8000, n)
+        v = v.astype(np.float64)
+        assert abs(r["mean"] - v.mean()) < 1e-9
+        assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
+    kinds = {r["kind"] for r in rows.values()}
+    assert kinds == {"image", "audio"}  # video stays at the stub boundary
 
 
 def test_ann_ivf_recall(emb, spark, tmp_path):
