@@ -214,10 +214,15 @@ def test_build_save_unpersist_releases_all_caches(spark, tmp_path):
     per build), and an update_index call must release its own persists."""
     from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
 
-    def n_cached():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def cached_ids():
+        # compare RDD-id SETS, not counts: Spark's ContextCleaner drops
+        # earlier tests' unreferenced cached RDDs asynchronously, so a
+        # global count can shift mid-test; only rdds NEW since `before`
+        # are this test's responsibility
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
 
-    before = n_cached()
+    before = cached_ids()
     docs = spark.createDataFrame(
         [(f"d{i:03d}", f"if token{i % 5}", f"r{i % 2}", f"p{i}", "Go")
          for i in range(100)],
@@ -226,15 +231,15 @@ def test_build_save_unpersist_releases_all_caches(spark, tmp_path):
     path = str(tmp_path / "cidx")
     idx = build_index(spark, docs, analyzer="simple", docs_per_part=32)
     inc.save_versioned(idx, path, snapshot_id=0)
-    assert n_cached() > before  # build does cache (by design)
+    assert cached_ids() - before  # build does cache (by design)
     idx.unpersist()
-    assert n_cached() == before
+    assert not (cached_ids() - before)
 
     docs2 = docs.withColumn(
         "content", F.when(F.col("id") == "d000", F.lit("patched if"))
         .otherwise(F.col("content")))
     upd = inc.update_index(spark, path, docs2, snapshot_id=1)
-    assert n_cached() == before  # update released its own persists
+    assert not (cached_ids() - before)  # update released its own persists
     assert upd.n_docs == 100
 
 
