@@ -629,6 +629,48 @@ GROUP BY 1
 """
 
 
+def q_ngram_tokens(spark, sf_dir):
+    """B9: ``my_ngram_analyzer`` — nGram tokenizer 2..3 over lowercased
+    letter/digit runs (elastic/index.go:79-95), applied to project/repo
+    names as the reference's mapping does; fully native Catalyst
+    (regexp run extraction → size × offset expansion → substring)."""
+    names = load_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("source")).alias("name")
+    ).distinct()
+    runs = names.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(name, '[\\p{L}\\p{N}]+', 0)")
+        ).alias("run")
+    )
+    grams = (
+        runs.select("run", F.explode(F.sequence(F.lit(2), F.lit(3))).alias("sz"))
+        .filter(F.length("run") >= F.col("sz"))
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, length(run) - sz + 1), "
+                "i -> substring(run, i, sz)))"
+            ).alias("term")
+        )
+    )
+    return grams.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+
+
+SQL_NGRAM_TOKENS = """
+WITH RECURSIVE e(o) AS (SELECT 1 UNION ALL SELECT o + 1 FROM e WHERE o < 64),
+names AS (SELECT DISTINCT lower(source) AS name FROM documents),
+runs AS (
+    SELECT r.run FROM names,
+    unnest(regexp_extract_all(name, '[a-z0-9]+')) AS r(run)
+),
+grams AS (
+    SELECT substr(run, e.o, s.s) AS term
+    FROM runs, (VALUES (2), (3)) s(s), e
+    WHERE length(run) >= s.s AND e.o <= length(run) - s.s + 1
+)
+SELECT term, count(*)::BIGINT AS cnt FROM grams GROUP BY term
+"""
+
+
 def q_doc_stats(spark, sf_dir):
     """B13: per-doc length + collection stats inputs."""
     idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
@@ -1449,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b5_edge_ngram_tf": q_edge_ngram_tf,
         "b7_path_suffix_tokens": q_path_suffix_tokens,
         "b8_sha_prefix_tokens": q_sha_prefix_tokens,
+        "b9_ngram_tokens": q_ngram_tokens,
         "b13_doc_stats": q_doc_stats,
         "b12_b13_term_stats": q_term_stats,
         "b14_bm25_topk": q_bm25_topk,
@@ -1501,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "b5_edge_ngram_tf": SQL_EDGE_NGRAM_TF,
         "b7_path_suffix_tokens": SQL_PATH_SUFFIX,
         "b8_sha_prefix_tokens": SQL_SHA_PREFIX,
+        "b9_ngram_tokens": SQL_NGRAM_TOKENS,
         "b13_doc_stats": SQL_DOC_STATS,
         "b12_b13_term_stats": SQL_TERM_STATS,
         "b14_bm25_topk": _bm25_sql(["spark"], 10),

@@ -34,6 +34,30 @@ def test_ngram_analyzer():
     assert grams == ["ab", "b1", "ab1"]
 
 
+def test_ngram_gate_expression_matches_kernel(spark):
+    """The b9 gate's native Catalyst nGram expansion must agree with the
+    shared ngram_analyze kernel (the semantic source of truth)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    names = ["src3", "my-repo_2", "Ab1 x", "zz"]
+    df = spark.createDataFrame([(n,) for n in names], "name string").select(
+        F.lower("name").alias("name"))
+    runs = df.select(F.explode(
+        F.expr(r"regexp_extract_all(name, '[\\p{L}\\p{N}]+', 0)")).alias("run"))
+    grams = (
+        runs.select("run", F.explode(F.sequence(F.lit(2), F.lit(3))).alias("sz"))
+        .filter(F.length("run") >= F.col("sz"))
+        .select(F.expr(
+            "explode(transform(sequence(1, length(run) - sz + 1), "
+            "i -> substring(run, i, sz)))").alias("term"))
+    )
+    native = Counter(r["term"] for r in grams.collect())
+    kernel = Counter(g for n in names for g in ngram_analyze(n))
+    assert native == kernel
+
+
 def test_decode_bytes_reference_goldens():
     """Exact transcode equality for the reference's own golden cases
     (integration_test.go:208-226): GB18030 'encoding/iso8859.txt' and
