@@ -656,11 +656,11 @@ def q_ngram_tokens(spark, sf_dir):
 
 
 SQL_NGRAM_TOKENS = """
-WITH RECURSIVE e(o) AS (SELECT 1 UNION ALL SELECT o + 1 FROM e WHERE o < 64),
+WITH RECURSIVE e(o) AS (SELECT 1 UNION ALL SELECT o + 1 FROM e WHERE o < 4096),
 names AS (SELECT DISTINCT lower(source) AS name FROM documents),
 runs AS (
     SELECT r.run FROM names,
-    unnest(regexp_extract_all(name, '[a-z0-9]+')) AS r(run)
+    unnest(regexp_extract_all(name, '[\\p{L}\\p{N}]+')) AS r(run)
 ),
 grams AS (
     SELECT substr(run, e.o, s.s) AS term

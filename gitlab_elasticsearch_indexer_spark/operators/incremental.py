@@ -177,6 +177,36 @@ def _read_parts(spark: SparkSession, path: str,
     return out
 
 
+def _empty_index(spark: SparkSession, path: str, snapshot_id: int,
+                 g) -> InvertedIndex:
+    """A delta batch can delete EVERY document, leaving an empty
+    manifest; the index must then load as a VALID zero-doc engine
+    (searches return no rows) rather than a handle full of Nones."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .index_build import PACK_SCHEMA
+
+    post_schema = StructType(
+        [StructField("doc_part", LongType()), StructField("term", StringType())]
+        + list(PACK_SCHEMA.fields)
+    )
+    return InvertedIndex(
+        postings=spark.createDataFrame([], post_schema),
+        doc_stats=spark.createDataFrame(
+            [], "doc_part long, doc_idx long, id string, repo string, "
+                "path string, lang string, oid string, dl int"),
+        term_stats=spark.read.parquet(f"{path}/v{snapshot_id}/term_stats"),
+        n_docs=int(g["n_docs"]),
+        avgdl=float(g["avgdl"]),
+        analyzer=g["analyzer"],
+        docs_per_part=int(g["docs_per_part"]),
+        filters=spark.createDataFrame(
+            [], "doc_part long, field string, value string, bits binary"),
+        part_meta=spark.createDataFrame(
+            [], "doc_part long, repo_min string, repo_max string, n_docs long"),
+    )
+
+
 def load_versioned(spark: SparkSession, path: str,
                    snapshot_id: int | None = None) -> InvertedIndex:
     """Load the index at a checkpoint (default: latest).
@@ -196,6 +226,8 @@ def load_versioned(spark: SparkSession, path: str,
     g = cp.filter(F.col("snapshot_id") == snapshot_id).collect()[0]
 
     by_version = _manifest_by_version(spark, path, snapshot_id)
+    if not by_version:
+        return _empty_index(spark, path, snapshot_id, g)
     postings = _read_parts(spark, path, by_version, "postings")
     doc_stats = _read_parts(spark, path, by_version, "doc_stats")
 
@@ -206,12 +238,7 @@ def load_versioned(spark: SparkSession, path: str,
     )
     if have_sidecars:
         filters = _read_parts(spark, path, by_version, "filters")
-        part_meta = None
-        for version, parts in sorted(by_version.items()):
-            pm = spark.read.parquet(f"{path}/v{version}/part_meta").filter(
-                F.col("doc_part").isin(parts)
-            )
-            part_meta = pm if part_meta is None else part_meta.unionByName(pm)
+        part_meta = _read_parts(spark, path, by_version, "part_meta")
     else:  # pre-sidecar index layout: derive views (legacy fallback)
         filters = filters_from_doc_stats(doc_stats, int(g["docs_per_part"]))
         part_meta = part_meta_from_doc_stats(doc_stats)
@@ -356,13 +383,12 @@ def update_index(
     term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
 
     _write_lineage(spark, path, snapshot_id, staged, rebuilt_parts=rebuilt_parts)
-    spark.createDataFrame(
-        [(snapshot_id, n_docs, avgdl, prev.analyzer, dpp,
-          round(time.time() - t0, 3), "incremental")],
-        CHECKPOINT_SCHEMA,
-    ).write.mode("append").parquet(f"{path}/checkpoint")
     # keep the _source store current from the SAME diff: upserted docs'
-    # rows replace, deleted ids drop — touched store partitions only
+    # rows replace, deleted ids drop — touched store partitions only.
+    # BEFORE the checkpoint row (the commit point): a crash in between
+    # replays the whole update under the same snapshot; committing first
+    # would leave the store permanently stale (the replayed diff is then
+    # empty and never re-runs the store fold).
     import os
 
     if store_docs is not None and os.path.isdir(f"{path}/documents"):
@@ -373,6 +399,11 @@ def update_index(
             store_docs.join(new_ids, "id"),
             delete_ids=diff.filter(F.col("op") == "deleted").select("id"),
         )
+    spark.createDataFrame(
+        [(snapshot_id, n_docs, avgdl, prev.analyzer, dpp,
+          round(time.time() - t0, 3), "incremental")],
+        CHECKPOINT_SCHEMA,
+    ).write.mode("append").parquet(f"{path}/checkpoint")
 
     # every output is on disk by now — release the update-scoped caches;
     # the returned handle reads everything (incl. the persisted filter/
@@ -523,7 +554,22 @@ def update_index_delta(
     ups = upserts.select(
         "id", "content", "repo", "path", "lang",
         F.sha2("content", 256).alias("oid"),
-    ).persist()
+    )
+    # collapse multiple changes to one id within a batch (a micro-batch
+    # can span several pushes; without this both rows would append and
+    # double-count the doc): parquet batches carry no sequence column,
+    # so the survivor is picked deterministically by oid order — feed
+    # ordered streams one batch per change for strict temporal
+    # last-write-wins (the reference applies changes sequentially,
+    # indexer/indexer.go:35-76).  An id both upserted and deleted in
+    # one batch resolves as the upsert.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("oid").desc())
+    ups = (
+        ups.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn").persist()
+    )
     caches.append(ups)
 
     change_keys = ups.select("id", "repo")
@@ -546,10 +592,7 @@ def update_index_delta(
     if have_repos and all_parts and 0 < len(repos) <= 256:
         pm = None
         if all(os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version):
-            for v, ps in by_version.items():
-                t = spark.read.parquet(f"{path}/v{v}/part_meta").filter(
-                    F.col("doc_part").isin(ps))
-                pm = t if pm is None else pm.unionByName(t)
+            pm = _read_parts(spark, path, by_version, "part_meta")
         if pm is not None:
             cond = None
             for r in repos:
@@ -692,9 +735,11 @@ def update_index_delta(
                 [], "term string, d_df long, d_cf long"
             )
         if affected:
+            # reuses the repack step's old_post frame; this job's scan
+            # prunes to the (term, df, cf) columns — it never re-reads
+            # the posting binaries
             removed_stats = (
-                _read_parts(spark, path, _restrict_versions(by_version, affected),
-                            "postings")
+                old_post
                 .groupBy("term")
                 .agg((-F.sum("df")).alias("d_df"), (-F.sum("cf")).alias("d_cf"))
             )
@@ -863,11 +908,7 @@ def compact_index(
     if by_version and all(
         os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version
     ):
-        for v, ps in by_version.items():
-            t = spark.read.parquet(f"{path}/v{v}/part_meta").filter(
-                F.col("doc_part").isin(ps)
-            )
-            pm = t if pm is None else pm.unionByName(t)
+        pm = _read_parts(spark, path, by_version, "part_meta")
     if pm is None:
         pm = _read_parts(spark, path, by_version, "doc_stats").groupBy(
             "doc_part"

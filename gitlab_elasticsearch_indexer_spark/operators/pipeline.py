@@ -86,7 +86,13 @@ def filter_indexable(df: DataFrame, content_col: str = "content") -> DataFrame:
         ~F.substring(c, 1, BINARY_SNIFF_LIMIT).contains(F.lit(chr(0)))
     )
     if "mode" in df.columns:
-        cond = cond & (F.col("mode").cast("long") != F.lit(SUBMODULE_MODE))
+        # NULL-safe: a row with unknown mode is indexable (only a known
+        # gitlink mode excludes it); plain != would null out the whole
+        # conjunction and silently drop the row
+        cond = cond & (
+            F.col("mode").isNull()
+            | (F.col("mode").cast("long") != F.lit(SUBMODULE_MODE))
+        )
     return df.filter(cond)
 
 

@@ -30,12 +30,16 @@ def _store_part(col):
     return F.pmod(F.xxhash64(col), F.lit(N_STORE_PARTS)).cast("int")
 
 
-def save_documents(docs: DataFrame, index_path: str,
-                   num_parts: int = N_STORE_PARTS) -> None:
-    """Persist full documents next to the index (full build / overwrite)."""
+def save_documents(docs: DataFrame, index_path: str) -> None:
+    """Persist full documents next to the index (full build / overwrite).
+
+    The partition count is the module constant ``N_STORE_PARTS`` — NOT a
+    parameter: readers and the incremental updater derive a row's
+    partition from the same constant, so a store written with any other
+    count would silently break point lookups and partition-scoped
+    updates."""
     (
-        docs.withColumn("store_part",
-                        F.pmod(F.xxhash64(F.col("id")), F.lit(num_parts)).cast("int"))
+        docs.withColumn("store_part", _store_part(F.col("id")))
         .repartition("store_part")
         .sortWithinPartitions("id")
         .write.mode("overwrite")
@@ -72,9 +76,22 @@ def update_documents(
     if not touched:
         return
 
-    prev_touched = spark.read.parquet(path).filter(
-        F.col("store_part").isin(touched)
-    )
+    prev = spark.read.parquet(path)
+    if "store_part" not in prev.columns:
+        # legacy un-partitioned store (pre-store_part layout, which
+        # get_document still reads): one-time O(store) migration into
+        # the hash-partitioned layout, folding this change set in.
+        # checkpoint first — save_documents overwrites the path the
+        # plan reads.
+        folded = (
+            prev.join(change_ids.select("id").distinct(), "id", "left_anti")
+            .unionByName(ups.drop("store_part"))
+            .localCheckpoint(eager=True)
+        )
+        save_documents(folded, index_path)
+        return
+
+    prev_touched = prev.filter(F.col("store_part").isin(touched))
     # eager localCheckpoint, NOT persist: the write below dynamic-
     # overwrites the path this plan reads — the plan must hold the rows
     # with no lineage back to it (same hazard as the streaming fold)

@@ -210,6 +210,51 @@ def test_repeated_modification_empties_appended_part(spark, base_index):
     full.unpersist()
 
 
+def test_duplicate_id_in_one_batch_collapses(spark, base_index):
+    """Two changes to the same id inside one batch must collapse to ONE
+    surviving doc (deterministic pick), never double-append; and an id
+    both upserted and deleted in one batch resolves as the upsert."""
+    docs, path = base_index
+    ups = spark.createDataFrame(
+        [("r1_f0001.py", "dupBatch alpha if", "r1", "f0001.py", "Go"),
+         ("r1_f0001.py", "dupBatch beta if", "r1", "f0001.py", "Go")],
+        DOCS_SCHEMA)
+    dels = spark.createDataFrame([("r1_f0001.py", "r1")], "id string, repo string")
+    out = inc.update_index_delta(spark, path, ups, dels, snapshot_id=1)
+    assert out.n_docs == 120
+    assert out.doc_stats.filter(F.col("id") == "r1_f0001.py").count() == 1
+    tdf = {r["term"]: r["df"] for r in out.term_stats.collect()}
+    assert tdf.get("dupbatch") == 1  # exactly one survivor's terms
+    # the survivor is one of the two batch contents, deterministically
+    surv = {r["term"] for r in out.term_stats.collect()}
+    assert ("alpha" in surv) != ("beta" in surv)
+
+
+def test_delete_everything_loads_as_valid_empty_index(spark, tmp_path):
+    """A delta that deletes every document must leave a VALID zero-doc
+    index (search returns no rows, no None handles) that can grow again."""
+    docs = _base_docs(spark, n=20)
+    path = str(tmp_path / "eidx")
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=16)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+
+    empty_ups = spark.createDataFrame([], DOCS_SCHEMA)
+    out = inc.update_index_delta(spark, path, empty_ups,
+                                 docs.select("id", "repo"), snapshot_id=1)
+    assert out.n_docs == 0
+    assert search(out, "if", k=5).count() == 0
+    re = inc.load_versioned(spark, path)
+    assert re.n_docs == 0 and search(re, "if", k=5).count() == 0
+
+    ups = spark.createDataFrame(
+        [("aa_new.py", "reborn if", "aa", "new.py", "Go")], DOCS_SCHEMA)
+    out2 = inc.update_index_delta(spark, path, ups, None, snapshot_id=2)
+    assert out2.n_docs == 1
+    hits = _topk(out2, "reborn", k=3)
+    assert hits and hits[0][0] == "aa_new.py"
+
+
 def test_compact_merges_small_parts_losslessly(spark, base_index):
     """compact_index (Lucene segment-merge analog): the tiny doc
     partitions accreted by single-doc delta appends merge into one dense

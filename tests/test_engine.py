@@ -70,12 +70,14 @@ def test_submodule_mode_filter(spark):
         ("r1", "vendor/dep", "c1", "", "", 0o160000),
         ("r1", "src/a.py", "c1", "Python", "x = 1", 0o100644),
         ("r1", "bin/run", "c1", "Shell", "#!/bin/sh", 0o100755),
+        ("r1", "src/nomode.py", "c1", "Python", "y = 2", None),
     ]
     df = spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, "
               "content string, mode long")
     kept = {r["path"] for r in filter_indexable(df).select("path").collect()}
-    assert kept == {"src/a.py", "bin/run"}
+    # NULL mode = unknown, must be kept (only a known gitlink mode drops)
+    assert kept == {"src/a.py", "bin/run", "src/nomode.py"}
 
 
 def test_blob_document_shape_and_upsert(documents):

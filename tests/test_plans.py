@@ -152,6 +152,31 @@ def test_doc_store_point_lookup_pushes_id_filter(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["content"] == "body 42"
 
 
+def test_doc_store_update_migrates_legacy_layout(spark, tmp_path):
+    """A store written before the store_part layout existed must survive
+    an incremental update via a one-time migration (not crash on the
+    missing column), after which point lookups prune partitions."""
+    from gitlab_elasticsearch_indexer_spark.sources import doc_store as ds
+
+    path = str(tmp_path / "legidx")
+    spark.createDataFrame(
+        [("a", "A text"), ("b", "B text"), ("c", "C text")],
+        "id string, content string",
+    ).write.parquet(f"{path}/documents")  # legacy: no store_part
+
+    ds.update_documents(
+        spark, path,
+        spark.createDataFrame([("b", "B v2")], "id string, content string"),
+        delete_ids=spark.createDataFrame([("c",)], "id string"),
+    )
+    store = spark.read.parquet(f"{path}/documents")
+    assert "store_part" in store.columns  # migrated
+    out = {r["id"]: r["content"] for r in store.collect()}
+    assert out == {"a": "A text", "b": "B v2"}
+    got = ds.get_document(spark, path, "b").collect()
+    assert len(got) == 1 and got[0]["content"] == "B v2"
+
+
 def test_doc_store_update_touches_only_changed_partitions(spark, tmp_path):
     """Incremental _source maintenance: an update rewrites only the
     store partitions containing changed ids — untouched partition
