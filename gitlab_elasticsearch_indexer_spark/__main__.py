@@ -71,6 +71,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="commit searches the commit-message index built "
                         "alongside the blob index")
 
+    m = sub.add_parser("msearch", help="batched multi-query search (ES "
+                                       "_msearch analog): one Spark job "
+                                       "scores the whole batch")
+    m.add_argument("--index", required=True)
+    m.add_argument("--queries", required=True,
+                   help="JSON file mapping query_id -> query string or "
+                        '{"q": ..., "lang": ..., "repo": ...}')
+    m.add_argument("--k", type=int, default=10)
+    m.add_argument("--bmw", action="store_true")
+    m.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
+
     g = sub.add_parser("get", help="typed point lookup returning the stored "
                                    "document (GetBlob/GetCommit analog, "
                                    "elastic/client.go:170-185)")
@@ -167,6 +178,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["commits_n_docs"] = cidx.n_docs
         print(json.dumps(out))
+    elif args.cmd == "msearch":
+        root = (args.index if args.doc_type == "blob"
+                else f"{args.index}/commit_index")
+        idx = inc.load_versioned(spark, root)
+        with open(args.queries) as fh:
+            qspec = json.load(fh)
+        rows = q.search_many(
+            idx, qspec, k=args.k,
+            mode="bmw" if args.bmw else "exhaustive",
+        ).orderBy("query_id", "rank").collect()
+        for r in rows:
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "id": r["id"], "score": round(r["score"], 6)}))
     elif args.cmd == "compact":
         idx = inc.compact_index(spark, args.index, snapshot_id=args.snapshot,
                                 min_fill=args.min_fill)

@@ -157,6 +157,36 @@ def test_cli_wiki_blob_and_skip_commits(spark, dirs, capsys, tmp_path):
     assert "commits_built" not in _lines(capsys)[-1]
 
 
+def test_cli_msearch_batch(spark, dirs, capsys, tmp_path):
+    """msearch (ES _msearch analog): a JSON batch of plain and filtered
+    entries answers in one job and agrees with per-query search."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    qfile = str(tmp_path / "queries.json")
+    with open(qfile, "w") as fh:
+        json.dump({
+            "plain": "table scan",
+            "flt": {"q": "def", "lang": "Ruby"},
+            "scoped": {"q": "getUserById", "repo": "repo1"},
+        }, fh)
+    assert main(["msearch", "--index", idx, "--queries", qfile, "--bmw"]) == 0
+    rows = _lines(capsys)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+    assert by_q["plain"][0][1] == "repo1_src/db.py"
+    assert [i for _, i in by_q["flt"]] == ["repo2_lib/util.rb"]
+    assert by_q["scoped"][0][1] == "repo1_src/app.py"
+
+    # agrees with the single-query surface
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--lang", "Ruby"]) == 0
+    single = _lines(capsys)
+    assert [h["id"] for h in single] == [i for _, i in by_q["flt"]]
+
+
 def test_cli_typed_get_returns_stored_source(spark, dirs, capsys):
     """GetBlob/GetCommit analogs (elastic/client.go:170-185): typed point
     lookups return the full stored document including content."""
