@@ -325,6 +325,32 @@ def test_compact_merges_small_parts_losslessly(spark, base_index):
     assert len(_topk(nxt, "compactme", k=5)) == 4  # compacted docs intact
 
 
+def test_compact_spans_multiple_target_parts(spark, base_index):
+    """Compaction where the merged docs overflow one target partition:
+    35 docs from seven 5-doc parts land in three dense parts (dpp=16).
+    Per-term posting lists must merge in global doc order — verified by
+    BMW (whose block skipping requires sorted doc ids) matching the
+    pre-compaction results exactly."""
+    docs, path = base_index
+    for s in range(1, 8):
+        ups = spark.createDataFrame(
+            [(f"zm_m{s}_{j}.py", f"spanTok batch{s} item{j} if", "zm",
+              f"m{s}_{j}.py", "Go") for j in range(5)], DOCS_SCHEMA)
+        inc.update_index_delta(spark, path, ups, None, snapshot_id=s)
+
+    before = inc.load_versioned(spark, path)
+    queries = ["spantok", "batch3", "item4", "if"]
+    q_before = {q: _topk(before, q, k=40) for q in queries}
+
+    out = inc.compact_index(spark, path, snapshot_id=9)
+    st = out.__dict__["compact_stats"]
+    assert len(st["compacted_parts"]) == 7
+    assert len(st["written_parts"]) == 3  # ceil(35 / 16)
+    for q in queries:
+        assert _topk(out, q, k=40) == q_before[q], q
+    assert _topk(out, "spantok", k=40, mode="bmw") == q_before["spantok"]
+
+
 def test_streaming_uses_delta_path_without_source_state(spark, tmp_path):
     """The stream must work with NO source-state mirror at all — proof
     the index update consumes the batch as a delta rather than
