@@ -50,8 +50,27 @@ from .index_build import (
 
 CHECKPOINT_SCHEMA = (
     "snapshot_id long, n_docs long, avgdl double, analyzer string, "
-    "docs_per_part long, wall_sec double, op string"
+    "docs_per_part long, wall_sec double, op string, total_dl long"
 )
+
+
+def _checkpoint_df(spark: SparkSession, path: str) -> DataFrame:
+    """Checkpoint table, schema-merged across rounds: pre-total_dl rows
+    surface a NULL total_dl (callers fall back to the rounded
+    avgdl·n_docs reconstruction those checkpoints were written with)."""
+    cp = spark.read.option("mergeSchema", "true").parquet(f"{path}/checkpoint")
+    if "total_dl" not in cp.columns:
+        cp = cp.withColumn("total_dl", F.lit(None).cast("long"))
+    return cp
+
+
+def _total_dl_of(row) -> int:
+    """Exact integer collection length from a checkpoint row; legacy
+    rows (no total_dl) reconstruct it from the rounded float avgdl."""
+    d = row if isinstance(row, dict) else row.asDict()
+    if d.get("total_dl") is not None:
+        return int(d["total_dl"])
+    return int(round(float(d["avgdl"]) * int(d["n_docs"])))
 
 
 def snapshot_diff(prev: DataFrame, curr: DataFrame, key: str = "id",
@@ -105,9 +124,16 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
     )
     manifest.write.mode("overwrite").parquet(f"{vdir}/manifest")
     _write_lineage(spark, path, snapshot_id, index, rebuilt_parts=set(parts))
+    # exact integer collection length: the delta path derives avgdl from
+    # it each batch instead of accumulating float drift across thousands
+    # of (old_avgdl·old_n − dead + added)/n reconstructions
+    total_dl = int(
+        index.doc_stats.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
+    )
     spark.createDataFrame(
         [(snapshot_id, index.n_docs, index.avgdl, index.analyzer,
-          index.docs_per_part, round(time.time() - t0, 3), "full_build")],
+          index.docs_per_part, round(time.time() - t0, 3), "full_build",
+          total_dl)],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
 
@@ -150,7 +176,7 @@ def _write_lineage(spark, path, snapshot_id, index: InvertedIndex,
 
 
 def latest_checkpoint(spark: SparkSession, path: str) -> dict:
-    cp = spark.read.parquet(f"{path}/checkpoint")
+    cp = _checkpoint_df(spark, path)
     row = cp.orderBy(F.col("snapshot_id").desc()).limit(1).collect()[0]
     return row.asDict()
 
@@ -220,7 +246,7 @@ def load_versioned(spark: SparkSession, path: str,
     """
     import os
 
-    cp = spark.read.parquet(f"{path}/checkpoint")
+    cp = _checkpoint_df(spark, path)
     if snapshot_id is None:
         snapshot_id = cp.agg(F.max("snapshot_id")).collect()[0][0]
     g = cp.filter(F.col("snapshot_id") == snapshot_id).collect()[0]
@@ -376,9 +402,11 @@ def update_index(
     # reload through the new manifest (not yet checkpointed) to compute stats
     staged = _load_via_manifest(spark, path, snapshot_id)
     g = staged.doc_stats.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
     ).collect()[0]
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+    n_docs, total_dl = int(g["n"]), int(g["total_dl"])
+    avgdl = total_dl / n_docs if n_docs else 0.0
     term_stats = term_stats_from_postings(staged.postings, n_docs)
     term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
 
@@ -401,7 +429,7 @@ def update_index(
         )
     spark.createDataFrame(
         [(snapshot_id, n_docs, avgdl, prev.analyzer, dpp,
-          round(time.time() - t0, 3), "incremental")],
+          round(time.time() - t0, 3), "incremental", total_dl)],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
 
@@ -545,30 +573,37 @@ def update_index_delta(
     prev_snapshot = int(last["snapshot_id"])
     dpp = int(last["docs_per_part"])
     analyzer = last["analyzer"]
-    old_n_docs, old_avgdl = int(last["n_docs"]), float(last["avgdl"])
+    old_n_docs = int(last["n_docs"])
 
     by_version = _manifest_by_version(spark, path, prev_snapshot)
     all_parts = {p for ps in by_version.values() for p in ps}
 
     caches: list = []
+    has_seq = "_seq" in upserts.columns
     ups = upserts.select(
         "id", "content", "repo", "path", "lang",
+        *(["_seq"] if has_seq else []),
         F.sha2("content", 256).alias("oid"),
     )
     # collapse multiple changes to one id within a batch (a micro-batch
     # can span several pushes; without this both rows would append and
-    # double-count the doc): parquet batches carry no sequence column,
-    # so the survivor is picked deterministically by oid order — feed
-    # ordered streams one batch per change for strict temporal
-    # last-write-wins (the reference applies changes sequentially,
-    # indexer/indexer.go:35-76).  An id both upserted and deleted in
-    # one batch resolves as the upsert.
+    # double-count the doc).  A ``_seq`` column, when present, carries
+    # the batch's temporal order (the streaming front-end attaches the
+    # source file name) and the HIGHEST _seq wins — true sequential
+    # last-write-wins (the reference applies changes in order,
+    # indexer/indexer.go:35-76).  Without it the survivor falls back to
+    # deterministic-but-arbitrary oid order.  An id both upserted and
+    # deleted in one batch resolves as the upsert.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("id").orderBy(F.col("oid").desc())
+    order = ([F.col("_seq").desc_nulls_last()] if has_seq else []) + [
+        F.col("oid").desc()
+    ]
+    w = Window.partitionBy("id").orderBy(*order)
     ups = (
         ups.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1).drop("_rn").persist()
+        .filter(F.col("_rn") == 1).drop("_rn", *(["_seq"] if has_seq else []))
+        .persist()
     )
     caches.append(ups)
 
@@ -585,15 +620,27 @@ def update_index_delta(
 
     # candidate partitions via the routing manifest (repo ranges); the
     # repo list is batch-bounded.  Falls back to all parts when repos
-    # are unknown or the batch touches too many to prune usefully.
+    # are unknown or the batch touches too many to prune usefully — the
+    # fallback REASON is recorded in delta_stats["classify_fallback"]
+    # (and printed) so a silent full-metadata classify is observable.
     repos = [r["repo"] for r in change_keys.select("repo").distinct().collect()]
-    have_repos = have_repos and all(r is not None for r in repos)
     cand_parts = set(all_parts)
-    if have_repos and all_parts and 0 < len(repos) <= 256:
+    classify_fallback: str | None = None
+    if not all_parts:
+        classify_fallback = "empty_index"
+    elif not have_repos:
+        classify_fallback = "deletes_missing_repo_column"
+    elif any(r is None for r in repos):
+        classify_fallback = "null_repo_values"
+    elif len(repos) > 256:
+        classify_fallback = f"too_many_repos({len(repos)})"
+    else:
         pm = None
         if all(os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version):
             pm = _read_parts(spark, path, by_version, "part_meta")
-        if pm is not None:
+        if pm is None:
+            classify_fallback = "no_part_meta_sidecar"
+        else:
             cond = None
             for r in repos:
                 c = (F.col("repo_min") <= r) & (F.col("repo_max") >= r)
@@ -602,6 +649,12 @@ def update_index_delta(
                 int(r["doc_part"]) for r in pm.filter(cond)
                 .select("doc_part").collect()
             }
+    if classify_fallback is not None and all_parts:
+        print(
+            f"update_index_delta snapshot={snapshot_id}: classify falls "
+            f"back to ALL {len(all_parts)} doc_stats partitions "
+            f"({classify_fallback})"
+        )
 
     # classify against PRUNED doc_stats metadata (broadcast the batch)
     ids = change_keys.select("id").distinct()
@@ -622,8 +675,16 @@ def update_index_delta(
             (F.col("_old_oid").isNull()) | (F.col("_old_oid") != F.col("oid"))
         ).drop("_old_oid").persist()
         caches.append(live_ups)
+        # "upserted AND deleted in one batch resolves as the upsert"
+        # must hold even when the upsert's content matches the stored
+        # oid: the unchanged-oid filter above drops that upsert from
+        # live_ups, so exempt upserted ids from the delete set HERE —
+        # otherwise a delete + recreate-identical-file in one batch
+        # would silently remove the doc (sequential delete-then-put
+        # keeps it, indexer/indexer.go:35-76).
         del_ids = (
-            deletes.select("id") if deletes is not None
+            deletes.select("id").join(ups.select("id"), "id", "left_anti")
+            if deletes is not None
             else spark.createDataFrame([], "id string")
         )
         dead = existing.join(
@@ -774,9 +835,12 @@ def update_index_delta(
                 .agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
             )
 
-    avgdl = (
-        (old_avgdl * old_n_docs - dl_dead + dl_added) / n_docs if n_docs else 0.0
-    )
+    # exact integer arithmetic on the checkpointed total_dl — NOT the
+    # float (old_avgdl·old_n − dead + added)/n reconstruction, which
+    # accumulates rounding drift in the BM25 normalizer over thousands
+    # of chained delta batches
+    total_dl = _total_dl_of(last) - dl_dead + dl_added
+    avgdl = total_dl / n_docs if n_docs else 0.0
 
     # per-partition lineage for the parts THIS snapshot produced (the
     # rest keep the lineage rows of their owning snapshots) — keeps the
@@ -801,7 +865,7 @@ def update_index_delta(
 
     spark.createDataFrame(
         [(snapshot_id, n_docs, float(avgdl), analyzer, dpp,
-          round(time.time() - t0, 3), "delta")],
+          round(time.time() - t0, 3), "delta", int(total_dl))],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
     for df in caches:
@@ -814,6 +878,7 @@ def update_index_delta(
         "written_parts": sorted(written_parts),
         "n_dead": n_dead,
         "n_appended": int(n_app),
+        "classify_fallback": classify_fallback,
     }
     return out
 
@@ -1002,7 +1067,8 @@ def compact_index(
     _write_lineage(spark, path, snapshot_id, staged, rebuilt_parts=written_parts)
     spark.createDataFrame(
         [(snapshot_id, int(last["n_docs"]), float(last["avgdl"]),
-          last["analyzer"], dpp, round(time.time() - t0, 3), "compact")],
+          last["analyzer"], dpp, round(time.time() - t0, 3), "compact",
+          _total_dl_of(last))],
         CHECKPOINT_SCHEMA,
     ).write.mode("append").parquet(f"{path}/checkpoint")
     for df in caches:

@@ -59,19 +59,20 @@ QUERY_ANALYZERS = {
 }
 
 
-def search(
+def score_plan(
     index: InvertedIndex,
     query: str,
     k: int = 10,
     lang: str | None = None,
     repo: str | None = None,
     mode: str = "exhaustive",
-) -> DataFrame:
-    """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
-
-    Duplicate analyzed query tokens add their scores (one term clause
-    per occurrence, like a match query).
-    """
+) -> DataFrame | None:
+    """The LAZY scoring phase of :func:`search`: per-doc_part top-k
+    candidate rows (doc_idx, score).  ``None`` means the query can match
+    nothing (no live term / repo routed to zero parts).  Split out so
+    the scoring plan (term pushdown, sidecar reads, doc_part pruning)
+    stays inspectable — ``search`` consumes it eagerly for the fetch
+    phase."""
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     weights = Counter(analyze_query(query))
@@ -79,11 +80,8 @@ def search(
     # weighted idf per matched term — the only per-term constant kernels need
     widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
 
-    out_cols = ["id", "score", "repo", "path", "lang"]
     if not widf:
-        return spark.createDataFrame(
-            [], "id string, score double, repo string, path string, lang string"
-        )
+        return None
 
     cand = index.postings.filter(F.col("term").isin(list(widf))).select(
         "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
@@ -111,9 +109,7 @@ def search(
             ).select("doc_part").collect()
         ]
         if not parts:
-            return spark.createDataFrame(
-                [], "id string, score double, repo string, path string, lang string"
-            )
+            return None
         cand = cand.filter(F.col("doc_part").isin(parts))
 
     kernel = _make_part_kernel(
@@ -144,10 +140,60 @@ def search(
         scored = cand.groupBy("doc_part").applyInPandas(
             _wrap_single(kernel), schema=TOPK_SCHEMA
         )
+    return scored
 
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    lang: str | None = None,
+    repo: str | None = None,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
+
+    Duplicate analyzed query tokens add their scores (one term clause
+    per occurrence, like a match query).
+    """
+    spark = index.postings.sparkSession
+    out_cols = ["id", "score", "repo", "path", "lang"]
+    scored = score_plan(index, query, k=k, lang=lang, repo=repo, mode=mode)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "id string, score double, repo string, path string, lang string"
+        )
+
+    # ES fetch-phase analog: the scoring job runs here (its output is
+    # bounded by k·n_parts candidate rows), the winners resolve
+    # driver-side, and the id-resolution join then scans ONLY the
+    # doc_parts that produced hits — a doc_part partition filter on the
+    # doc_stats read, never a full per-query metadata scan (ES fetches
+    # from the shards that returned hits, not from every shard).
+    cand_rows = scored.collect()
+    if not cand_rows:
+        return spark.createDataFrame(
+            [], "id string, score double, repo string, path string, lang string"
+        )
+    cand_rows.sort(key=lambda r: -r["score"])
+    if len(cand_rows) > k:
+        # keep every row tying the kth score: the (score desc, id asc)
+        # tie-break needs the ids, which only the join below resolves
+        kth = cand_rows[k - 1]["score"]
+        cand_rows = [r for r in cand_rows if r["score"] >= kth]
+    local = spark.createDataFrame(
+        [(int(r["doc_idx"]), float(r["score"])) for r in cand_rows],
+        "doc_idx long, score double",
+    )
+    ds = index.doc_stats
+    if index.docs_per_part > 0:
+        hit_parts = sorted(
+            {int(r["doc_idx"]) // index.docs_per_part for r in cand_rows}
+        )
+        ds = ds.filter(F.col("doc_part").isin(hit_parts))
     hits = (
-        F.broadcast(scored)
-        .join(index.doc_stats.select("doc_idx", "id", "repo", "path", "lang"), "doc_idx")
+        F.broadcast(local)
+        .join(ds.select("doc_idx", "id", "repo", "path", "lang"), "doc_idx")
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
         .select(*out_cols)
@@ -487,14 +533,41 @@ def search_many(
         scored = cand.groupBy("doc_part").applyInPandas(
             _wrap_single(kernel), schema=out_schema
         )
+    # fetch phase, batched: per-query winners resolve driver-side from
+    # the bounded candidate set, and the single id-resolution join scans
+    # only the doc_parts holding ANY query's hits (partition filter on
+    # doc_stats) — same pruning argument as the single-query path.
+    rows = scored.collect()
+    if not rows:
+        return empty
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    cand_rows = []
+    for rs in by_q.values():
+        rs.sort(key=lambda r: -r["score"])
+        if len(rs) > k:
+            kth = rs[k - 1]["score"]  # keep kth-score ties for id tie-break
+            rs = [r for r in rs if r["score"] >= kth]
+        cand_rows.extend(rs)
+    local = spark.createDataFrame(
+        [(r["query_id"], int(r["doc_idx"]), float(r["score"])) for r in cand_rows],
+        "query_id string, doc_idx long, score double",
+    )
+    ds = index.doc_stats
+    if index.docs_per_part > 0:
+        hit_parts = sorted(
+            {int(r["doc_idx"]) // index.docs_per_part for r in cand_rows}
+        )
+        ds = ds.filter(F.col("doc_part").isin(hit_parts))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
     return (
-        F.broadcast(scored)
-        .join(index.doc_stats.select("doc_idx", "id"), "doc_idx")
+        F.broadcast(local)
+        .join(ds.select("doc_idx", "id"), "doc_idx")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "score")

@@ -103,9 +103,16 @@ def start_incremental_stream(
         if batch_df.isEmpty():
             return
         src_path = f"{index_dir}/_source_state"
+        # _seq = source file name: a micro-batch can span several file
+        # drops (maxFilesPerTrigger > 1), and a doc modified twice in
+        # one trigger must index the LATER drop's version — file names
+        # sort by drop order for monotonically-named landings, and the
+        # delta updater's dedup window prefers the highest _seq
+        # (falling back to oid order only on ties / missing _seq).
         batch_docs = batch_df.select(
             F.concat("repo", F.lit("_"), "path").alias("id"),
             "content", "repo", "path", "lang",
+            F.input_file_name().alias("_seq"),
         ).persist()
 
         # THE index update: the micro-batch is the change set — upserts
@@ -128,7 +135,9 @@ def start_incremental_stream(
         batch_docs.unpersist()
 
     def _fold_source_state(spark, src_path: str, batch_docs: DataFrame) -> None:
-        staged = batch_docs.withColumn("state_part", _state_part(F.col("id")))
+        staged = batch_docs.drop("_seq").withColumn(
+            "state_part", _state_part(F.col("id"))
+        )
         touched = [
             int(r["state_part"])
             for r in staged.select("state_part").distinct().collect()

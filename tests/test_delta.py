@@ -230,6 +230,91 @@ def test_duplicate_id_in_one_batch_collapses(spark, base_index):
     assert ("alpha" in surv) != ("beta" in surv)
 
 
+def test_delete_plus_identical_upsert_keeps_the_doc(spark, base_index):
+    """delete + recreate-with-identical-content in ONE batch must keep
+    the doc (sequential delete-then-put keeps it): the unchanged-oid
+    no-op filter may not leak the id into the dead set."""
+    docs, path = base_index
+    target = "r1_f0001.py"
+    same = docs.filter(F.col("id") == target)  # identical content
+    dels = spark.createDataFrame([(target, "r1")], "id string, repo string")
+    out = inc.update_index_delta(spark, path, same, dels, snapshot_id=1)
+    assert out.n_docs == 120
+    assert out.doc_stats.filter(F.col("id") == target).count() == 1
+    # true no-op batch: short-circuits before writing any new snapshot
+    assert inc.latest_checkpoint(spark, path)["snapshot_id"] == 0
+    hits = _topk(out, "getuser1", k=5)
+    assert any(h[0] == target for h in hits)
+
+
+def test_seq_column_orders_same_batch_changes(spark, base_index):
+    """With a _seq column (the streaming front-end attaches the source
+    file name), the HIGHEST _seq wins the within-batch dedup — temporal
+    last-write-wins — even when oid order says otherwise."""
+    docs, path = base_index
+    # pick contents so that the LATER change has the SMALLER sha256:
+    # oid("aaaa...") vs oid of the other — compute both, order so the
+    # oid-fallback would pick the wrong row
+    import hashlib
+
+    c1, c2 = "earlyTok if", "lateTok if"
+    if hashlib.sha256(c2.encode()).hexdigest() > hashlib.sha256(c1.encode()).hexdigest():
+        c1, c2 = c2, c1  # ensure the later row (_seq=2) has the SMALLER oid
+    ups = spark.createDataFrame(
+        [("r1_f0001.py", c1, "r1", "f0001.py", "Go", "file-0001"),
+         ("r1_f0001.py", c2, "r1", "f0001.py", "Go", "file-0002")],
+        DOCS_SCHEMA + ", _seq string")
+    out = inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+    assert out.n_docs == 120
+    surv_terms = {r["term"] for r in out.term_stats.collect()}
+    late_tok = c2.split()[0].lower()
+    early_tok = c1.split()[0].lower()
+    assert late_tok in surv_terms and early_tok not in surv_terms
+
+
+def test_avgdl_exact_across_many_chained_deltas(spark, base_index):
+    """The checkpointed integer total_dl keeps avgdl EXACT (bit-for-bit
+    vs a from-scratch rebuild) across a long chain of delta batches —
+    no float-reconstruction drift in the BM25 normalizer."""
+    docs, path = base_index
+    n_batches = 40
+    tgt = lambda s: f"r1_f{4 * (s % 7) + 1:04d}.py"  # existing r1 docs
+    for s in range(1, n_batches + 1):
+        ups = spark.createDataFrame(
+            [(tgt(s), f"churn{s} tok{s % 5} " + "pad " * (s % 11),
+              "r1", tgt(s)[3:], "Go")], DOCS_SCHEMA)
+        out = inc.update_index_delta(spark, path, ups, None, snapshot_id=s)
+    final = _base_docs(spark)
+    for s in range(1, n_batches + 1):  # replay the same edits sequentially
+        final = final.withColumn(
+            "content",
+            F.when(F.col("id") == tgt(s),
+                   F.lit(f"churn{s} tok{s % 5} " + "pad " * (s % 11)))
+            .otherwise(F.col("content")))
+    full = build_index(spark, final, analyzer="simple", docs_per_part=16)
+    assert out.n_docs == full.n_docs
+    assert out.avgdl == full.avgdl  # EXACT, not approx
+    cp = inc.latest_checkpoint(spark, path)
+    assert cp["total_dl"] is not None and cp["avgdl"] == full.avgdl
+    full.unpersist()
+
+
+def test_classify_fallback_is_recorded(spark, base_index):
+    """A batch whose deletes lack a repo column forces the full-metadata
+    classify — the fallback must be OBSERVABLE in delta_stats, and a
+    pruned batch must record None."""
+    docs, path = base_index
+    dels = spark.createDataFrame([("r3_f0003.py",)], "id string")  # no repo
+    empty_ups = spark.createDataFrame([], DOCS_SCHEMA)
+    out = inc.update_index_delta(spark, path, empty_ups, dels, snapshot_id=1)
+    st = out.__dict__["delta_stats"]
+    assert st["classify_fallback"] == "deletes_missing_repo_column"
+
+    dels2 = spark.createDataFrame([("r2_f0002.py", "r2")], "id string, repo string")
+    out2 = inc.update_index_delta(spark, path, empty_ups, dels2, snapshot_id=2)
+    assert out2.__dict__["delta_stats"]["classify_fallback"] is None
+
+
 def test_delete_everything_loads_as_valid_empty_index(spark, tmp_path):
     """A delta that deletes every document must leave a VALID zero-doc
     index (search returns no rows, no None handles) that can grow again."""
@@ -383,3 +468,50 @@ def test_streaming_uses_delta_path_without_source_state(spark, tmp_path):
     assert out.doc_stats.filter(F.col("id") == "r1_f0001.py").count() == 0
     hits = _topk(out, "streamdeltadoc", k=3)
     assert hits and hits[0][0] == "zz_stream_new.py"
+
+
+def test_streaming_later_file_wins_within_one_trigger(spark, tmp_path):
+    """Two drops modifying the SAME doc can land in one micro-batch
+    (maxFilesPerTrigger > 1): the LATER file's version must index —
+    the stream attaches the file name as _seq and the delta dedup
+    prefers it over the arbitrary oid fallback."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gitlab_elasticsearch_indexer_spark.streaming.incremental_stream import (
+        start_incremental_stream,
+    )
+
+    docs = _base_docs(spark, n=20)
+    path = str(tmp_path / "sqidx")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=16)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+
+    c_early, c_late = "earlyDrop if", "lateDrop if"
+    if (hashlib.sha256(c_late.encode()).hexdigest()
+            > hashlib.sha256(c_early.encode()).hexdigest()):
+        # make the LATER file's content the oid-order LOSER, so only
+        # the _seq preference can pick it
+        c_early, c_late = c_late, c_early
+    for name, content in (("0001.parquet", c_early), ("0002.parquet", c_late)):
+        pq.write_table(
+            pa.table({"repo": ["r1"], "path": ["f0001.py"],
+                      "commit": ["c" * 40], "lang": ["Go"],
+                      "content": [content]}),
+            str(landing / name),
+        )
+    q = start_incremental_stream(
+        spark, str(landing), path, str(tmp_path / "scp"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    out = inc.load_versioned(spark, path)
+    assert out.n_docs == 20
+    terms = {r["term"] for r in out.term_stats.collect()}
+    assert c_late.split()[0].lower() in terms
+    assert c_early.split()[0].lower() not in terms

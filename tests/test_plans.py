@@ -9,7 +9,7 @@ from gitlab_elasticsearch_indexer_spark.operators.index_build import (
     load_index,
 )
 from gitlab_elasticsearch_indexer_spark.operators.pipeline import detect_language
-from gitlab_elasticsearch_indexer_spark.operators.query import search
+from gitlab_elasticsearch_indexer_spark.operators.query import score_plan, search
 from gitlab_elasticsearch_indexer_spark.plans.checks import (
     assert_broadcast_join,
     assert_pushed_filter,
@@ -31,9 +31,11 @@ def saved_index(spark, tmp_path_factory):
 
 def test_term_filter_pushed_to_postings_scan(saved_index):
     """Query terms must reach the parquet scan as In() filters — postings
-    files are term-sorted, so this is the row-group pruning path."""
-    hits = search(saved_index, "if getuser1", k=5)
-    assert_pushed_filter(hits, "In(term")
+    files are term-sorted, so this is the row-group pruning path.
+    (score_plan is search's lazy scoring phase — search itself consumes
+    it eagerly for the fetch join, so the plan is asserted here.)"""
+    scored = score_plan(saved_index, "if getuser1", k=5)
+    assert_pushed_filter(scored, "In(term")
 
 
 def test_topk_join_is_broadcast(saved_index):
@@ -41,6 +43,18 @@ def test_topk_join_is_broadcast(saved_index):
     against doc_stats, never shuffle the big side."""
     hits = search(saved_index, "if", k=5)
     assert_broadcast_join(hits)
+
+
+def test_batched_fetch_join_prunes_doc_stats(saved_index):
+    """search_many's single id-resolution join must carry a doc_part
+    partition filter (union of every query's hit parts) on the
+    doc_stats scan — never a full metadata read."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    out = search_many(saved_index, {"q1": "if", "q2": "getuser1"}, k=5)
+    plan = formatted_plan(out)
+    ds_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert ds_lines and any("doc_part" in l and "IN" in l for l in ds_lines), plan
 
 
 def test_language_dims_are_broadcast(spark):
@@ -82,10 +96,19 @@ def test_repo_filtered_query_prunes_doc_parts(spark, tmp_path_factory):
     ).count()
     assert 0 < pruned_parts < n_parts_total  # routing is selective
 
-    hits = search(loaded, "if alpha2", k=5, repo="r2", mode="bmw")
-    plan = formatted_plan(hits)
     # the static IN list reaches the partitioned postings scan
-    assert "PartitionFilters" in plan and "doc_part" in plan
+    scored = score_plan(loaded, "if alpha2", k=5, repo="r2", mode="bmw")
+    splan = formatted_plan(scored)
+    assert "PartitionFilters" in splan and "doc_part" in splan
+
+    hits = search(loaded, "if alpha2", k=5, repo="r2", mode="bmw")
+    # fetch phase: the id-resolution join's doc_stats scan must carry a
+    # doc_part partition filter (hit parts only), never a full metadata
+    # scan — the ES fetch-from-hit-shards analog
+    plan = formatted_plan(hits)
+    ds_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert ds_lines and any("doc_part" in l and "IN" in l for l in ds_lines), plan
+    assert "/doc_stats" in plan
 
     got = [(r["id"], round(r["score"], 6)) for r in hits.collect()]
     full = search(loaded, "if alpha2", k=1000).collect()
@@ -312,12 +335,13 @@ def test_versioned_load_reads_persisted_filter_sidecars(spark, tmp_path):
     assert v1_parts and v1_parts < all_parts  # strict subset: rebuilt only
 
     loaded = inc.load_versioned(spark, path)
-    hits = search(loaded, "if beta1", k=5, lang="Go", mode="bmw")
-    plan = formatted_plan(hits)
+    scored = score_plan(loaded, "if beta1", k=5, lang="Go", mode="bmw")
+    plan = formatted_plan(scored)
     scan_locations = [l for l in plan.splitlines() if "Location" in l]
     assert any("/filters" in l for l in scan_locations), scan_locations
 
     # and the filtered result over the loaded index is still exact
+    hits = search(loaded, "if beta1", k=5, lang="Go", mode="bmw")
     full = search(loaded, "if beta1", k=1000).collect()
     want = [(r["id"], round(r["score"], 9)) for r in full if r["lang"] == "Go"][:5]
     got = [(r["id"], round(r["score"], 9)) for r in hits.collect()]
