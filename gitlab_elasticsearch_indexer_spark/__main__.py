@@ -23,6 +23,23 @@ import sys
 from pyspark.sql import functions as F
 
 
+def _write_index_meta(spark, path: str, blob_type: str) -> None:
+    """Persist launch-time settings the reference carries in its CLI
+    invocation (blob type, main.go:16-18) so ``update``/``update-delta``
+    replay them instead of hard-coding the default pipeline."""
+    spark.createDataFrame([(blob_type,)], "blob_type string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/index_meta")
+
+
+def _read_index_meta(spark, path: str) -> dict:
+    import os
+
+    if not os.path.isdir(f"{path}/index_meta"):
+        return {}
+    return spark.read.parquet(f"{path}/index_meta").collect()[0].asDict()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gitlab_elasticsearch_indexer_spark")
     ap.add_argument("--master", default=None)
@@ -52,6 +69,18 @@ def main(argv: list[str] | None = None) -> int:
                         "commit index current through the update")
     u.add_argument("--skip-commits", action="store_true")
 
+    ud = sub.add_parser(
+        "update-delta",
+        help="apply a PRE-CLASSIFIED change set — the reference's actual "
+             "FROM_SHA→TO_SHA contract (main.go:46-47): the operational "
+             "surface for the O(batch) delta path (plain `update` re-diffs "
+             "the whole snapshot)")
+    ud.add_argument("--changes", required=True,
+                    help="parquet dir of change rows (repo, path, commit, "
+                         "lang, content); rows with NULL content are deletes")
+    ud.add_argument("--index", required=True)
+    ud.add_argument("--snapshot", type=int, required=True)
+
     co = sub.add_parser("compact", help="merge under-filled doc partitions "
                                         "accreted by incremental updates "
                                         "(Lucene segment-merge analog)")
@@ -59,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--snapshot", type=int, required=True)
     co.add_argument("--min-fill", type=float, default=0.5,
                     help="parts below this fill fraction are merged")
+
+    v = sub.add_parser("vacuum", help="delete version files unreferenced by "
+                                      "the last K checkpoints (Lucene "
+                                      "delete-merged-segments analog)")
+    v.add_argument("--index", required=True)
+    v.add_argument("--keep-last", type=int, default=2)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -112,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             analyzer=args.analyzer,
         )
         inc.save_versioned(idx, args.index, snapshot_id=0)
+        _write_index_meta(spark, args.index, args.blob_type)
         from .sources.doc_store import save_documents
 
         save_documents(docs, args.index)  # _source store for typed GETs
@@ -152,7 +188,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict(recursive=True), default=str))
     elif args.cmd == "update":
         src = spark.read.parquet(args.source)
-        docs = pl.run_blob_pipeline(spark, src)
+        # the reference updates whatever blob type it was launched with
+        # (main.go:69) — replay the build-time type from index_meta
+        blob_type = _read_index_meta(spark, args.index).get("blob_type", "blob")
+        docs = pl.run_blob_pipeline(spark, src, blob_type=blob_type)
         idx = inc.update_index(
             spark, args.index,
             docs.select("id", "content", F.col("rid").alias("repo"), "path",
@@ -191,6 +230,40 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
                               "id": r["id"], "score": round(r["score"], 6)}))
+    elif args.cmd == "update-delta":
+        changes = spark.read.parquet(args.changes)
+        blob_type = _read_index_meta(spark, args.index).get("blob_type", "blob")
+        docs = pl.run_blob_pipeline(
+            spark, changes.filter(F.col("content").isNotNull()),
+            blob_type=blob_type,
+        )
+        # delete keys mirror the pipeline's id/rid forms: id stays
+        # "{repo}_{path}" for every blob type, rid carries the wiki_
+        # prefix (indexer/blob.go:58-60, indexer/indexer.go:53-69) —
+        # the repo column must match doc_stats for routed classify
+        rid = (F.concat(F.lit("wiki_"), F.col("repo"))
+               if blob_type == "wiki_blob" else F.col("repo"))
+        dels = changes.filter(F.col("content").isNull()).select(
+            F.concat("repo", F.lit("_"), "path").alias("id"),
+            rid.alias("repo"),
+        )
+        idx = inc.update_index_delta(
+            spark, args.index,
+            upserts=docs.select("id", "content", F.col("rid").alias("repo"),
+                                "path", F.col("language").alias("lang")),
+            deletes=dels,
+            snapshot_id=args.snapshot,
+            store_docs=docs,  # typed-GET store folded from the same batch
+        )
+        st = idx.__dict__.get("delta_stats", {})
+        print(json.dumps({
+            "snapshot": args.snapshot, "n_docs": idx.n_docs,
+            "n_dead": st.get("n_dead"), "n_appended": st.get("n_appended"),
+            "classify_fallback": st.get("classify_fallback"),
+        }))
+    elif args.cmd == "vacuum":
+        st = inc.vacuum(spark, args.index, keep_last=args.keep_last)
+        print(json.dumps(st))
     elif args.cmd == "compact":
         idx = inc.compact_index(spark, args.index, snapshot_id=args.snapshot,
                                 min_fill=args.min_fill)

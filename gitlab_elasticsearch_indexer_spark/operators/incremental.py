@@ -39,12 +39,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index_build import (
+    TERM_BUCKETS,
     InvertedIndex,
     assign_doc_ids,
     doc_stats_from_docs,
     filters_from_doc_stats,
+    idf_expr,
     part_meta_from_doc_stats,
     postings_from_docs,
+    term_bucket_expr,
     term_stats_from_postings,
 )
 
@@ -114,7 +117,10 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
     index.doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
         f"{vdir}/doc_stats"
     )
-    index.term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+    _write_term_stats_buckets(index.term_stats, vdir)
+    _write_term_manifest(
+        spark, vdir, [(b, snapshot_id) for b in range(TERM_BUCKETS)]
+    )
     _write_sidecars(index.filters, index.part_meta, index.doc_stats,
                     index.docs_per_part, vdir)
 
@@ -203,6 +209,91 @@ def _read_parts(spark: SparkSession, path: str,
     return out
 
 
+def _term_manifest_by_version(spark: SparkSession, path: str,
+                              snapshot_id: int) -> dict[int, list[int]] | None:
+    """Bucket-ownership map of a snapshot's term_stats (version →
+    term_buckets), or ``None`` for the legacy whole-file layout."""
+    import os
+
+    p = f"{path}/v{snapshot_id}/term_manifest"
+    if not os.path.isdir(p):
+        return None
+    out: dict[int, list[int]] = {}
+    for r in spark.read.parquet(p).collect():
+        out.setdefault(int(r["version"]), []).append(int(r["term_bucket"]))
+    return out
+
+
+def _read_term_stats_raw(spark: SparkSession, path: str,
+                         tm_by_version: dict[int, list[int]],
+                         buckets: list[int] | None = None) -> DataFrame:
+    """(term, df, cf, term_bucket) union across the owning versions,
+    pruned to ``buckets`` when given — the static IN lists reach each
+    bucket-partitioned scan as partition filters."""
+    out = None
+    for v, bks in sorted(tm_by_version.items()):
+        sel = bks if buckets is None else sorted(set(bks) & set(buckets))
+        if buckets is not None and not sel:
+            continue
+        t = (
+            # explicit schema: a delta that kills every term of its
+            # touched buckets writes a file-less (but manifested)
+            # term_stats dir — inference would fail, the known schema
+            # loads it as empty
+            spark.read.schema("term string, df long, cf long, term_bucket int")
+            .parquet(f"{path}/v{v}/term_stats")
+            .filter(F.col("term_bucket").isin(sel))
+            .select("term", "df", "cf", "term_bucket")
+        )
+        out = t if out is None else out.unionByName(t)
+    if out is None:
+        out = spark.createDataFrame(
+            [], "term string, df long, cf long, term_bucket int"
+        )
+    return out
+
+
+def _read_term_stats(spark: SparkSession, path: str, snapshot_id: int,
+                     n_docs: int) -> DataFrame:
+    """Query view of a snapshot's term_stats.  The bucketed store holds
+    (term, df, cf) only; idf derives from the CURRENT n_docs at read
+    time (it changes every delta batch — storing it would leave every
+    untouched bucket stale).  Legacy single-file layouts read as-is."""
+    tm = _term_manifest_by_version(spark, path, snapshot_id)
+    if tm is None:
+        ts = spark.read.parquet(f"{path}/v{snapshot_id}/term_stats")
+        if "idf" not in ts.columns:
+            ts = ts.withColumn("idf", idf_expr(n_docs))
+        return ts
+    return _read_term_stats_raw(spark, path, tm).withColumn(
+        "idf", idf_expr(n_docs)
+    )
+
+
+def _write_term_stats_buckets(ts: DataFrame, vdir: str) -> None:
+    if "term_bucket" not in ts.columns:
+        ts = ts.withColumn("term_bucket", term_bucket_expr())
+    (
+        ts.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            "term_bucket",
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{vdir}/term_stats")
+    )
+
+
+def _write_term_manifest(spark: SparkSession, vdir: str,
+                         rows: list[tuple[int, int]]) -> None:
+    spark.createDataFrame(
+        [(int(b), int(v)) for b, v in rows], "term_bucket int, version long"
+    ).write.mode("overwrite").parquet(f"{vdir}/term_manifest")
+
+
 def _empty_index(spark: SparkSession, path: str, snapshot_id: int,
                  g) -> InvertedIndex:
     """A delta batch can delete EVERY document, leaving an empty
@@ -221,7 +312,7 @@ def _empty_index(spark: SparkSession, path: str, snapshot_id: int,
         doc_stats=spark.createDataFrame(
             [], "doc_part long, doc_idx long, id string, repo string, "
                 "path string, lang string, oid string, dl int"),
-        term_stats=spark.read.parquet(f"{path}/v{snapshot_id}/term_stats"),
+        term_stats=_read_term_stats(spark, path, snapshot_id, int(g["n_docs"])),
         n_docs=int(g["n_docs"]),
         avgdl=float(g["avgdl"]),
         analyzer=g["analyzer"],
@@ -272,7 +363,7 @@ def load_versioned(spark: SparkSession, path: str,
     return InvertedIndex(
         postings=postings,
         doc_stats=doc_stats,
-        term_stats=spark.read.parquet(f"{path}/v{snapshot_id}/term_stats"),
+        term_stats=_read_term_stats(spark, path, snapshot_id, int(g["n_docs"])),
         n_docs=g["n_docs"],
         avgdl=g["avgdl"],
         analyzer=g["analyzer"],
@@ -407,8 +498,13 @@ def update_index(
     ).collect()[0]
     n_docs, total_dl = int(g["n"]), int(g["total_dl"])
     avgdl = total_dl / n_docs if n_docs else 0.0
-    term_stats = term_stats_from_postings(staged.postings, n_docs)
-    term_stats.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+    # snapshot-diff updates recompute the whole vocabulary anyway (that
+    # is their nature); the write is still bucketed so later DELTA
+    # batches can rewrite bucket-scoped
+    _write_term_stats_buckets(term_stats_from_postings(staged.postings, n_docs), vdir)
+    _write_term_manifest(
+        spark, vdir, [(b, snapshot_id) for b in range(TERM_BUCKETS)]
+    )
 
     _write_lineage(spark, path, snapshot_id, staged, rebuilt_parts=rebuilt_parts)
     # keep the _source store current from the SAME diff: upserted docs'
@@ -805,30 +901,57 @@ def update_index_delta(
                 .agg((-F.sum("df")).alias("d_df"), (-F.sum("cf")).alias("d_cf"))
             )
             added_stats = added_stats.unionByName(removed_stats)
-        delta = added_stats.groupBy("term").agg(
-            F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf")
+        delta = (
+            added_stats.groupBy("term")
+            .agg(F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf"))
+            # the repack re-adds most of an affected partition's terms
+            # unchanged (whole-partition stats out, whole-partition
+            # stats back in): net-zero terms need no rewrite, and
+            # dropping them keeps the touched-bucket set at "the dead
+            # and added DOCS' terms", not the partition's vocabulary
+            .filter((F.col("d_df") != 0) | (F.col("d_cf") != 0))
+            .withColumn("term_bucket", term_bucket_expr())
+            .persist()
         )
-        old_ts = spark.read.parquet(f"{path}/v{prev_snapshot}/term_stats").select(
-            "term", "df", "cf"
-        )
+        caches.append(delta)
+        # bucket-scoped merge: only the term-hash buckets containing
+        # THIS batch's terms are read and rewritten — a 1-doc batch
+        # touches its own terms' buckets, never the whole vocabulary
+        # (the collect is ≤ TERM_BUCKETS rows)
+        prev_tm = _term_manifest_by_version(spark, path, prev_snapshot)
+        if prev_tm is None:
+            # legacy whole-file layout: one-time O(vocab) migration
+            old_ts = spark.read.parquet(
+                f"{path}/v{prev_snapshot}/term_stats"
+            ).select("term", "df", "cf")
+            touched_buckets = list(range(TERM_BUCKETS))
+        else:
+            touched_buckets = sorted(
+                int(r[0]) for r in delta.select("term_bucket").distinct().collect()
+            )
+            old_ts = _read_term_stats_raw(
+                spark, path, prev_tm, buckets=touched_buckets
+            ).drop("term_bucket")
         merged = (
-            old_ts.join(delta, "term", "full_outer")
+            old_ts.join(delta.drop("term_bucket"), "term", "full_outer")
             .select(
                 "term",
                 (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
                 (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias("cf"),
             )
             .filter(F.col("df") > 0)
-            .withColumn(
-                "idf",
-                F.log(
-                    F.lit(1.0)
-                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ),
-            )
         )
-        merged.write.mode("overwrite").parquet(f"{vdir}/term_stats")
+        _write_term_stats_buckets(merged, vdir)
+        if prev_tm is None:
+            tm_rows = [(b, snapshot_id) for b in range(TERM_BUCKETS)]
+        else:
+            prev_owner = {b: v for v, bs in prev_tm.items() for b in bs}
+            tset = set(touched_buckets)
+            tm_rows = [
+                (b, snapshot_id if b in tset else prev_owner.get(b, prev_snapshot))
+                for b in range(TERM_BUCKETS)
+            ]
+        _write_term_manifest(spark, vdir, tm_rows)
         if n_app and vds is not None:
             dl_added = int(
                 vds.filter(F.col("doc_part").isin([int(p) for p in app_parts]))
@@ -1054,10 +1177,18 @@ def compact_index(
     )
     kept.unionByName(new_rows).write.mode("overwrite").parquet(f"{vdir}/manifest")
 
-    # df/cf/idf are invariant under doc renumbering — carry forward
-    spark.read.parquet(f"{path}/v{prev_snapshot}/term_stats").write.mode(
-        "overwrite"
-    ).parquet(f"{vdir}/term_stats")
+    # df/cf are invariant under doc renumbering — carry the buckets
+    # forward BY MANIFEST REFERENCE (no data copied); legacy whole-file
+    # layouts copy the file as before
+    prev_tm = _term_manifest_by_version(spark, path, prev_snapshot)
+    if prev_tm is None:
+        spark.read.parquet(f"{path}/v{prev_snapshot}/term_stats").write.mode(
+            "overwrite"
+        ).parquet(f"{vdir}/term_stats")
+    else:
+        _write_term_manifest(
+            spark, vdir, [(b, v) for v, bs in prev_tm.items() for b in bs]
+        )
 
     staged = InvertedIndex(
         postings=spark.read.parquet(f"{vdir}/postings"),
@@ -1079,6 +1210,122 @@ def compact_index(
         "written_parts": sorted(written_parts),
     }
     return out
+
+
+def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
+    """Version garbage collection — the ES/Lucene delete-merged-segments
+    analog: every delta/compaction writes superseded partitions' new
+    owners into a fresh ``v{N}/`` directory but never deletes the old
+    files, so a long-lived streaming index grows disk unboundedly.
+
+    Deletes every version file that NO manifest among the last
+    ``keep_last`` checkpoints references:
+
+    * ``postings/doc_stats/filters/doc_part=P`` directories of (version,
+      part) pairs absent from every retained manifest;
+    * ``term_stats/term_bucket=B`` directories absent from every
+      retained term manifest (legacy whole-file term_stats are kept only
+      for retained legacy snapshots);
+    * ``manifest``/``term_manifest`` dirs of non-retained snapshots;
+    * whole ``v{N}`` directories that end up owning nothing.
+
+    The retention contract: the last ``keep_last`` checkpoints stay
+    fully loadable (each retained manifest's references are live);
+    older snapshots may no longer load.  The checkpoint and lineage
+    tables are history and stay intact.  Idempotent and safe to run
+    any time — it reads only committed manifests.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    assert keep_last >= 1
+    cp = _checkpoint_df(spark, path)
+    snaps = sorted(
+        {int(r["snapshot_id"]) for r in cp.select("snapshot_id").collect()},
+        reverse=True,
+    )
+    retained = set(snaps[:keep_last])
+
+    live_parts: dict[int, set[int]] = {}
+    live_buckets: dict[int, set[int]] = {}
+    legacy_ts: set[int] = set()  # retained snapshots on the whole-file layout
+    for s in retained:
+        man = f"{path}/v{s}/manifest"
+        if os.path.isdir(man):
+            for r in spark.read.parquet(man).collect():
+                live_parts.setdefault(int(r["version"]), set()).add(
+                    int(r["doc_part"])
+                )
+        tm = _term_manifest_by_version(spark, path, s)
+        if tm is None:
+            legacy_ts.add(s)
+        else:
+            for v, bks in tm.items():
+                live_buckets.setdefault(int(v), set()).update(int(b) for b in bks)
+
+    def _size(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p) for f in fs
+        )
+
+    removed_dirs, bytes_freed = 0, 0
+
+    def _rm(p: str):
+        nonlocal removed_dirs, bytes_freed
+        bytes_freed += _size(p)
+        removed_dirs += 1
+        shutil.rmtree(p, ignore_errors=True)
+
+    for vd in sorted(_glob.glob(f"{path}/v*")):
+        name = os.path.basename(vd)
+        if not name[1:].isdigit():
+            continue
+        v = int(name[1:])
+        lp = live_parts.get(v, set())
+        lb = live_buckets.get(v, set())
+        if v not in retained and not lp and not lb and v not in legacy_ts:
+            _rm(vd)
+            continue
+        for table in ("postings", "doc_stats", "filters"):
+            tdir = f"{vd}/{table}"
+            if not os.path.isdir(tdir):
+                continue
+            for sub in os.listdir(tdir):
+                if sub.startswith("doc_part="):
+                    if int(sub.split("=", 1)[1]) not in lp:
+                        _rm(f"{tdir}/{sub}")
+            if not lp:
+                _rm(tdir)
+        tdir = f"{vd}/term_stats"
+        if os.path.isdir(tdir):
+            subs = [s for s in os.listdir(tdir) if s.startswith("term_bucket=")]
+            if subs:
+                for sub in subs:
+                    if int(sub.split("=", 1)[1]) not in lb:
+                        _rm(f"{tdir}/{sub}")
+                if not lb:
+                    _rm(tdir)
+            elif v not in legacy_ts:
+                _rm(tdir)  # legacy whole-file layout, superseded
+        if v not in retained:
+            for meta in ("manifest", "term_manifest"):
+                if os.path.isdir(f"{vd}/{meta}"):
+                    _rm(f"{vd}/{meta}")
+            if not lp and os.path.isdir(f"{vd}/part_meta"):
+                _rm(f"{vd}/part_meta")
+        # a version directory that ended up owning nothing disappears
+        if os.path.isdir(vd) and not any(
+            os.path.isdir(f"{vd}/{s}") for s in os.listdir(vd)
+        ) and v not in retained:
+            _rm(vd)
+
+    return {
+        "retained_snapshots": sorted(retained),
+        "removed_dirs": removed_dirs,
+        "bytes_freed": bytes_freed,
+    }
 
 
 def _load_via_manifest(spark: SparkSession, path: str, snapshot_id: int) -> InvertedIndex:

@@ -45,7 +45,33 @@ from ..functions.codecs import block_stats, pack_partition, pack_postings
 K1 = 1.2
 B = 0.75
 
+# versioned-store term_stats partitioning: term-hash buckets, so a delta
+# batch rewrites only the buckets containing ITS terms (never the whole
+# vocabulary) and idf lookups prune to the query terms' buckets.  At
+# 10^8+ terms this is the knob that keeps per-batch term_stats I/O
+# batch-bounded; raise it on a real cluster.
+TERM_BUCKETS = 64
+
 TERM_ROWS_SCHEMA = "doc_idx long, term string, tf int, dl int"
+
+
+def term_bucket_expr(col="term"):
+    """JVM-side bucket of a term — MUST stay in lockstep with the
+    driver-side ``functions.hashing.term_bucket_py`` (equality pinned
+    in tests)."""
+    return F.pmod(F.xxhash64(col), F.lit(TERM_BUCKETS)).cast("int")
+
+
+def idf_expr(n_docs: int, df_col="df"):
+    """BM25 idf from a df column and the CURRENT collection size — the
+    stored bucketed term_stats carry (df, cf) only, because idf depends
+    on n_docs, which changes every delta batch; deriving it at read
+    time keeps untouched buckets valid forever."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col(df_col) + F.lit(0.5))
+        / (F.col(df_col) + F.lit(0.5))
+    )
 
 PACK_SCHEMA = StructType(
     [
@@ -235,7 +261,16 @@ class InvertedIndex:
         cache = self.__dict__.setdefault("_idf_cache", {})
         missing = [t for t in set(terms) if t not in cache]
         if missing:
-            rows = self.term_stats.filter(F.col("term").isin(missing)).collect()
+            ts = self.term_stats
+            if "term_bucket" in ts.columns:
+                # bucketed (versioned) store: the lookup prunes to the
+                # missing terms' hash buckets — a partition filter on
+                # the term_stats scan, not a full-vocabulary read
+                from ..functions.hashing import term_bucket_py
+
+                bks = sorted({term_bucket_py(t, TERM_BUCKETS) for t in missing})
+                ts = ts.filter(F.col("term_bucket").isin(bks))
+            rows = ts.filter(F.col("term").isin(missing)).collect()
             found = {r["term"]: r["idf"] for r in rows}
             for t in missing:
                 cache[t] = found.get(t)
@@ -483,14 +518,7 @@ def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
     return (
         postings.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
+        .withColumn("idf", idf_expr(n_docs))
     )
 
 

@@ -4,14 +4,15 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched kernels over ``mapInPandas``.
 
-Decode status: UNCOMPRESSED formats decode for real, in pure
-numpy/stdlib — binary PPM (P6) images and PCM16 mono WAV audio
-(:func:`decode_media`, with :func:`synth_real_media` generating
-genuine payloads of both).  COMPRESSED codecs (JPEG/PNG/MP4/…) remain
-an honest stub: ``decode_features`` raises ``NotImplementedError``
-unless ``deterministic_fake=True`` (no codec libraries in this
-container); the Spark-side plumbing (schema, batching, partition flow)
-is identical either way.
+Decode status: binary PPM (P6) images, PCM16 mono WAV audio, AND
+zlib-compressed PNG (8-bit gray/RGB/RGBA, every scanline filter) decode
+for real in pure numpy/stdlib (:func:`decode_media`, with
+:func:`synth_real_media` / :func:`synth_png_media` generating genuine
+payloads).  Codec-library formats (JPEG/MP4/…) remain an honest stub:
+``decode_features`` raises ``NotImplementedError`` unless
+``deterministic_fake=True`` (no codec libraries in this container); the
+Spark-side plumbing (schema, batching, partition flow) is identical
+either way.
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# real decoders (pure numpy/stdlib — uncompressed formats only)
+# real decoders (pure numpy/stdlib)
 
 
 def _wav_container(pcm16: bytes, rate: int) -> bytes:
@@ -122,6 +123,172 @@ def _decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a scanline."""
+    p = a.astype(np.int64) + b.astype(np.int64) - c.astype(np.int64)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.int64)
+
+
+def _decode_png(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG decode in stdlib zlib + numpy: chunk walk → IDAT inflate
+    → per-scanline unfilter (all five filter types).  Supports 8-bit
+    depth, non-interlaced, gray/gray+alpha/RGB/RGBA — the PNG subset
+    that needs no codec library.  Returns (width, height, channels,
+    flat uint8 pixels)."""
+    import struct
+    import zlib
+
+    if raw[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError("PNG subset: 8-bit, non-interlaced")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    at = 0
+    for y in range(h):
+        ft = data[at]
+        row = np.frombuffer(data, np.uint8, stride, at + 1).astype(np.int64)
+        at += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → per-
+            # channel cumulative sum (mod 256 commutes with the sum)
+            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+        elif ft == 2:  # Up
+            cur = row + prev
+        elif ft in (3, 4):  # Average / Paeth: left-dependent → pixel loop
+            r2 = row.reshape(w, ch)
+            p2 = (prev % 256).reshape(w, ch)
+            cur2 = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                if ft == 3:
+                    cur2[x] = (r2[x] + (left + p2[x]) // 2) % 256
+                else:
+                    cur2[x] = (r2[x] + _paeth_vec(left, p2[x], upleft)) % 256
+                upleft = p2[x]
+                left = cur2[x]
+            cur = cur2.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        cur = cur % 256
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, ch, out.reshape(-1)
+
+
+def _encode_png(px: np.ndarray, w: int, h: int, channels: int,
+                filter_of_row=None) -> bytes:
+    """Minimal PNG writer (the synthesis side of the decode gate):
+    forward-filters each scanline with ``filter_of_row(y)`` (default 0)
+    — emitting all five filter types exercises every unfilter branch."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    img = px.reshape(h, stride).astype(np.int64)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    lines = []
+    zero = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = img[y]
+        prev = img[y - 1] if y else zero
+        left = np.concatenate([np.zeros(channels, dtype=np.int64),
+                               cur[:-channels]])
+        upleft = np.concatenate([np.zeros(channels, dtype=np.int64),
+                                 prev[:-channels]])
+        ft = int(filter_of_row(y)) if filter_of_row else 0
+        if ft == 0:
+            raw = cur
+        elif ft == 1:
+            raw = cur - left
+        elif ft == 2:
+            raw = cur - prev
+        elif ft == 3:
+            raw = cur - (left + prev) // 2
+        else:
+            raw = cur - _paeth_vec(left, prev, upleft)
+        lines.append(bytes([ft]) + (raw % 256).astype(np.uint8).tobytes())
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG payloads per id: closed-form pixels
+    ``(id·31 + k·7) mod 256`` over gray/RGB/RGBA (``id % 3``), each
+    scanline forward-filtered with type ``(id + y) % 5`` so the decode
+    gate exercises every PNG filter.  An oracle replays the pixel
+    formula analytically while the engine inflates and unfilters the
+    actual bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 16, 8 + i % 8
+                ch = (1, 3, 4)[i % 3]
+                px = ((i * 31 + np.arange(ch * w * h, dtype=np.int64) * 7)
+                      % 256).astype(np.uint8)
+                payloads.append(
+                    _encode_png(px, w, h, ch,
+                                filter_of_row=lambda y, i=i: (i + y) % 5)
+                )
+            yield pd.DataFrame(
+                {"id": ids, "kind": ["image"] * len(ids), "payload": payloads}
+            )
+
+    media = df.select(F.col(id_col).cast("long").alias("id")).mapInPandas(
+        kernel, schema="id long, kind string, payload binary"
+    )
+    return media.select(
+        "id", "kind", "payload",
+        F.struct(
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lower(F.hex(F.substring("payload", 1, 4))).alias("magic"),
+        ).alias("meta"),
+    )
+
+
 def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media payloads per id: binary-PPM images
     (``id % 3 == 0``), PCM16 WAV audio (``id % 3 == 1``), and an opaque
@@ -167,11 +334,11 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """REAL decode of uncompressed payloads via mapInPandas: P6 PPM →
-    (width, height, pixel mean/rms), PCM16 WAV → (rate, n_samples,
-    sample mean/rms).  Rows whose magic matches neither format (video
-    containers, compressed codecs) are passed over — route those through
-    :func:`decode_features`'s stub boundary instead."""
+    """REAL decode via mapInPandas: P6 PPM and PNG (zlib-compressed,
+    all five scanline filters) → (width, height, pixel mean/rms), PCM16
+    WAV → (rate, n_samples, sample mean/rms).  Rows whose magic matches
+    none of these (video containers, JPEG/MP4) are passed over — route
+    those through :func:`decode_features`'s stub boundary instead."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,8 +347,11 @@ def decode_media(media: DataFrame) -> DataFrame:
             for rid, kind, payload in zip(pdf["id"], pdf["kind"],
                                           pdf["payload"]):
                 raw = bytes(payload)
-                if raw[:2] == b"P6":
-                    w, h, px = _decode_ppm(raw)
+                if raw[:2] == b"P6" or raw[:8] == PNG_MAGIC:
+                    if raw[:2] == b"P6":
+                        w, h, px = _decode_ppm(raw)
+                    else:
+                        w, h, _ch, px = _decode_png(raw)
                     v = px.astype(np.float64)
                     out["width"].append(w)
                     out["height"].append(h)

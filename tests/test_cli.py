@@ -187,6 +187,100 @@ def test_cli_msearch_batch(spark, dirs, capsys, tmp_path):
     assert [h["id"] for h in single] == [i for _, i in by_q["flt"]]
 
 
+def test_cli_update_delta_applies_change_set(spark, dirs, capsys, tmp_path):
+    """update-delta: the reference's FROM→TO contract (main.go:46-47) on
+    the CLI — a pre-classified change set (NULL content = delete) runs
+    through the O(batch) delta path; the plain-snapshot `update` is no
+    longer the only operational surface."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    changes = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [
+            ("repo1", "src/app.py", "9" * 40, "Python",
+             "def getUserById if return patchedDelta"),      # modify
+            ("repo2", "lib/fresh.rb", "8" * 40, "Ruby",
+             "def freshDeltaFunction end"),                  # add
+            ("repo1", "src/db.py", "7" * 40, "Python", None),  # delete
+        ],
+        SRC_SCHEMA,
+    ).write.parquet(changes)
+    assert main(["update-delta", "--changes", changes, "--index", idx,
+                 "--snapshot", "1"]) == 0
+    out = _lines(capsys)[-1]
+    assert out["n_docs"] == 3  # 3 - 1 deleted + 1 added
+    assert out["n_dead"] == 2 and out["n_appended"] == 2
+    assert out["classify_fallback"] is None  # repo-routed classify
+
+    assert main(["search", "--index", idx, "--query", "freshDeltaFunction"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo2_lib/fresh.rb"
+    assert main(["search", "--index", idx, "--query", "patchedDelta"]) == 0
+    assert _lines(capsys)[0]["id"] == "repo1_src/app.py"
+    assert main(["search", "--index", idx, "--query", "table scan merge"]) == 0
+    assert all(h["id"] != "repo1_src/db.py" for h in _lines(capsys))
+
+    # the _source store followed the delta: add visible, delete gone
+    assert main(["get", "--index", idx, "--parent", "repo2",
+                 "--path", "lib/fresh.rb"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1 and rows[0]["content"] == "def freshDeltaFunction end"
+    assert main(["get", "--index", idx, "--parent", "repo1",
+                 "--path", "src/db.py"]) == 0
+    assert _lines(capsys) == []
+
+
+def test_cli_wiki_blob_survives_update(spark, dirs, capsys, tmp_path):
+    """A wiki_blob index must stay wiki-typed through `update` and
+    `update-delta` (the reference updates whatever blob type it was
+    launched with, main.go:69): rid keeps the wiki_ prefix."""
+    src, commits, idx = dirs
+    widx = str(tmp_path / "widx2")
+    assert main(["build", "--source", src, "--index", widx,
+                 "--blob-type", "wiki_blob"]) == 0
+    _lines(capsys)
+
+    src2 = str(tmp_path / "wsrc2")
+    spark.read.parquet(src).unionByName(
+        spark.createDataFrame(
+            [("repo2", "lib/wiki_new.rb", "9" * 40, "Ruby",
+              "def wikiUpdatedPage end")], SRC_SCHEMA)
+    ).write.parquet(src2)
+    assert main(["update", "--source", src2, "--index", widx,
+                 "--snapshot", "1"]) == 0
+    assert _lines(capsys)[-1]["n_docs"] == 4
+
+    assert main(["search", "--index", widx, "--query", "wikiUpdatedPage"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["repo"] == "wiki_repo2"  # type replayed
+    assert hits[0]["id"] == "repo2_lib/wiki_new.rb"
+
+    # typed GET with the wiki type still resolves after the update
+    assert main(["get", "--index", widx, "--type", "wiki_blob",
+                 "--parent", "repo2", "--path", "lib/wiki_new.rb"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1 and rows[0]["content"] == "def wikiUpdatedPage end"
+
+    # and the delta surface keeps the type too
+    changes = str(tmp_path / "wchanges")
+    spark.createDataFrame(
+        [("repo1", "docs/page.md", "6" * 40, "Markdown",
+          "wikiDeltaPage content"),
+         ("repo2", "lib/util.rb", "5" * 40, "Ruby", None)],  # wiki delete
+        SRC_SCHEMA).write.parquet(changes)
+    assert main(["update-delta", "--changes", changes, "--index", widx,
+                 "--snapshot", "2"]) == 0
+    out = _lines(capsys)[-1]
+    assert out["n_docs"] == 4  # +1 page, -1 deleted wiki blob
+    assert out["classify_fallback"] is None  # wiki_rid-routed classify
+    assert main(["search", "--index", widx, "--query", "wikiDeltaPage"]) == 0
+    assert _lines(capsys)[0]["repo"] == "wiki_repo1"
+    assert main(["search", "--index", widx, "--query", "helper"]) == 0
+    assert all(h["id"] != "repo2_lib/util.rb" for h in _lines(capsys))
+
+
 def test_cli_typed_get_returns_stored_source(spark, dirs, capsys):
     """GetBlob/GetCommit analogs (elastic/client.go:170-185): typed point
     lookups return the full stored document including content."""

@@ -95,3 +95,31 @@ def test_pack_partition_property(seed, n_terms):
         assert packed["block_last"][i] == last.tolist()
         assert packed["block_max_tf"][i] == bmax.tolist()
         assert packed["block_min_dl"][i] == bmin.tolist()
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The driver-side bucket computation (idf lookup pruning) must be
+    bit-identical to the JVM xxhash64 the term_stats writer partitions
+    by — a silent divergence would make lookups miss their buckets."""
+    from pyspark.sql import functions as F
+
+    from gitlab_elasticsearch_indexer_spark.functions.hashing import (
+        term_bucket_py,
+        xxhash64,
+    )
+    from gitlab_elasticsearch_indexer_spark.operators.index_build import (
+        TERM_BUCKETS,
+    )
+
+    terms = ["if", "return", "getuserbyid", "a", "zz", "ab_cd.e", "x" * 7,
+             "y" * 8, "q" * 31, "r" * 32, "s" * 100, "日本語", "naïve"]
+    rows = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term",
+        F.xxhash64("term").alias("h"),
+        F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).alias("b"),
+    ).collect()
+    for r in rows:
+        h = xxhash64(r["term"].encode("utf-8"))
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == r["h"], r["term"]
+        assert term_bucket_py(r["term"], TERM_BUCKETS) == r["b"], r["term"]

@@ -299,6 +299,51 @@ def test_avgdl_exact_across_many_chained_deltas(spark, base_index):
     full.unpersist()
 
 
+def test_delta_rewrites_only_its_terms_buckets(spark, base_index):
+    """A small delta batch must rewrite ONLY the term-hash buckets
+    containing its own terms (manifest-resolved like postings), never
+    the whole vocabulary — the last O(|vocab|)-per-batch term killed."""
+    import os
+
+    from gitlab_elasticsearch_indexer_spark.functions.hashing import term_bucket_py
+    from gitlab_elasticsearch_indexer_spark.operators.index_build import TERM_BUCKETS
+
+    docs, path = base_index
+    # the batch's vocabulary: the new content's terms PLUS the replaced
+    # doc's old terms (their df/cf change too)
+    old_terms = ["if", "return", "getuser1", "alpha1", "tok1"]
+    new_terms = ["zzonly"]
+    ups = spark.createDataFrame(
+        [("r1_f0001.py", "zzOnly", "r1", "f0001.py", "Go")], DOCS_SCHEMA)
+    out = inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+
+    written = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{path}/v1/term_stats")
+        if d.startswith("term_bucket=")
+    }
+    expect = {term_bucket_py(t, TERM_BUCKETS) for t in old_terms + new_terms}
+    assert written <= expect and written  # only the batch's buckets
+
+    # untouched buckets resolve to v0 through the term manifest (a
+    # touched bucket may own v1 with no dir on disk — every term in it
+    # died — which correctly reads as empty)
+    man = {int(r["term_bucket"]): int(r["version"])
+           for r in spark.read.parquet(f"{path}/v1/term_manifest").collect()}
+    assert len(man) == TERM_BUCKETS
+    assert all(man[b] == 1 for b in written)
+    assert all(man[b] == 0 for b in set(range(TERM_BUCKETS)) - expect)
+
+    # and the merged view is still exactly the full-rebuild stats
+    final = _base_docs(spark).withColumn(
+        "content", F.when(F.col("id") == "r1_f0001.py", F.lit("zzOnly"))
+        .otherwise(F.col("content")))
+    full = build_index(spark, final, analyzer="simple", docs_per_part=16)
+    assert {r["term"]: (r["df"], r["cf"]) for r in out.term_stats.collect()} \
+        == {r["term"]: (r["df"], r["cf"]) for r in full.term_stats.collect()}
+    full.unpersist()
+
+
 def test_classify_fallback_is_recorded(spark, base_index):
     """A batch whose deletes lack a repo column forces the full-metadata
     classify — the fallback must be OBSERVABLE in delta_stats, and a
@@ -434,6 +479,72 @@ def test_compact_spans_multiple_target_parts(spark, base_index):
     for q in queries:
         assert _topk(out, q, k=40) == q_before[q], q
     assert _topk(out, "spantok", k=40, mode="bmw") == q_before["spantok"]
+
+
+def test_vacuum_drops_unreferenced_files_and_keeps_index_valid(spark, base_index):
+    """build → deltas → compact → vacuum(keep_last=1): every surviving
+    postings/doc_stats/term_stats directory must be referenced by the
+    LATEST manifests, superseded files must be gone (bytes freed > 0),
+    and all searches/stats must be identical on the vacuumed index."""
+    import glob
+    import os
+
+    docs, path = base_index
+    # supersede some v0 partitions (modifications) and accrete appends
+    for s in range(1, 4):
+        ups = spark.createDataFrame(
+            [(f"r1_f{4 * s + 1:04d}.py", f"vacuumed{s} if", "r1",
+              f"f{4 * s + 1:04d}.py", "Go"),
+             (f"zz_vac{s}.py", f"fresh{s} if", "zz", f"vac{s}.py", "Go")],
+            DOCS_SCHEMA)
+        inc.update_index_delta(spark, path, ups, None, snapshot_id=s)
+    inc.compact_index(spark, path, snapshot_id=4, min_fill=0.5)
+
+    before = inc.load_versioned(spark, path)
+    queries = ["if", "vacuumed2", "fresh3", "getuser7", "alpha1"]
+    q_before = {q: _topk(before, q, k=25) for q in queries}
+    ts_before = {r["term"]: (r["df"], r["cf"]) for r in before.term_stats.collect()}
+
+    st = vac = inc.vacuum(spark, path, keep_last=1)
+    assert st["retained_snapshots"] == [4]
+    assert st["removed_dirs"] > 0 and st["bytes_freed"] > 0
+
+    # every surviving (version, doc_part) dir is referenced by the
+    # latest manifest; same for term buckets
+    man = {(int(r["version"]), int(r["doc_part"]))
+           for r in spark.read.parquet(f"{path}/v4/manifest").collect()}
+    tman = {(int(r["version"]), int(r["term_bucket"]))
+            for r in spark.read.parquet(f"{path}/v4/term_manifest").collect()}
+    for vd in glob.glob(f"{path}/v*"):
+        v = int(os.path.basename(vd)[1:])
+        for table in ("postings", "doc_stats", "filters"):
+            if os.path.isdir(f"{vd}/{table}"):
+                for sub in os.listdir(f"{vd}/{table}"):
+                    if sub.startswith("doc_part="):
+                        assert (v, int(sub.split("=")[1])) in man, (vd, sub)
+        if os.path.isdir(f"{vd}/term_stats"):
+            for sub in os.listdir(f"{vd}/term_stats"):
+                if sub.startswith("term_bucket="):
+                    assert (v, int(sub.split("=")[1])) in tman, (vd, sub)
+
+    after = inc.load_versioned(spark, path)
+    assert after.n_docs == before.n_docs
+    for q in queries:
+        assert _topk(after, q, k=25) == q_before[q], q
+    assert {r["term"]: (r["df"], r["cf"])
+            for r in after.term_stats.collect()} == ts_before
+    # filtered search still reads its (retained) sidecars
+    assert _topk(after, "if", k=10, lang="Go", mode="bmw") == \
+        _topk(before, "if", k=10, lang="Go", mode="bmw")
+
+    # the index keeps evolving after a vacuum
+    ups = spark.createDataFrame(
+        [("zz_postvac.py", "postVacuum if", "zz", "postvac.py", "Go")],
+        DOCS_SCHEMA)
+    nxt = inc.update_index_delta(spark, path, ups, None, snapshot_id=5)
+    assert nxt.n_docs == after.n_docs + 1
+    assert _topk(nxt, "postvacuum", k=3)[0][0] == "zz_postvac.py"
+    del vac
 
 
 def test_streaming_uses_delta_path_without_source_state(spark, tmp_path):

@@ -353,3 +353,47 @@ def test_redact_pii(spark):
     assert got[4]["redacted"] == "clean text only 1.2 not.an.ip"
     assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_secrets"]) == (0, 0, 0)
     assert got[5]["redacted"] == "<EMAIL> <IP> <HEX>"
+
+
+def test_png_codec_all_filters_roundtrip():
+    """PNG decode (stdlib zlib + numpy): filter 0 is trivially correct
+    (raw scanlines ARE the pixels, pinning the chunk walk + inflate);
+    every other filter type must decode to the same image, pinning each
+    unfilter branch independently; mixed per-row filters too."""
+    import numpy as np
+
+    from gitlab_elasticsearch_indexer_spark.sources import multimodal
+
+    for ch in (1, 3, 4):
+        w, h = 20, 11
+        px = ((7 + np.arange(ch * w * h) * 13) % 256).astype(np.uint8)
+        ref = multimodal._decode_png(
+            multimodal._encode_png(px, w, h, ch, lambda y: 0))
+        assert ref[:3] == (w, h, ch) and np.array_equal(ref[3], px)
+        for ft in range(1, 5):
+            got = multimodal._decode_png(
+                multimodal._encode_png(px, w, h, ch, lambda y, ft=ft: ft))
+            assert np.array_equal(got[3], px), (ch, ft)
+        mixed = multimodal._decode_png(
+            multimodal._encode_png(px, w, h, ch, lambda y: y % 5))
+        assert np.array_equal(mixed[3], px), ch
+
+
+def test_synth_png_media_decodes_through_spark(spark, docs):
+    """The PNG path end-to-end on the distributed surface: synthesized
+    compressed payloads decode to the closed-form generator stats."""
+    import numpy as np
+
+    from gitlab_elasticsearch_indexer_spark.sources import multimodal
+
+    media = multimodal.synth_png_media(docs.select("doc_id").limit(60))
+    rows = {r["id"]: r for r in multimodal.decode_media(media).collect()}
+    assert len(rows) == 60
+    for i, r in rows.items():
+        w, h = 16 + i % 16, 8 + i % 8
+        ch = (1, 3, 4)[i % 3]
+        v = ((i * 31 + np.arange(ch * w * h, dtype=np.int64) * 7) % 256
+             ).astype(np.float64)
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean"] - v.mean()) < 1e-9
+        assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
