@@ -6,12 +6,21 @@ range (/root/reference/main.go:15-47).  Here:
 
     python -m gitlab_elasticsearch_indexer_spark build  --source DIR --index DIR
     python -m gitlab_elasticsearch_indexer_spark update --source DIR --index DIR --snapshot N
+    python -m gitlab_elasticsearch_indexer_spark update-delta --changes DIR --index DIR --snapshot N
+    python -m gitlab_elasticsearch_indexer_spark compact --index DIR --snapshot N
+    python -m gitlab_elasticsearch_indexer_spark vacuum  --index DIR [--keep-last K]
     python -m gitlab_elasticsearch_indexer_spark search --index DIR --query STR [--k K]
                                                         [--lang L] [--repo R] [--bmw]
 
 ``build`` = full index (FROM_SHA empty ⇒ index everything, the
-NullTreeSHA case); ``update`` = incremental diff against the indexed
-state (FROM→TO range analog, resumable from the last checkpoint).
+NullTreeSHA case); ``update`` = snapshot diff against the indexed state
+(re-reads the source — operationally simple, O(corpus));
+``update-delta`` = the reference's ACTUAL FROM_SHA→TO_SHA contract
+(main.go:46-47): a pre-classified change set, O(batch + touched
+partitions), with rows whose content is NULL acting as deletes;
+``compact``/``vacuum`` = Lucene segment-merge / delete-merged-segments
+maintenance.  Both update forms resume from the last checkpoint and
+replay the build-time blob type (main.go:69) via ``index_meta``.
 """
 
 from __future__ import annotations

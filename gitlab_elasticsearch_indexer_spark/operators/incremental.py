@@ -321,6 +321,7 @@ def _empty_index(spark: SparkSession, path: str, snapshot_id: int,
             [], "doc_part long, field string, value string, bits binary"),
         part_meta=spark.createDataFrame(
             [], "doc_part long, repo_min string, repo_max string, n_docs long"),
+        doc_stats_paths={},
     )
 
 
@@ -370,6 +371,12 @@ def load_versioned(spark: SparkSession, path: str,
         docs_per_part=g["docs_per_part"],
         filters=filters,
         part_meta=part_meta,
+        # manifest-resolved per-part doc_stats dirs: the query fetch
+        # phase point-reads hit parts driver-side (no second job)
+        doc_stats_paths={
+            int(p): f"{path}/v{v}/doc_stats/doc_part={int(p)}"
+            for v, parts in by_version.items() for p in parts
+        },
     )
 
 

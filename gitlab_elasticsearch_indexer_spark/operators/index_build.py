@@ -244,6 +244,11 @@ class InvertedIndex:
     # queries; call unpersist() when done (after save(), or when the
     # query service retires the index) to release executor storage.
     caches: list | None = None
+    # file-backed indexes map doc_part → its doc_stats parquet directory
+    # (manifest-resolved for versioned stores): the query fetch phase
+    # point-reads the hit parts driver-side (pyarrow) instead of paying
+    # a second Spark job per query.  None for in-memory handles.
+    doc_stats_paths: dict | None = None
 
     def unpersist(self, blocking: bool = False) -> None:
         """Release every build-path cache registered on this handle.
@@ -301,6 +306,18 @@ class InvertedIndex:
         ).write.mode("overwrite").parquet(f"{path}/globals")
 
 
+def doc_stats_paths_of(root: str) -> dict:
+    """doc_part → parquet dir map of a partitionBy("doc_part") layout."""
+    import os
+
+    out = {}
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("doc_part="):
+                out[int(d.split("=", 1)[1])] = os.path.join(root, d)
+    return out
+
+
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     import os
 
@@ -320,6 +337,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         docs_per_part=g["docs_per_part"],
         filters=filters,
         part_meta=part_meta,
+        doc_stats_paths=doc_stats_paths_of(f"{path}/doc_stats"),
     )
 
 

@@ -48,6 +48,31 @@ from .index_build import B, K1, InvertedIndex
 
 TOPK_SCHEMA = "doc_idx long, score double"
 
+_HITS_FIELDS = [("id", "string"), ("score", "double"), ("repo", "string"),
+                ("path", "string"), ("lang", "string")]
+_BATCH_FIELDS = [("query_id", "string"), ("rank", "int"), ("id", "string"),
+                 ("score", "double")]
+
+
+def _local_result(spark, rows: list[tuple], fields: list[tuple[str, str]]) -> DataFrame:
+    """Materialize a driver-computed result as a DataFrame backed by an
+    Arrow local relation (pandas input): collecting it is a
+    LocalTableScan, NOT a Spark job — a tuple-list createDataFrame
+    parallelizes an RDD and pays ~0.3 s of job scheduling per query."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    types = {"string": StringType(), "double": DoubleType(), "int": IntegerType()}
+    schema = StructType([StructField(n, types[t]) for n, t in fields])
+    pdf = pd.DataFrame(rows, columns=[n for n, _ in fields])
+    if not rows:  # give Arrow concrete dtypes for the empty frame
+        pdf = pdf.astype(
+            {n: ("float64" if t == "double" else "int32" if t == "int" else "object")
+             for n, t in fields}
+        )
+    return spark.createDataFrame(pdf, schema)
+
 # search-side analysis per index analyzer: content/file_name fields use
 # the asymmetric code_search_analyzer (elastic/index.go:143-150); fields
 # on the `default` analyzer (commit message etc.) search with the same
@@ -143,6 +168,36 @@ def score_plan(
     return scored
 
 
+def _fetch_doc_meta(
+    index: InvertedIndex, doc_idxs: list[int], columns: list[str]
+) -> dict[int, dict] | None:
+    """ES fetch phase as DRIVER-SIDE point reads: for a file-backed
+    index, read the hit doc_parts' doc_stats parquet directly (pyarrow
+    dataset, doc_idx IN filter → row-group pruning) — no Spark job at
+    all.  Returns doc_idx → metadata row, or None when the index is not
+    file-backed (fall back to the pruned Spark join).  The candidate
+    set is ≤ k·n_parts rows and the parts touched ≤ that, so this is
+    O(hit shards) exactly like ES's fetch-from-hit-shards."""
+    paths = index.doc_stats_paths
+    if not paths or index.docs_per_part <= 0:
+        return None
+    parts = sorted({i // index.docs_per_part for i in doc_idxs})
+    if not all(p in paths for p in parts):
+        return None
+    import pyarrow.dataset as pads
+
+    out: dict[int, dict] = {}
+    want = set(doc_idxs)
+    for p in parts:
+        tbl = pads.dataset(paths[p], format="parquet").to_table(
+            columns=["doc_idx", *columns],
+            filter=pads.field("doc_idx").isin(list(want)),
+        )
+        for row in tbl.to_pylist():
+            out[int(row["doc_idx"])] = row
+    return out
+
+
 def search(
     index: InvertedIndex,
     query: str,
@@ -150,37 +205,54 @@ def search(
     lang: str | None = None,
     repo: str | None = None,
     mode: str = "exhaustive",
+    fetch: str = "auto",
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
     Duplicate analyzed query tokens add their scores (one term clause
     per occurrence, like a match query).
+
+    ``fetch``: "auto" resolves hit metadata via driver-side point reads
+    of the hit doc_parts when the index is file-backed (one Spark job
+    per query total); "spark" forces the doc_part-pruned broadcast join
+    (the distributed fallback, also used by plan tests).
     """
     spark = index.postings.sparkSession
     out_cols = ["id", "score", "repo", "path", "lang"]
     scored = score_plan(index, query, k=k, lang=lang, repo=repo, mode=mode)
     if scored is None:
-        return spark.createDataFrame(
-            [], "id string, score double, repo string, path string, lang string"
-        )
+        return _local_result(spark, [], _HITS_FIELDS)
 
     # ES fetch-phase analog: the scoring job runs here (its output is
     # bounded by k·n_parts candidate rows), the winners resolve
-    # driver-side, and the id-resolution join then scans ONLY the
-    # doc_parts that produced hits — a doc_part partition filter on the
-    # doc_stats read, never a full per-query metadata scan (ES fetches
-    # from the shards that returned hits, not from every shard).
+    # driver-side, and metadata comes ONLY from the doc_parts that
+    # produced hits — point reads (auto) or a doc_part-pruned join
+    # (spark) — never a full per-query metadata scan.
     cand_rows = scored.collect()
     if not cand_rows:
-        return spark.createDataFrame(
-            [], "id string, score double, repo string, path string, lang string"
-        )
+        return _local_result(spark, [], _HITS_FIELDS)
     cand_rows.sort(key=lambda r: -r["score"])
     if len(cand_rows) > k:
         # keep every row tying the kth score: the (score desc, id asc)
-        # tie-break needs the ids, which only the join below resolves
+        # tie-break needs the ids, resolved below
         kth = cand_rows[k - 1]["score"]
         cand_rows = [r for r in cand_rows if r["score"] >= kth]
+
+    meta = None
+    if fetch != "spark":
+        meta = _fetch_doc_meta(
+            index, [int(r["doc_idx"]) for r in cand_rows],
+            ["id", "repo", "path", "lang"],
+        )
+    if meta is not None:
+        rows = [
+            (m["id"], float(r["score"]), m["repo"], m["path"], m["lang"])
+            for r in cand_rows
+            if (m := meta.get(int(r["doc_idx"]))) is not None
+        ]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return _local_result(spark, rows[:k], _HITS_FIELDS)
+
     local = spark.createDataFrame(
         [(int(r["doc_idx"]), float(r["score"])) for r in cand_rows],
         "doc_idx long, score double",
@@ -410,6 +482,7 @@ def search_many(
     queries: dict[str, str | dict],
     k: int = 10,
     mode: str = "exhaustive",
+    fetch: str = "auto",
 ) -> DataFrame:
     """Batched top-k: one Spark job scores every query.
 
@@ -430,9 +503,7 @@ def search_many(
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     use_bmw = mode == "bmw"
-    empty = spark.createDataFrame(
-        [], "query_id string, rank int, id string, score double"
-    )
+    empty = _local_result(spark, [], _BATCH_FIELDS)
 
     specs: dict[str, tuple[str, str | None, str | None]] = {}
     for qid, spec in queries.items():
@@ -534,9 +605,9 @@ def search_many(
             _wrap_single(kernel), schema=out_schema
         )
     # fetch phase, batched: per-query winners resolve driver-side from
-    # the bounded candidate set, and the single id-resolution join scans
-    # only the doc_parts holding ANY query's hits (partition filter on
-    # doc_stats) — same pruning argument as the single-query path.
+    # the bounded candidate set; metadata comes from the hit doc_parts
+    # only — point reads (auto) or one doc_part-pruned join (spark) —
+    # same pruning argument as the single-query path.
     rows = scored.collect()
     if not rows:
         return empty
@@ -550,6 +621,27 @@ def search_many(
             kth = rs[k - 1]["score"]  # keep kth-score ties for id tie-break
             rs = [r for r in rs if r["score"] >= kth]
         cand_rows.extend(rs)
+
+    meta = None
+    if fetch != "spark":
+        meta = _fetch_doc_meta(
+            index, [int(r["doc_idx"]) for r in cand_rows], ["id"]
+        )
+    if meta is not None:
+        out_rows = []
+        for qid, rs in by_q.items():
+            resolved = [
+                (qid, m["id"], float(r["score"]))
+                for r in rs
+                if (m := meta.get(int(r["doc_idx"]))) is not None
+            ]
+            resolved.sort(key=lambda t: (-t[2], t[1]))
+            out_rows.extend(
+                (qid, rank, did, s)
+                for rank, (_, did, s) in enumerate(resolved[:k], 1)
+            )
+        return _local_result(spark, out_rows, _BATCH_FIELDS)
+
     local = spark.createDataFrame(
         [(r["query_id"], int(r["doc_idx"]), float(r["score"])) for r in cand_rows],
         "query_id string, doc_idx long, score double",

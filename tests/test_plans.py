@@ -39,10 +39,30 @@ def test_term_filter_pushed_to_postings_scan(saved_index):
 
 
 def test_topk_join_is_broadcast(saved_index):
-    """Per-partition top-k candidates (≤ k·n_parts rows) must broadcast
-    against doc_stats, never shuffle the big side."""
-    hits = search(saved_index, "if", k=5)
+    """Distributed fetch fallback: per-partition top-k candidates
+    (≤ k·n_parts rows) must broadcast against doc_stats, never shuffle
+    the big side."""
+    hits = search(saved_index, "if", k=5, fetch="spark")
     assert_broadcast_join(hits)
+
+
+def test_fetch_point_reads_equal_spark_join(saved_index):
+    """The driver-side point-read fetch phase (auto) must return
+    EXACTLY the pruned-join fetch's rows — ids, scores, order."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    for q in ("if", "getuser1", "if getuser2"):
+        a = [(r["id"], round(r["score"], 9))
+             for r in search(saved_index, q, k=5).collect()]
+        b = [(r["id"], round(r["score"], 9))
+             for r in search(saved_index, q, k=5, fetch="spark").collect()]
+        assert a == b and a, q
+    qs = {"q1": "if", "q2": "getuser3"}
+    a = [tuple(r) for r in search_many(saved_index, qs, k=5)
+         .orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in search_many(saved_index, qs, k=5, fetch="spark")
+         .orderBy("query_id", "rank").collect()]
+    assert a == b and a
 
 
 def test_batched_fetch_join_prunes_doc_stats(saved_index):
@@ -51,7 +71,8 @@ def test_batched_fetch_join_prunes_doc_stats(saved_index):
     doc_stats scan — never a full metadata read."""
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
-    out = search_many(saved_index, {"q1": "if", "q2": "getuser1"}, k=5)
+    out = search_many(saved_index, {"q1": "if", "q2": "getuser1"}, k=5,
+                      fetch="spark")
     plan = formatted_plan(out)
     ds_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert ds_lines and any("doc_part" in l and "IN" in l for l in ds_lines), plan
@@ -101,10 +122,12 @@ def test_repo_filtered_query_prunes_doc_parts(spark, tmp_path_factory):
     splan = formatted_plan(scored)
     assert "PartitionFilters" in splan and "doc_part" in splan
 
-    hits = search(loaded, "if alpha2", k=5, repo="r2", mode="bmw")
-    # fetch phase: the id-resolution join's doc_stats scan must carry a
-    # doc_part partition filter (hit parts only), never a full metadata
-    # scan — the ES fetch-from-hit-shards analog
+    hits = search(loaded, "if alpha2", k=5, repo="r2", mode="bmw",
+                  fetch="spark")
+    # fetch phase (distributed fallback): the id-resolution join's
+    # doc_stats scan must carry a doc_part partition filter (hit parts
+    # only), never a full metadata scan — the ES fetch-from-hit-shards
+    # analog (the default fetch goes further: driver-side point reads)
     plan = formatted_plan(hits)
     ds_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert ds_lines and any("doc_part" in l and "IN" in l for l in ds_lines), plan
