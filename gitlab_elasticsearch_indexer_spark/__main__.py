@@ -114,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--doc-type", choices=["blob", "commit"], default="blob",
                    help="commit searches the commit-message index built "
                         "alongside the blob index")
+    s.add_argument("--highlight", action="store_true",
+                   help="attach matching source lines per hit (the ES "
+                        "highlight clause analog; content via store "
+                        "point reads, no extra Spark job)")
+    s.add_argument("--fragments", type=int, default=3)
+
+    st = sub.add_parser("status", help="index health: checkpoint history, "
+                                       "manifest summary, store presence")
+    st.add_argument("--index", required=True)
+    st.add_argument("--history", type=int, default=5)
 
     m = sub.add_parser("msearch", help="batched multi-query search (ES "
                                        "_msearch analog): one Spark job "
@@ -281,15 +291,57 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"snapshot": args.snapshot, "n_docs": idx.n_docs,
                           "compacted_parts": len(st["compacted_parts"]),
                           "written_parts": len(st["written_parts"])}))
+    elif args.cmd == "status":
+        import os
+
+        cp = inc._checkpoint_df(spark, args.index)
+        hist = [r.asDict() for r in cp.orderBy(F.col("snapshot_id").desc())
+                .limit(args.history).collect()]
+        last = hist[0] if hist else {}
+        man_parts = tm_buckets = None
+        sid = last.get("snapshot_id")
+        if sid is not None:
+            man = spark.read.parquet(f"{args.index}/v{sid}/manifest")
+            man_parts = {
+                str(r["version"]): int(r["n"]) for r in
+                man.groupBy("version").agg(F.count("*").alias("n")).collect()
+            }
+            if os.path.isdir(f"{args.index}/v{sid}/term_manifest"):
+                tm = spark.read.parquet(f"{args.index}/v{sid}/term_manifest")
+                tm_buckets = {
+                    str(r["version"]): int(r["n"]) for r in
+                    tm.groupBy("version").agg(F.count("*").alias("n")).collect()
+                }
+        print(json.dumps({
+            "latest": last,
+            "history": hist,
+            "manifest_parts_by_version": man_parts,
+            "term_buckets_by_version": tm_buckets,
+            "has_doc_store": os.path.isdir(f"{args.index}/documents"),
+            "has_commit_index": os.path.isdir(f"{args.index}/commit_index"),
+            "blob_type": _read_index_meta(spark, args.index).get("blob_type", "blob"),
+        }, default=str))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)
         hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                         repo=args.repo, mode="bmw" if args.bmw else "exhaustive")
-        for r in hits.collect():
-            print(json.dumps({"id": r["id"], "score": round(r["score"], 6),
-                              "repo": r["repo"], "path": r["path"],
-                              "lang": r["lang"]}))
+        rows = hits.collect()
+        frags: dict = {}
+        if args.highlight:
+            from .operators.highlight import highlight_hits
+
+            frags = highlight_hits(
+                root, [r["id"] for r in rows], args.query,
+                analyzer=idx.analyzer, max_fragments=args.fragments,
+                content_col="content" if args.doc_type == "blob" else "message",
+            )
+        for r in rows:
+            d = {"id": r["id"], "score": round(r["score"], 6),
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            if args.highlight:
+                d["highlight"] = frags.get(r["id"], [])
+            print(json.dumps(d))
     return 0
 
 

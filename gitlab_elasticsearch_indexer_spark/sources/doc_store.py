@@ -128,6 +128,53 @@ def update_documents(
         shutil.rmtree(f"{path}/store_part={p}", ignore_errors=True)
 
 
+def point_read_documents(
+    index_path: str, ids: list[str], columns: tuple[str, ...] = ("id", "content")
+) -> dict[str, dict]:
+    """Driver-side point reads of stored documents (no Spark job): the
+    ids' store partitions are computed with the same XXH64 the writer
+    partitioned by (functions.hashing, JVM bit-identity pinned in
+    tests), then each touched ``store_part=P`` directory is read via a
+    pyarrow dataset with an ``id IN`` filter (row-group pruning over
+    the id-sorted files).  This is the fetch-phase primitive the search
+    highlighter uses — cost is O(touched partitions), never a scan.
+    Legacy un-partitioned stores fall back to one filtered read."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..functions.hashing import term_bucket_py
+
+    root = f"{index_path}/documents"
+    if not os.path.isdir(root) or not ids:
+        return {}
+    cols = list(dict.fromkeys(["id", *columns]))
+    out: dict[str, dict] = {}
+    has_parts = any(
+        d.startswith("store_part=") for d in os.listdir(root)
+    )
+    if not has_parts:  # legacy layout: single filtered read
+        tbl = pads.dataset(root, format="parquet").to_table(
+            columns=cols, filter=pads.field("id").isin(ids)
+        )
+        for row in tbl.to_pylist():
+            out[row["id"]] = row
+        return out
+    by_part: dict[int, list[str]] = {}
+    for i in ids:
+        by_part.setdefault(term_bucket_py(i, N_STORE_PARTS), []).append(i)
+    for p, pids in sorted(by_part.items()):
+        d = f"{root}/store_part={p}"
+        if not os.path.isdir(d):
+            continue
+        tbl = pads.dataset(d, format="parquet").to_table(
+            columns=cols, filter=pads.field("id").isin(pids)
+        )
+        for row in tbl.to_pylist():
+            out[row["id"]] = row
+    return out
+
+
 def get_document(
     spark: SparkSession, index_path: str, doc_id: str, doc_type: str | None = None
 ) -> DataFrame:

@@ -308,6 +308,54 @@ def test_cli_typed_get_returns_stored_source(spark, dirs, capsys):
     assert _lines(capsys) == []
 
 
+def test_cli_search_highlight_and_status(spark, dirs, capsys):
+    """--highlight attaches matching source lines (ES highlight analog;
+    content via store point reads) and `status` reports checkpoint +
+    manifest health."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx, "--commits", commits]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "getUserById",
+                 "--highlight"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_src/app.py"
+    frags = hits[0]["highlight"]
+    assert frags and frags[0]["line_no"] == 1
+    assert "getUserById" in frags[0]["line"]
+
+    # commit-index highlighting reads the message column
+    assert main(["search", "--index", idx, "--doc-type", "commit",
+                 "--query", "login", "--highlight"]) == 0
+    chits = _lines(capsys)
+    assert chits and any("login" in f["line"] for f in chits[0]["highlight"])
+
+    assert main(["status", "--index", idx]) == 0
+    st = _lines(capsys)[-1]
+    assert st["latest"]["snapshot_id"] == 0 and st["latest"]["op"] == "full_build"
+    assert st["has_doc_store"] and st["has_commit_index"]
+    assert st["blob_type"] == "blob"
+    assert sum(st["manifest_parts_by_version"].values()) >= 1
+    assert sum(st["term_buckets_by_version"].values()) == 64
+
+
+def test_point_read_documents_matches_store(spark, dirs, tmp_path):
+    """The driver-side store point reader returns exactly the stored
+    rows for present ids and skips absent ones — across partitions."""
+    from gitlab_elasticsearch_indexer_spark.sources import doc_store as ds
+
+    docs = spark.createDataFrame(
+        [(f"r1_f{i:04d}.py", "blob", f"body {i}") for i in range(300)],
+        "id string, type string, content string",
+    )
+    path = str(tmp_path / "pridx")
+    ds.save_documents(docs, path)
+    ids = ["r1_f0000.py", "r1_f0123.py", "r1_f0299.py", "r1_missing.py"]
+    got = ds.point_read_documents(path, ids)
+    assert set(got) == set(ids) - {"r1_missing.py"}
+    assert got["r1_f0123.py"]["content"] == "body 123"
+
+
 def test_strict_schema_rejects_unknown_fields(spark):
     """'dynamic': 'strict' analog (elastic/index.go:114; rejection test
     elastic/client_test.go:191-195): unmapped document fields error."""
