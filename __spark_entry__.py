@@ -736,6 +736,53 @@ def q_bm25_bmw_topk(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, "table scan merge", k=20, mode="bmw")
 
 
+def q_facet_lang(spark, sf_dir):
+    """ES terms-aggregation analog (GitLab's per-language hit counts):
+    per-(field, value) counts of ALL docs matching the analyzed query,
+    computed from partition-local popcounts over the filters sidecar —
+    no per-doc row ever leaves its doc_part."""
+    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
+                         docs_per_part=128)
+    return q.facet_counts(idx, "table scan", fields=("lang",)).select(
+        "field", "value", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_match_count(spark, sf_dir):
+    """ES _count analog: total matching docs (any analyzed term, with a
+    repo keyword filter riding the same bitmap path)."""
+    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
+                         docs_per_part=128)
+    n = q.match_count(idx, "table scan merge", repo="src3")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+def _sql_facet_lang(terms: list[str]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH q AS (SELECT unnest([{tlist}]) AS term),
+{_TOK_CTE.strip()},
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term)),
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang FROM documents)
+SELECT 'lang' AS field, meta.lang AS value, count(*)::BIGINT AS n
+FROM matched JOIN meta USING (id)
+GROUP BY 1, 2
+"""
+
+
+def _sql_match_count(terms: list[str], repo: str | None = None) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    flt = f"WHERE meta.repo = '{repo}'" if repo else ""
+    return f"""
+WITH q AS (SELECT unnest([{tlist}]) AS term),
+{_TOK_CTE.strip()},
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term)),
+meta AS (SELECT {_DOC_ID_SQL} AS id, source AS repo FROM documents)
+SELECT count(*)::BIGINT AS n
+FROM matched JOIN meta USING (id) {flt}
+"""
+
+
 _BATCH_QUERIES = {
     "q_spark": ["spark"],
     "q_pair": ["table", "scan"],
@@ -1536,6 +1583,35 @@ FROM px GROUP BY id, w, h
 """
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """M5: REAL baseline-JPEG decode — synth_jpeg_media writes genuine
+    JFIF streams (SOI/DQT/SOF0/DHT/SOS, T.81 typical Huffman tables,
+    byte stuffing) whose 8×8 tiles are constant, hence DC-only and
+    bit-exact through the lossy codec; decode_media Huffman-decodes,
+    dequantizes and IDCTs the actual entropy-coded bytes.  The oracle
+    replays the closed-form tile generator analytically: any marker
+    walk, Huffman, DPCM, dequant, zigzag, or IDCT bug mismatches."""
+    media = mm.synth_jpeg_media(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
+    out = mm.decode_media(media)
+    return out.select(
+        "id", "width", "height",
+        F.round("mean", 4).alias("mean"), F.round("rms", 4).alias("rms"),
+    )
+
+
+SQL_JPEG_DECODE = """
+WITH e(k) AS (SELECT unnest(generate_series(0, 7)) AS k),
+ids AS (SELECT doc_id::BIGINT AS id FROM documents),
+img AS (SELECT id, 2 + id % 3 AS bw, 1 + id % 2 AS bh FROM ids),
+tiles AS (SELECT id, bw, bh, ((id * 37 + e.k * 11) % 256)::DOUBLE AS v
+          FROM img JOIN e ON e.k < bw * bh)
+SELECT id, (8 * bw)::INTEGER AS width, (8 * bh)::INTEGER AS height,
+       round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
+FROM tiles GROUP BY id, bw, bh
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -1584,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_bm25_search_many": q_bm25_search_many,
         "b16_b17_search_many_filtered": q_search_many_filtered,
         "b19_get_by_id": q_get_by_id,
+        "b16_facet_lang_counts": q_facet_lang,
+        "b16_match_count": q_match_count,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1605,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_media_frame_counts": q_media_frame_counts,
         "m3_media_decode": q_media_decode,
         "m4_png_decode": q_png_decode,
+        "m5_jpeg_decode": q_jpeg_decode,
     }
 
 
@@ -1638,6 +1717,8 @@ def oracle_sql() -> dict[str, str]:
         "b14_bm25_search_many": _sql_search_many(),
         "b16_b17_search_many_filtered": _sql_search_many_filtered(),
         "b19_get_by_id": SQL_GET_BY_ID,
+        "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
+        "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,
@@ -1658,4 +1739,5 @@ def oracle_sql() -> dict[str, str]:
         "m2_media_frame_counts": SQL_MEDIA_FRAMES,
         "m3_media_decode": SQL_MEDIA_DECODE,
         "m4_png_decode": SQL_PNG_DECODE,
+        "m5_jpeg_decode": SQL_JPEG_DECODE,
     }

@@ -119,6 +119,20 @@ def main(argv: list[str] | None = None) -> int:
                         "highlight clause analog; content via store "
                         "point reads, no extra Spark job)")
     s.add_argument("--fragments", type=int, default=3)
+    s.add_argument("--facet", action="append", default=None, metavar="FIELD",
+                   help="also print per-value match counts for this keyword "
+                        "field (lang/repo; repeatable — the ES terms-"
+                        "aggregation analog GitLab renders as per-language "
+                        "hit counts)")
+
+    c = sub.add_parser("count", help="total matching documents (ES _count "
+                                     "analog): partition-local popcounts, "
+                                     "no scoring, no fetch")
+    c.add_argument("--index", required=True)
+    c.add_argument("--query", required=True)
+    c.add_argument("--lang", default=None)
+    c.add_argument("--repo", default=None)
+    c.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
 
     st = sub.add_parser("status", help="index health: checkpoint history, "
                                        "manifest summary, store presence")
@@ -321,11 +335,23 @@ def main(argv: list[str] | None = None) -> int:
             "has_commit_index": os.path.isdir(f"{args.index}/commit_index"),
             "blob_type": _read_index_meta(spark, args.index).get("blob_type", "blob"),
         }, default=str))
+    elif args.cmd == "count":
+        root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
+        idx = inc.load_versioned(spark, root)
+        n = q.match_count(idx, args.query, lang=args.lang, repo=args.repo)
+        print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)
         hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                         repo=args.repo, mode="bmw" if args.bmw else "exhaustive")
+        if args.facet:
+            fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
+                                lang=args.lang, repo=args.repo)
+            facets: dict[str, dict[str, int]] = {}
+            for r in fc.collect():
+                facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])
+            print(json.dumps({"facets": facets}))
         rows = hits.collect()
         frags: dict = {}
         if args.highlight:

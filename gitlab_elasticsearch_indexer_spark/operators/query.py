@@ -60,15 +60,17 @@ def _local_result(spark, rows: list[tuple], fields: list[tuple[str, str]]) -> Da
     LocalTableScan, NOT a Spark job — a tuple-list createDataFrame
     parallelizes an RDD and pays ~0.3 s of job scheduling per query."""
     from pyspark.sql.types import (
-        DoubleType, IntegerType, StringType, StructField, StructType,
+        DoubleType, IntegerType, LongType, StringType, StructField, StructType,
     )
 
-    types = {"string": StringType(), "double": DoubleType(), "int": IntegerType()}
+    types = {"string": StringType(), "double": DoubleType(),
+             "int": IntegerType(), "long": LongType()}
     schema = StructType([StructField(n, types[t]) for n, t in fields])
     pdf = pd.DataFrame(rows, columns=[n for n, _ in fields])
     if not rows:  # give Arrow concrete dtypes for the empty frame
         pdf = pdf.astype(
-            {n: ("float64" if t == "double" else "int32" if t == "int" else "object")
+            {n: ("float64" if t == "double" else "int32" if t == "int"
+                 else "int64" if t == "long" else "object")
              for n, t in fields}
         )
     return spark.createDataFrame(pdf, schema)
@@ -764,3 +766,175 @@ def _make_batch_kernel(
 def get_by_id(index: InvertedIndex, doc_id: str) -> DataFrame:
     """B19: point lookup by document id (elastic/client.go:170-185)."""
     return index.doc_stats.filter(F.col("id") == doc_id)
+
+
+FACET_SCHEMA = "field string, value string, n long"
+
+
+def facet_counts(
+    index: InvertedIndex,
+    query: str,
+    fields: tuple[str, ...] = ("lang",),
+    lang: str | None = None,
+    repo: str | None = None,
+    include_total: bool = False,
+) -> DataFrame:
+    """ES terms-aggregation analog: per-(field, value) counts of ALL
+    documents matching the analyzed query (any-term match — the same
+    matched set BM25 scores), under optional lang/repo keyword filters.
+    GitLab's search UI renders exactly this (per-language hit counts
+    beside code results; ES ``aggs.terms`` over the mapping's keyword
+    fields, elastic/index.go:157-174).
+
+    Physical plan: NOTHING per-doc ever leaves a partition.  Per
+    doc_part the kernel unions the query terms' decoded postings into a
+    local matched mask, ANDs the predicate bitmaps, then intersects the
+    mask with each facet value's packed doc-set from the ``filters``
+    sidecar (popcounts, ≤ docs_per_part/8 bytes per value) — emitting
+    one (field, value, partial_n) row per value present in the part.
+    The only shuffle is the final sum over ≤ n_parts·n_values tiny
+    rows.  Postings are read with docs_bin ONLY (no tf/dl/block
+    columns) so the scan is column-pruned.
+
+    ``include_total=True`` adds a ``("_total", "", n_matched)`` row —
+    the ``_count`` API analog (see :func:`match_count`).
+    """
+    spark = index.postings.sparkSession
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    terms = sorted(set(analyze_query(query)))
+    idf = index.idf_map(terms)
+    live = [t for t in terms if t in idf]
+    empty = _local_result(
+        spark, [], [("field", "string"), ("value", "string"), ("n", "long")]
+    )
+    if not live:
+        return empty
+
+    predicates = []
+    if lang is not None:
+        predicates.append(("lang", lang))
+    if repo is not None:
+        predicates.append(("repo", repo))
+    if (fields or predicates) and index.filters is None:
+        raise ValueError(
+            "facet_counts needs the index's filters sidecar "
+            "(rebuild or re-save the index with this version)"
+        )
+
+    cand = index.postings.filter(F.col("term").isin(live)).select(
+        "doc_part", "docs_bin"
+    )
+    parts: list[int] | None = None
+    if repo is not None and index.part_meta is not None:
+        parts = [
+            r["doc_part"]
+            for r in index.part_meta.filter(
+                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
+            ).select("doc_part").collect()
+        ]
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    kernel = _make_facet_kernel(
+        tuple(fields), predicates, index.docs_per_part, include_total
+    )
+    if fields or predicates:
+        cond = F.col("field").isin(list(fields)) if fields else F.lit(False)
+        for f, v in predicates:
+            cond = cond | ((F.col("field") == f) & (F.col("value") == v))
+        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        partial = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=FACET_SCHEMA)
+        )
+    else:
+        partial = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=FACET_SCHEMA
+        )
+    return (
+        partial.groupBy("field", "value")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("field"), F.col("value"))
+    )
+
+
+def match_count(
+    index: InvertedIndex,
+    query: str,
+    lang: str | None = None,
+    repo: str | None = None,
+) -> int:
+    """ES ``_count`` analog: how many documents match the analyzed
+    query (any-term, under optional keyword filters) — same partitioned
+    popcount plan as :func:`facet_counts`, no scoring, no fetch."""
+    rows = facet_counts(
+        index, query, fields=(), lang=lang, repo=repo, include_total=True
+    ).collect()
+    return int(rows[0]["n"]) if rows else 0
+
+
+def _make_facet_kernel(
+    fields: tuple[str, ...],
+    predicates: list[tuple[str, str]],
+    docs_per_part: int,
+    include_total: bool,
+):
+    """Per-doc_part facet kernel (cogroup signature: postings, filters).
+
+    matched = union of the query terms' posting docs, ANDed with the
+    predicate bitmaps; each facet row counts ``popcount(matched & bits)``.
+    Postings carry live docs only (deltas repack dead docs out), so a
+    stale set bit for a dead doc in a sidecar bitmap can never count.
+    """
+    from ..functions.codecs import delta_decode, unpack_doc_set, varint_decode
+
+    pred_set = set(predicates)
+
+    def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"field": [], "value": [], "n": []})
+        if len(postings_pdf) == 0:
+            return empty
+        part = int(postings_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        matched = np.zeros(docs_per_part, dtype=bool)
+        for b in postings_pdf["docs_bin"]:
+            docs = delta_decode(varint_decode(bytes(b)))
+            matched[docs.astype(np.int64) - base] = True
+
+        facet_rows: list[tuple[str, str, np.ndarray]] = []
+        if filter_pdf is not None and len(filter_pdf):
+            seen_preds = set()
+            for row in filter_pdf.itertuples(index=False):
+                bits = unpack_doc_set(bytes(row.bits), docs_per_part)
+                if (row.field, row.value) in pred_set:
+                    matched &= bits
+                    seen_preds.add((row.field, row.value))
+                if row.field in fields:
+                    facet_rows.append((row.field, row.value, bits))
+            if len(seen_preds) < len(pred_set):
+                return empty  # some predicate matches nothing in this part
+        elif pred_set:
+            return empty
+
+        out_f: list[str] = []
+        out_v: list[str] = []
+        out_n: list[int] = []
+        if include_total:
+            out_f.append("_total")
+            out_v.append("")
+            out_n.append(int(matched.sum()))
+        for f, v, bits in facet_rows:
+            n = int((matched & bits).sum())
+            if n:
+                out_f.append(f)
+                out_v.append(v)
+                out_n.append(n)
+        if not out_f:
+            return empty
+        return pd.DataFrame({"field": out_f, "value": out_v, "n": out_n})
+
+    return kernel

@@ -4,11 +4,13 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched kernels over ``mapInPandas``.
 
-Decode status: binary PPM (P6) images, PCM16 mono WAV audio, AND
-zlib-compressed PNG (8-bit gray/RGB/RGBA, every scanline filter) decode
-for real in pure numpy/stdlib (:func:`decode_media`, with
-:func:`synth_real_media` / :func:`synth_png_media` generating genuine
-payloads).  Codec-library formats (JPEG/MP4/…) remain an honest stub:
+Decode status: binary PPM (P6) images, PCM16 mono WAV audio,
+zlib-compressed PNG (8-bit gray/RGB/RGBA, every scanline filter), AND
+baseline-sequential JPEG (grayscale JFIF: Huffman entropy decode,
+DPCM, dequant, IDCT) decode for real in pure numpy/stdlib
+(:func:`decode_media`, with :func:`synth_real_media` /
+:func:`synth_png_media` / :func:`synth_jpeg_media` generating genuine
+payloads).  Video containers (MP4/H.264/…) remain the honest stub:
 ``decode_features`` raises ``NotImplementedError`` unless
 ``deterministic_fake=True`` (no codec libraries in this container); the
 Spark-side plumbing (schema, batching, partition flow) is identical
@@ -251,6 +253,343 @@ def _encode_png(px: np.ndarray, w: int, h: int, channels: int,
     )
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG (grayscale) — pure numpy/stdlib codec
+#
+# Standard baseline sequential DCT JPEG, single (luminance) component:
+# SOI / APP0-JFIF / DQT / SOF0 / DHT(DC+AC, the ITU T.81 Annex K typical
+# tables) / SOS / entropy-coded MCUs / EOI, with 0xFF byte stuffing.
+# Real JPEGs — any codec library opens them.  Only 8-bit grayscale and
+# dimensions that are multiples of 8 are implemented; anything else
+# raises (the honest boundary is now video containers only).
+
+# ITU T.81 Table K.3/K.5 (typical luminance Huffman tables): public spec
+# constants, not library code.
+_JPEG_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# quant table: DC step 8 makes constant (DC-only) blocks reconstruct
+# bit-exactly (DCT of a constant block c is 8c, and 8c/8 rounds to c);
+# AC steps 16 are a plausible mid-quality choice for the lossy path.
+_JPEG_QTABLE = np.full(64, 16, dtype=np.uint16)
+_JPEG_QTABLE[0] = 8
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8, dtype=np.float64)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m  # S = M @ block @ M.T ; block = M.T @ S @ M
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) via T.81 canonical code generation."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for the bit-at-a-time decoder."""
+    return {(l, c): v for v, (c, l) in _huff_encode_table(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, magnitude bits): JPEG's signed-magnitude coding."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_jpeg_gray(px: np.ndarray, w: int, h: int) -> bytes:
+    """Baseline grayscale JPEG of row-major 8-bit pixels (w, h % 8 == 0)."""
+    if w % 8 or h % 8:
+        raise NotImplementedError("JPEG subset: dimensions multiple of 8")
+    m = _dct_matrix()
+    img = px.reshape(h, w).astype(np.float64) - 128.0
+    blocks = img.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,abjk,lk->abil", m, blocks, m)
+    q = np.round(coeff.reshape(-1, 64)[:, _ZIGZAG]
+                 / _JPEG_QTABLE[None, :]).astype(np.int64)
+
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in q:
+        cat, bits = _jpeg_magnitude(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        code, length = dc_tab[cat]
+        bw.put(code, length)
+        if cat:
+            bw.put(bits, cat)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tab[0xF0]  # ZRL
+                bw.put(code, length)
+                run -= 16
+            cat, bits = _jpeg_magnitude(v)
+            code, length = ac_tab[(run << 4) | cat]
+            bw.put(code, length)
+            bw.put(bits, cat)
+            run = 0
+        if last < 63:
+            code, length = ac_tab[0x00]  # EOB
+            bw.put(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt = bytes([0]) + bytes(int(_JPEG_QTABLE[i]) & 0xFF for i in range(64))
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, qt)
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, raw: bytes) -> None:
+        self.raw = raw
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.raw[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # skip the stuffed 0x00
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline grayscale JPEG (the subset the encoder writes,
+    but with the tables read from the stream, not assumed)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    scan_dc = scan_ac = 0
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            break
+        (size,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        body = raw[pos + 4 : pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = np.frombuffer(
+                    body[o + 1 : o + 65], dtype=np.uint8
+                ).astype(np.float64)
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = [0] + list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1 or body[7] != 0x11:
+                raise NotImplementedError("JPEG subset: single 8x8 component")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("baseline sequential only")
+        elif marker == 0xDA:
+            scan_dc, scan_ac = body[2] >> 4, body[2] & 0xF
+            break
+    if w is None or h is None:
+        raise ValueError("missing SOF0")
+
+    dc_tab = htables[(0, scan_dc)]
+    ac_tab = htables[(1, scan_ac)]
+    qt = qtables[comp_q]
+
+    def read_code(tab) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (length, code) in tab:
+                return tab[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    br = _BitReader(raw[pos:])
+    n_blocks = (h // 8) * (w // 8)
+    coeffs = np.zeros((n_blocks, 64), dtype=np.float64)
+    prev_dc = 0
+    for b in range(n_blocks):
+        cat = read_code(dc_tab)
+        prev_dc += _jpeg_extend(br.bits(cat), cat)
+        zz = np.zeros(64, dtype=np.float64)
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            rs = read_code(ac_tab)
+            run, cat = rs >> 4, rs & 0xF
+            if rs == 0x00:
+                break  # EOB
+            if rs == 0xF0:
+                i += 16
+                continue
+            i += run
+            zz[i] = _jpeg_extend(br.bits(cat), cat)
+            i += 1
+        coeffs[b] = zz * qt
+
+    m = _dct_matrix()
+    spatial = np.zeros((n_blocks, 8, 8))
+    s2 = np.zeros((n_blocks, 8, 8))
+    s2.reshape(n_blocks, 64)[:, _ZIGZAG] = coeffs
+    spatial = np.einsum("ji,ajk,kl->ail", m, s2, m)
+    px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+    img = (
+        px.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+    return w, h, img.reshape(-1)
+
+
+def synth_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline JPEGs per id: each 8×8 tile is the
+    constant ``(id·37 + t·11) mod 256`` (tile index t, row-major).
+    Constant tiles are DC-only — the DCT of a constant block c is
+    exactly 8c and the DC quant step is 8 — so the lossy codec is
+    bit-exact on them and an oracle can replay width/height/mean/rms
+    analytically while the engine Huffman-decodes the actual stream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                i = int(i)
+                bw, bh = 2 + i % 3, 1 + i % 2  # tiles per side
+                w, h = 8 * bw, 8 * bh
+                tiles = ((i * 37 + np.arange(bw * bh, dtype=np.int64) * 11)
+                         % 256).astype(np.uint8)
+                img = np.repeat(
+                    np.repeat(tiles.reshape(bh, bw), 8, axis=0), 8, axis=1
+                )
+                payloads.append(_encode_jpeg_gray(img.reshape(-1), w, h))
+            yield pd.DataFrame(
+                {"id": ids, "kind": ["image"] * len(ids), "payload": payloads}
+            )
+
+    media = df.select(F.col(id_col).cast("long").alias("id")).mapInPandas(
+        kernel, schema="id long, kind string, payload binary"
+    )
+    return media.select(
+        "id", "kind", "payload",
+        F.struct(
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lower(F.hex(F.substring("payload", 1, 4))).alias("magic"),
+        ).alias("meta"),
+    )
+
+
 def synth_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL PNG payloads per id: closed-form pixels
     ``(id·31 + k·7) mod 256`` over gray/RGB/RGBA (``id % 3``), each
@@ -334,11 +673,12 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """REAL decode via mapInPandas: P6 PPM and PNG (zlib-compressed,
-    all five scanline filters) → (width, height, pixel mean/rms), PCM16
-    WAV → (rate, n_samples, sample mean/rms).  Rows whose magic matches
-    none of these (video containers, JPEG/MP4) are passed over — route
-    those through :func:`decode_features`'s stub boundary instead."""
+    """REAL decode via mapInPandas: P6 PPM, PNG (zlib-compressed, all
+    five scanline filters) and baseline grayscale JPEG (Huffman +
+    dequant + IDCT) → (width, height, pixel mean/rms), PCM16 WAV →
+    (rate, n_samples, sample mean/rms).  Rows whose magic matches none
+    of these (video containers) are passed over — route those through
+    :func:`decode_features`'s stub boundary instead."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -347,9 +687,12 @@ def decode_media(media: DataFrame) -> DataFrame:
             for rid, kind, payload in zip(pdf["id"], pdf["kind"],
                                           pdf["payload"]):
                 raw = bytes(payload)
-                if raw[:2] == b"P6" or raw[:8] == PNG_MAGIC:
+                if (raw[:2] == b"P6" or raw[:8] == PNG_MAGIC
+                        or raw[:2] == b"\xff\xd8"):
                     if raw[:2] == b"P6":
                         w, h, px = _decode_ppm(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        w, h, px = _decode_jpeg_gray(raw)
                     else:
                         w, h, _ch, px = _decode_png(raw)
                     v = px.astype(np.float64)

@@ -379,3 +379,25 @@ def test_strict_schema_rejects_unknown_fields(spark):
         enforce_strict_schema(bad)
     with _pt.raises(StrictSchemaError, match="oid"):
         enforce_strict_schema(good, doc_type="commit")  # blob cols ∉ commit mapping
+
+
+def test_cli_count_and_facets(spark, dirs, capsys):
+    """`count` (ES _count analog) and search --facet (terms aggregation)
+    report match counts over ALL matching docs, not just top-k."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx, "--commits", commits]) == 0
+    _lines(capsys)
+
+    assert main(["count", "--index", idx, "--query", "def"]) == 0
+    assert _lines(capsys)[-1]["count"] == 2  # app.py + util.rb contain "def"
+
+    assert main(["count", "--index", idx, "--query", "def", "--repo", "repo1"]) == 0
+    assert _lines(capsys)[-1]["count"] == 1
+
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--facet", "lang", "--facet", "repo"]) == 0
+    out = _lines(capsys)
+    facets = out[0]["facets"]
+    assert facets["lang"] == {"Python": 1, "Ruby": 1}
+    assert facets["repo"] == {"repo1": 1, "repo2": 1}
+    assert {h["id"] for h in out[1:]} == {"repo1_src/app.py", "repo2_lib/util.rb"}

@@ -285,3 +285,56 @@ def test_search_many_all_repo_scoped_prunes_scan(index):
     exp = [(i + 1, r["id"]) for i, r in enumerate(
         search(index, "return", k=5, repo="repo-003").collect())]
     assert sorted(got) == exp
+
+
+# --- facets / count (ES aggs + _count analogs) -----------------------------
+
+
+def test_facet_counts_match_oracle(index, oracle):
+    """facet_counts equals a brute-force matched-set group-by from the
+    pure-Python oracle — including under a repo keyword predicate."""
+    from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+        code_search_analyze,
+    )
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        facet_counts,
+        match_count,
+    )
+
+    query = "getUserById parse"
+    terms = set(code_search_analyze(query))
+    matched = {d for t in terms for d in oracle.postings.get(t, ())}
+    assert matched, "fixture query must match something"
+
+    def brute(field, pred=None):
+        out = {}
+        for d in matched:
+            m = oracle.meta[d]
+            if pred and any(m.get(f) != v for f, v in pred):
+                continue
+            out[m[field]] = out.get(m[field], 0) + 1
+        return out
+
+    got = {
+        (r["value"]): r["n"]
+        for r in facet_counts(index, query, fields=("lang",)).collect()
+    }
+    assert got == brute("lang")
+
+    # repo facet under a lang predicate: bitmap AND path + routing off
+    got2 = {
+        r["value"]: r["n"]
+        for r in facet_counts(index, query, fields=("repo",), lang="Python").collect()
+    }
+    assert got2 == brute("repo", pred=[("lang", "Python")])
+
+    # _count analog, with and without a repo filter (routing-pruned)
+    assert match_count(index, query) == len(matched)
+    repo = oracle.meta[sorted(matched)[0]]["repo"]
+    assert match_count(index, query, repo=repo) == sum(
+        1 for d in matched if oracle.meta[d]["repo"] == repo
+    )
+
+    # no-match query → empty facets / zero count
+    assert facet_counts(index, "zzqqxxnotaterm").count() == 0
+    assert match_count(index, "zzqqxxnotaterm") == 0

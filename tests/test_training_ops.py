@@ -397,3 +397,57 @@ def test_synth_png_media_decodes_through_spark(spark, docs):
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean"] - v.mean()) < 1e-9
         assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
+
+
+def test_jpeg_codec_dc_exact_and_lossy_paths():
+    """Baseline-JPEG codec (pure numpy): constant 8x8 tiles are DC-only
+    and must roundtrip BIT-EXACTLY (DCT of constant c is 8c; DC quant
+    step is 8) — pinning markers, Huffman, DPCM, byte stuffing, zigzag,
+    dequant and IDCT end-to-end.  A dense image exercises the AC path
+    (run lengths, ZRL, EOB) and must stay within the quantization error
+    bound."""
+    import numpy as np
+
+    from gitlab_elasticsearch_indexer_spark.sources import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    bw, bh = 5, 3
+    tiles = rng.integers(0, 256, bw * bh, dtype=np.int64).astype(np.uint8)
+    img = np.repeat(np.repeat(tiles.reshape(bh, bw), 8, 0), 8, 1)
+    raw = mm._encode_jpeg_gray(img.reshape(-1), 8 * bw, 8 * bh)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    w, h, px = mm._decode_jpeg_gray(raw)
+    assert (w, h) == (8 * bw, 8 * bh)
+    assert np.array_equal(px, img.reshape(-1))
+
+    # dense image: lossy, bounded by the AC quant step (16) per coeff
+    img2 = rng.integers(0, 256, (16, 24), dtype=np.int64).astype(np.uint8)
+    raw2 = mm._encode_jpeg_gray(img2.reshape(-1), 24, 16)
+    _, _, px2 = mm._decode_jpeg_gray(raw2)
+    err = np.abs(px2.astype(float) - img2.reshape(-1).astype(float))
+    assert err.mean() < 40 and err.max() < 160
+
+    # non-multiple-of-8 dims are the documented boundary
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm._encode_jpeg_gray(np.zeros(35, np.uint8), 7, 5)
+
+
+def test_synth_jpeg_media_decodes_through_spark(spark, docs):
+    """JPEG end-to-end on the distributed surface: genuine entropy-coded
+    streams decode to the closed-form tile generator stats."""
+    import numpy as np
+
+    from gitlab_elasticsearch_indexer_spark.sources import multimodal as mm
+
+    media = mm.synth_jpeg_media(docs.select("doc_id").limit(60))
+    rows = {r["id"]: r for r in mm.decode_media(media).collect()}
+    assert len(rows) == 60
+    for i, r in rows.items():
+        bw, bh = 2 + i % 3, 1 + i % 2
+        v = ((i * 37 + np.arange(bw * bh, dtype=np.int64) * 11) % 256
+             ).astype(np.float64)
+        assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+        assert abs(r["mean"] - v.mean()) < 1e-9
+        assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
