@@ -736,6 +736,51 @@ def q_bm25_bmw_topk(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, "table scan merge", k=20, mode="bmw")
 
 
+def q_phrase_search(spark, sf_dir):
+    """Phrase query (ES match_phrase analog): documents containing the
+    analyzed tokens at CONSECUTIVE positions, scored the Lucene
+    PhraseQuery way (BM25 with tf = phrase frequency, idf = sum of the
+    constituent terms' idfs) over the positional-postings sidecar.  The
+    oracle reconstructs token positions with a window over the split
+    list and replays the adjacency join + scoring in SQL."""
+    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
+                         docs_per_part=128, positions=True)
+    hits = q.phrase_search(idx, "table hash", k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+def _sql_phrase(terms: list[str], k: int) -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+WITH q(i, term) AS (SELECT * FROM (VALUES {vals}) _q(i, term)),
+toks AS (SELECT {_DOC_ID_SQL} AS id, string_split_regex(text, '\\s+') AS l
+         FROM documents),
+tp0 AS (SELECT id, lower(unnest(l)) AS term, unnest(range(len(l))) AS pos0
+        FROM toks),
+tp AS (SELECT id, term,
+              (row_number() OVER (PARTITION BY id ORDER BY pos0)) - 1 AS pos
+       FROM tp0 WHERE term <> ''),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tp GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM tp
+       WHERE term IN (SELECT term FROM q) GROUP BY 1),
+idfsum AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS v
+           FROM q JOIN df USING (term) CROSS JOIN stats s),
+m AS (SELECT tp.id, tp.pos - q.i AS start
+      FROM tp JOIN q USING (term)
+      GROUP BY 1, 2 HAVING count(*) = (SELECT count(*) FROM q)),
+hits AS (SELECT id, count(*)::DOUBLE AS pf FROM m GROUP BY 1),
+scored AS (
+    SELECT h.id,
+           (SELECT v FROM idfsum)
+           * h.pf / (h.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS raw
+    FROM hits h JOIN dl USING (id) CROSS JOIN stats s)
+SELECT id, round(raw, 4) AS score FROM scored
+ORDER BY raw DESC, id ASC LIMIT {k}
+"""
+
+
 def q_facet_lang(spark, sf_dir):
     """ES terms-aggregation analog (GitLab's per-language hit counts):
     per-(field, value) counts of ALL docs matching the analyzed query,
@@ -1662,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_get_by_id": q_get_by_id,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
+        "b20_phrase_search": q_phrase_search,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1719,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "b19_get_by_id": SQL_GET_BY_ID,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
+        "b20_phrase_search": _sql_phrase(["table", "hash"], 15),
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet dir of commit rows (repo, sha, author_*, "
                         "committer_*, message); indexed with the default "
                         "analyzer unless --skip-commits")
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional-postings sidecar "
+                        "(whitespace sub-field on code indexes) enabling "
+                        "`search --phrase`")
 
     u = sub.add_parser("update")
     u.add_argument("--source", required=True)
@@ -119,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
                         "highlight clause analog; content via store "
                         "point reads, no extra Spark job)")
     s.add_argument("--fragments", type=int, default=3)
+    s.add_argument("--phrase", action="store_true",
+                   help="exact-phrase query (ES match_phrase analog) over "
+                        "the positional-postings sidecar; needs an index "
+                        "built with --positions")
     s.add_argument("--facet", action="append", default=None, metavar="FIELD",
                    help="also print per-value match counts for this keyword "
                         "field (lang/repo; repeatable — the ES terms-"
@@ -178,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
             docs.select("id", "content", F.col("rid").alias("repo"), "path",
                         F.col("language").alias("lang")),
             analyzer=args.analyzer,
+            positions=args.positions,
         )
         inc.save_versioned(idx, args.index, snapshot_id=0)
         _write_index_meta(spark, args.index, args.blob_type)
@@ -197,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
                              F.col("rid").alias("repo"),
                              F.lit("").alias("path"), F.lit("").alias("lang")),
                 analyzer="default",  # commit.message uses the default chain
+                positions=args.positions,
             )
             inc.save_versioned(cidx, f"{args.index}/commit_index", snapshot_id=0)
             save_documents(cdocs, f"{args.index}/commit_index")
@@ -306,6 +316,7 @@ def main(argv: list[str] | None = None) -> int:
                           "compacted_parts": len(st["compacted_parts"]),
                           "written_parts": len(st["written_parts"])}))
     elif args.cmd == "status":
+        import glob
         import os
 
         cp = inc._checkpoint_df(spark, args.index)
@@ -333,6 +344,7 @@ def main(argv: list[str] | None = None) -> int:
             "term_buckets_by_version": tm_buckets,
             "has_doc_store": os.path.isdir(f"{args.index}/documents"),
             "has_commit_index": os.path.isdir(f"{args.index}/commit_index"),
+            "has_positions": bool(glob.glob(f"{args.index}/v*/pos_postings")),
             "blob_type": _read_index_meta(spark, args.index).get("blob_type", "blob"),
         }, default=str))
     elif args.cmd == "count":
@@ -343,8 +355,13 @@ def main(argv: list[str] | None = None) -> int:
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)
-        hits = q.search(idx, args.query, k=args.k, lang=args.lang,
-                        repo=args.repo, mode="bmw" if args.bmw else "exhaustive")
+        if args.phrase:
+            hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
+                                   repo=args.repo)
+        else:
+            hits = q.search(idx, args.query, k=args.k, lang=args.lang,
+                            repo=args.repo,
+                            mode="bmw" if args.bmw else "exhaustive")
         if args.facet:
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
                                 lang=args.lang, repo=args.repo)

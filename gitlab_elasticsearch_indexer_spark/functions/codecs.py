@@ -218,3 +218,26 @@ def unpack_doc_set(buf: bytes, n_slots: int) -> np.ndarray:
     else:
         bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))[:n_slots].astype(bool)
     return bits
+
+
+def pack_pos_list(positions: np.ndarray) -> bytes:
+    """One document's sorted term positions → delta+varint bytes.
+    Packed map-side (per doc) so the positions shuffle carries one
+    small binary per (doc, distinct-term) row, never raw token rows;
+    concatenating per-doc blobs in doc order is the partition layout
+    (each blob's first delta is its absolute first position)."""
+    return varint_encode(delta_encode(np.asarray(positions, dtype=np.int64)))
+
+
+def unpack_pos_lists(cnt_bin: bytes, pos_bin: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of the per-doc concat layout: (counts per doc, flat
+    ABSOLUTE positions).  Per-doc delta reset is recovered from one
+    global cumsum minus each segment's prefix total — no Python loop."""
+    counts = varint_decode(cnt_bin).astype(np.int64)
+    deltas = varint_decode(pos_bin).astype(np.int64)
+    if len(deltas) == 0:
+        return counts, deltas
+    csum = np.cumsum(deltas)
+    starts = np.cumsum(counts) - counts
+    base = np.where(starts > 0, csum[starts - 1], 0)
+    return counts, csum - np.repeat(base, counts)

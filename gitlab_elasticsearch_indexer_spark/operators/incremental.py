@@ -123,6 +123,20 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
     )
     _write_sidecars(index.filters, index.part_meta, index.doc_stats,
                     index.docs_per_part, vdir)
+    if index.pos_postings is not None:
+        (
+            index.pos_postings.repartition("doc_part")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("doc_part")
+            .parquet(f"{vdir}/pos_postings")
+        )
+        spark.createDataFrame(
+            [(index.pos_analyzer or "simple",
+              float(index.pos_avgdl if index.pos_avgdl is not None
+                    else index.avgdl))],
+            "pos_analyzer string, pos_avgdl double",
+        ).write.mode("overwrite").parquet(f"{vdir}/pos_meta")
 
     parts = [r["doc_part"] for r in index.doc_stats.select("doc_part").distinct().collect()]
     manifest = spark.createDataFrame(
@@ -361,6 +375,23 @@ def load_versioned(spark: SparkSession, path: str,
         filters = filters_from_doc_stats(doc_stats, int(g["docs_per_part"]))
         part_meta = part_meta_from_doc_stats(doc_stats)
 
+    # phrase sidecar: loadable ONLY when every live version carries it —
+    # a version written by an update path that doesn't maintain
+    # positions degrades the whole index to pos=None (consistent: never
+    # a mix of stale and fresh position partitions)
+    pos_postings = pos_analyzer = pos_avgdl = None
+    if all(os.path.isdir(f"{path}/v{v}/pos_postings") for v in by_version):
+        pos_postings = _read_parts(spark, path, by_version, "pos_postings")
+        pos_analyzer, pos_avgdl = "simple", None
+        # the loaded snapshot's own dir first, then newest owner: the
+        # most recent pos_meta carries the CURRENT collection's
+        # pos_avgdl (older versions' values are stale)
+        for v in [snapshot_id, *sorted(by_version, reverse=True)]:
+            if os.path.isdir(f"{path}/v{v}/pos_meta"):
+                pm = spark.read.parquet(f"{path}/v{v}/pos_meta").collect()[0]
+                pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
+                break
+
     return InvertedIndex(
         postings=postings,
         doc_stats=doc_stats,
@@ -371,6 +402,9 @@ def load_versioned(spark: SparkSession, path: str,
         docs_per_part=g["docs_per_part"],
         filters=filters,
         part_meta=part_meta,
+        pos_postings=pos_postings,
+        pos_analyzer=pos_analyzer,
+        pos_avgdl=pos_avgdl,
         # manifest-resolved per-part doc_stats dirs: the query fetch
         # phase point-reads hit parts driver-side (no second job)
         doc_stats_paths={
@@ -481,6 +515,30 @@ def update_index(
     # sidecars stay owned by their versions via the manifest
     _write_sidecars(None, None, spark.read.parquet(f"{vdir}/doc_stats"),
                     dpp, vdir)
+    # phrase positions: maintained through the snapshot path when the
+    # previous snapshot carried the sidecar — rebuilt parts re-tokenize
+    # under the sidecar's own chain (this path re-reads content anyway);
+    # pos_avgdl recomputes exactly over the new snapshot (pos_an ==
+    # analyzer shares the main avgdl; a code-index whitespace sub-field
+    # pays one dl-UDF pass over curr, within this path's O(corpus) cost)
+    if prev.pos_postings is not None:
+        from .index_build import make_dl_udf, positions_from_docs
+
+        pos_an = prev.pos_analyzer or "simple"
+        (
+            positions_from_docs(rebuilt_src, pos_an, dpp)
+            .repartition("doc_part").sortWithinPartitions("term")
+            .write.mode("overwrite").partitionBy("doc_part")
+            .parquet(f"{vdir}/pos_postings")
+        )
+        if pos_an == prev.analyzer:
+            pos_avgdl = None  # filled from avgdl after stats (below)
+        else:
+            pos_avgdl = float(
+                curr.select(
+                    F.avg(make_dl_udf(pos_an)(F.col("content")))
+                ).collect()[0][0] or 0.0
+            )
 
     rebuilt_parts = {
         int(r["doc_part"]) for r in new_doc_stats.select("doc_part").distinct().collect()
@@ -505,6 +563,12 @@ def update_index(
     ).collect()[0]
     n_docs, total_dl = int(g["n"]), int(g["total_dl"])
     avgdl = total_dl / n_docs if n_docs else 0.0
+    if prev.pos_postings is not None:
+        spark.createDataFrame(
+            [(prev.pos_analyzer or "simple",
+              float(avgdl if pos_avgdl is None else pos_avgdl))],
+            "pos_analyzer string, pos_avgdl double",
+        ).write.mode("overwrite").parquet(f"{vdir}/pos_meta")
     # snapshot-diff updates recompute the whole vocabulary anyway (that
     # is their nature); the write is still bucketed so later DELTA
     # batches can rewrite bucket-scoped
@@ -1295,7 +1359,7 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
         if v not in retained and not lp and not lb and v not in legacy_ts:
             _rm(vd)
             continue
-        for table in ("postings", "doc_stats", "filters"):
+        for table in ("postings", "doc_stats", "filters", "pos_postings"):
             tdir = f"{vd}/{table}"
             if not os.path.isdir(tdir):
                 continue
@@ -1322,6 +1386,8 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
                     _rm(f"{vd}/{meta}")
             if not lp and os.path.isdir(f"{vd}/part_meta"):
                 _rm(f"{vd}/part_meta")
+            if not lp and os.path.isdir(f"{vd}/pos_meta"):
+                _rm(f"{vd}/pos_meta")
         # a version directory that ended up owning nothing disappears
         if os.path.isdir(vd) and not any(
             os.path.isdir(f"{vd}/{s}") for s in os.listdir(vd)

@@ -137,6 +137,125 @@ def make_term_rows_kernel(analyzer: str, content_col: str = "content"):
     return kernel
 
 
+POS_ROWS_SCHEMA = "doc_idx long, term string, dl int, npos int, posb binary"
+
+# analyzers with a well-defined ordered single-position token stream —
+# phrase positions exist for these.  The "code" analyzer is excluded by
+# design: pattern_capture emits multiple tokens per source token and
+# edgeNGram multiplies them, so positions there would not correspond to
+# adjacency the way a phrase query needs (ES code search likewise runs
+# simple_query_string term matching, not phrases, over that field).
+POSITION_ANALYZERS = ("simple", "default")
+
+
+def make_pos_rows_kernel(analyzer: str, content_col: str = "content"):
+    """mapInPandas kernel: docs → one row per (doc, distinct term) with
+    the doc's positions ALREADY delta+varint packed (codecs.pack_pos_list)
+    — the shuffle volume matches the tf postings shuffle, never the raw
+    token stream."""
+    from ..functions.analyzers import code_search_analyze, default_analyze
+    from ..functions.codecs import pack_pos_list
+
+    tok_fn = {"simple": code_search_analyze,
+              "default": default_analyze}[analyzer]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids_all = pdf["doc_idx"].to_numpy(np.int64)
+            texts_all = pdf[content_col].to_numpy(dtype=object)
+            t_doc, t_term, t_dl, t_np, t_pb = [], [], [], [], []
+            for doc_idx, text in zip(ids_all, texts_all):
+                toks = tok_fn(text or "")
+                if not toks:
+                    continue
+                by_term: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    by_term.setdefault(t, []).append(p)
+                dl = len(toks)
+                for t, ps in by_term.items():
+                    t_doc.append(doc_idx)
+                    t_term.append(t)
+                    t_dl.append(dl)
+                    t_np.append(len(ps))
+                    t_pb.append(pack_pos_list(np.asarray(ps, dtype=np.int64)))
+            if t_doc:
+                yield pd.DataFrame(
+                    {"doc_idx": np.asarray(t_doc, dtype=np.int64),
+                     "term": t_term,
+                     "dl": np.asarray(t_dl, dtype=np.int32),
+                     "npos": np.asarray(t_np, dtype=np.int32),
+                     "posb": t_pb}
+                )
+
+    return kernel
+
+
+def positions_from_docs(
+    with_idx: DataFrame, analyzer: str, docs_per_part: int,
+    term_buckets: int = 32, content_col: str = "content",
+) -> DataFrame:
+    """Positional postings sidecar (phrase queries): per (doc_part, term)
+    the sorted doc list plus each doc's packed position list.
+
+    Same physical shape as :func:`postings_from_docs` — one shuffle of
+    (doc, distinct-term) rows grouped by (doc_part, term-hash bucket),
+    per-group width bounded by docs_per_part — so the scale argument is
+    identical.  Layout per row: docs_bin (delta+varint doc ids),
+    cnt_bin (varint positions-per-doc), dls_bin (varint dls), pos_bin
+    (per-doc delta+varint positions concatenated in doc order).
+    """
+    if analyzer not in POSITION_ANALYZERS:
+        raise ValueError(
+            f"positions need a single-position token stream; analyzer "
+            f"{analyzer!r} is not in {POSITION_ANALYZERS}"
+        )
+    kernel = make_pos_rows_kernel(analyzer, content_col)
+    rows = with_idx.select("doc_idx", content_col).mapInPandas(
+        kernel, schema=POS_ROWS_SCHEMA
+    )
+    rows = rows.select(
+        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).alias("bucket"),
+        "term", "doc_idx", "dl", "npos", "posb",
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_part", "term", "df", "docs_bin", "cnt_bin", "dls_bin",
+                "pos_bin")
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in cols}, dtype=object)
+        from ..functions.codecs import delta_encode
+        from ..functions.codecs import varint_encode as venc
+
+        codes, _ = pd.factorize(pdf["term"], sort=False)
+        docs = pdf["doc_idx"].to_numpy(np.int64)
+        order = np.lexsort((docs, codes))
+        codes, docs = codes[order], docs[order]
+        dls = pdf["dl"].to_numpy(np.int64)[order]
+        nps = pdf["npos"].to_numpy(np.int64)[order]
+        blobs = pdf["posb"].to_numpy(dtype=object)[order]
+        terms = pdf["term"].to_numpy(dtype=object)[order]
+        starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(codes)]))
+        out = {c: [] for c in cols}
+        part = int(pdf["doc_part"].iloc[0])
+        for s, e in zip(starts, ends):
+            out["doc_part"].append(part)
+            out["term"].append(terms[s])
+            out["df"].append(int(e - s))
+            out["docs_bin"].append(venc(delta_encode(docs[s:e])))
+            out["cnt_bin"].append(venc(nps[s:e]))
+            out["dls_bin"].append(venc(dls[s:e]))
+            out["pos_bin"].append(b"".join(bytes(b) for b in blobs[s:e]))
+        return pd.DataFrame(out)
+
+    return rows.groupBy("doc_part", "bucket").applyInPandas(
+        pack_group,
+        schema="doc_part long, term string, df long, docs_bin binary, "
+               "cnt_bin binary, dls_bin binary, pos_bin binary",
+    )
+
+
 def make_dl_udf(analyzer: str):
     """Light stats-only pass: content → doc length (no gram expansion;
     shares the per-token cache with the heavy kernel, so definitions
@@ -239,6 +358,16 @@ class InvertedIndex:
     # used for routing-style doc_part pruning (elastic/client.go:162).
     filters: DataFrame | None = None
     part_meta: DataFrame | None = None  # doc_part, repo_min, repo_max, n_docs
+    # positional-postings sidecar (phrase queries): doc_part, term, df,
+    # docs_bin, cnt_bin, dls_bin, pos_bin — built when
+    # build_index(positions=True); None = phrase search unavailable.
+    # pos_analyzer names ITS token chain (an ES sub-field analog): equal
+    # to `analyzer` for simple/default indexes, "simple" (whitespace)
+    # for code-analyzer indexes where capture/edgeNGram positions would
+    # not model adjacency.
+    pos_postings: DataFrame | None = None
+    pos_analyzer: str | None = None
+    pos_avgdl: float | None = None  # the sidecar field's own avgdl
     # persisted DataFrames backing this handle (build-path caches).
     # Service-lifetime contract: they stay cached while the handle serves
     # queries; call unpersist() when done (after save(), or when the
@@ -300,6 +429,20 @@ class InvertedIndex:
             )
         if self.part_meta is not None:
             self.part_meta.write.mode("overwrite").parquet(f"{path}/part_meta")
+        if self.pos_postings is not None:
+            (
+                self.pos_postings.repartition("doc_part")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("doc_part")
+                .parquet(f"{path}/pos_postings")
+            )
+            spark.createDataFrame(
+                [(self.pos_analyzer or "simple",
+                  float(self.pos_avgdl if self.pos_avgdl is not None
+                        else self.avgdl))],
+                "pos_analyzer string, pos_avgdl double",
+            ).write.mode("overwrite").parquet(f"{path}/pos_meta")
         spark.createDataFrame(
             [(self.n_docs, self.avgdl, self.analyzer, self.docs_per_part)],
             "n_docs long, avgdl double, analyzer string, docs_per_part long",
@@ -322,11 +465,18 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     import os
 
     g = spark.read.parquet(f"{path}/globals").collect()[0]
-    filters = part_meta = None
+    filters = part_meta = pos_postings = None
     if os.path.isdir(f"{path}/filters"):
         filters = spark.read.parquet(f"{path}/filters")
     if os.path.isdir(f"{path}/part_meta"):
         part_meta = spark.read.parquet(f"{path}/part_meta")
+    pos_analyzer = pos_avgdl = None
+    if os.path.isdir(f"{path}/pos_postings"):
+        pos_postings = spark.read.parquet(f"{path}/pos_postings")
+        pos_analyzer = "simple"
+        if os.path.isdir(f"{path}/pos_meta"):
+            pm = spark.read.parquet(f"{path}/pos_meta").collect()[0]
+            pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
     return InvertedIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         doc_stats=spark.read.parquet(f"{path}/doc_stats"),
@@ -337,6 +487,9 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         docs_per_part=g["docs_per_part"],
         filters=filters,
         part_meta=part_meta,
+        pos_postings=pos_postings,
+        pos_analyzer=pos_analyzer,
+        pos_avgdl=pos_avgdl,
         doc_stats_paths=doc_stats_paths_of(f"{path}/doc_stats"),
     )
 
@@ -547,8 +700,17 @@ def build_index(
     docs_per_part: int | None = None,
     id_col: str = "id",
     content_col: str = "content",
+    positions: bool = False,
 ) -> InvertedIndex:
-    """documents (id, content [, repo, path, lang]) → inverted index."""
+    """documents (id, content [, repo, path, lang]) → inverted index.
+
+    ``positions=True`` additionally builds the positional-postings
+    sidecar enabling :func:`operators.query.phrase_search`.  Its token
+    chain is the index analyzer when that has single-position tokens
+    (simple/default), else the whitespace "simple" chain (the ES
+    sub-field pattern — a second analyzer over the same stored field).
+    """
+    pos_an = analyzer if analyzer in POSITION_ANALYZERS else "simple"
     for c in ("repo", "path", "lang"):
         if c not in docs.columns:
             docs = docs.withColumn(c, F.lit(""))
@@ -593,6 +755,22 @@ def build_index(
         # save() consumes them (no extra build-path jobs)
         filters=filters_from_doc_stats(doc_stats, docs_per_part),
         part_meta=part_meta_from_doc_stats(doc_stats),
+        pos_postings=(
+            positions_from_docs(with_idx, pos_an, docs_per_part,
+                                content_col=content_col)
+            if positions else None
+        ),
+        pos_analyzer=pos_an if positions else None,
+        # BM25 normalizer of the PHRASE field: its own avgdl (the main
+        # avgdl counts grams on a code index, not whitespace tokens)
+        pos_avgdl=(
+            avgdl if (not positions or pos_an == analyzer)
+            else float(
+                with_idx.select(
+                    F.avg(make_dl_udf(pos_an)(F.col(content_col)))
+                ).collect()[0][0] or 0.0
+            )
+        ) if positions else None,
         caches=caches,
     )
 

@@ -220,7 +220,6 @@ def search(
     (the distributed fallback, also used by plan tests).
     """
     spark = index.postings.sparkSession
-    out_cols = ["id", "score", "repo", "path", "lang"]
     scored = score_plan(index, query, k=k, lang=lang, repo=repo, mode=mode)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
@@ -230,7 +229,18 @@ def search(
     # driver-side, and metadata comes ONLY from the doc_parts that
     # produced hits — point reads (auto) or a doc_part-pruned join
     # (spark) — never a full per-query metadata scan.
-    cand_rows = scored.collect()
+    return _rank_and_fetch(index, scored.collect(), k, fetch)
+
+
+def _rank_and_fetch(
+    index: InvertedIndex, cand_rows: list, k: int, fetch: str
+) -> DataFrame:
+    """Shared fetch phase: bounded candidate (doc_idx, score) rows →
+    top-k hits with metadata from the hit doc_parts only (driver-side
+    point reads, or the doc_part-pruned broadcast join as the
+    distributed fallback)."""
+    spark = index.postings.sparkSession
+    out_cols = ["id", "score", "repo", "path", "lang"]
     if not cand_rows:
         return _local_result(spark, [], _HITS_FIELDS)
     cand_rows.sort(key=lambda r: -r["score"])
@@ -936,5 +946,181 @@ def _make_facet_kernel(
         if not out_f:
             return empty
         return pd.DataFrame({"field": out_f, "value": out_v, "n": out_n})
+
+    return kernel
+
+
+def phrase_search(
+    index: InvertedIndex,
+    phrase: str,
+    k: int = 10,
+    lang: str | None = None,
+    repo: str | None = None,
+    fetch: str = "auto",
+) -> DataFrame:
+    """Exact phrase query (ES ``match_phrase`` analog) over the
+    positional-postings sidecar: documents containing the analyzed
+    tokens at CONSECUTIVE positions, scored the Lucene PhraseQuery way —
+    BM25 with tf = phrase frequency and idf = the sum of the constituent
+    terms' idfs.
+
+    Physical plan mirrors :func:`search`: per doc_part the kernel
+    decodes each phrase term's (docs, positions), offsets term i's
+    positions by −i, and intersects the sorted (local_doc, pos) keys —
+    surviving keys ARE the phrase occurrences, counted per doc into the
+    phrase frequency.  Keyword filters ride the same sidecar bitmaps,
+    repo routing prunes doc_parts, and only ≤ k·n_parts candidate rows
+    reach the driver; the fetch phase is shared with ``search``.
+    """
+    import math
+
+    spark = index.postings.sparkSession
+    if index.pos_postings is None:
+        raise ValueError(
+            "phrase_search needs the positional-postings sidecar "
+            "(build_index(..., positions=True))"
+        )
+    # the sidecar is its own field (ES sub-field pattern): analyze the
+    # phrase with ITS chain and take idf from ITS dfs — one tiny
+    # term-pruned aggregation, global like Lucene's PhraseWeight idf
+    analyze_query = {"simple": code_search_analyze,
+                     "default": default_analyze}[index.pos_analyzer or "simple"]
+    terms = analyze_query(phrase)
+    if not terms:
+        return _local_result(spark, [], _HITS_FIELDS)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.pos_postings.filter(F.col("term").isin(sorted(set(terms))))
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    if any(t not in dfs for t in terms):
+        # a term absent from the collection cannot phrase-match anywhere
+        return _local_result(spark, [], _HITS_FIELDS)
+    n = float(index.n_docs)
+    idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
+    idf_sum = float(sum(idf[t] for t in terms))  # duplicates count twice
+
+    cand = index.pos_postings.filter(
+        F.col("term").isin(sorted(set(terms)))
+    ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin", "pos_bin")
+
+    predicates = []
+    if lang is not None:
+        predicates.append(("lang", lang))
+    if repo is not None:
+        predicates.append(("repo", repo))
+    parts: list[int] | None = None
+    if repo is not None and index.part_meta is not None:
+        parts = [
+            r["doc_part"]
+            for r in index.part_meta.filter(
+                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
+            ).select("doc_part").collect()
+        ]
+        if not parts:
+            return _local_result(spark, [], _HITS_FIELDS)
+        cand = cand.filter(F.col("doc_part").isin(parts))
+    if predicates and index.filters is None:
+        raise ValueError(
+            "keyword-filtered phrase_search needs the index's filters sidecar"
+        )
+
+    avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
+    kernel = _make_phrase_kernel(
+        list(terms), idf_sum, avgdl, k, index.docs_per_part,
+        len(predicates),
+    )
+    if predicates:
+        cond = None
+        for f, v in predicates:
+            c = (F.col("field") == f) & (F.col("value") == v)
+            cond = c if cond is None else (cond | c)
+        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch)
+
+
+def _make_phrase_kernel(
+    terms: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k: int,
+    docs_per_part: int,
+    n_predicates: int,
+):
+    """Per-doc_part phrase kernel.  (local_doc << 32 | position−i) keys
+    per term are strictly increasing (docs asc, positions asc within
+    doc), so successive ``np.intersect1d(assume_unique=True)`` leaves
+    exactly the phrase start positions; counts per surviving local_doc
+    are the phrase frequencies."""
+    from ..functions.codecs import unpack_doc_set, unpack_pos_lists, \
+        varint_decode, delta_decode
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
+        if len(pos_pdf) == 0:
+            return empty
+        part = int(pos_pdf["doc_part"].iloc[0])
+        base = np.int64(part) * np.int64(docs_per_part)
+        bits = None
+        if n_predicates:
+            if filter_pdf is None or len(filter_pdf) < n_predicates:
+                return empty
+            for b in filter_pdf["bits"]:
+                arr = unpack_doc_set(bytes(b), docs_per_part)
+                bits = arr if bits is None else (bits & arr)
+            if not bits.any():
+                return empty
+
+        decoded: dict[str, dict] = {}
+        for row in pos_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64)
+            counts, flat_pos = unpack_pos_lists(
+                bytes(row.cnt_bin), bytes(row.pos_bin)
+            )
+            dls = varint_decode(bytes(row.dls_bin)).astype(np.int64)
+            decoded[row.term] = {
+                "docs": docs, "counts": counts,
+                "pos": flat_pos.astype(np.int64), "dls": dls,
+            }
+        if any(t not in decoded for t in terms):
+            return empty  # some phrase term absent from this part
+
+        inter: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            ent = decoded[t]
+            local = np.repeat(ent["docs"] - base, ent["counts"])
+            keys = local * SHIFT + (ent["pos"] - np.int64(i))
+            if i:
+                keys = keys[ent["pos"] >= i]  # negative starts can't match
+            inter = keys if inter is None else np.intersect1d(
+                inter, keys, assume_unique=True
+            )
+            if len(inter) == 0:
+                return empty
+
+        hit_local, pf = np.unique(inter // SHIFT, return_counts=True)
+        if bits is not None:
+            keep = bits[hit_local]
+            hit_local, pf = hit_local[keep], pf[keep]
+            if len(hit_local) == 0:
+                return empty
+        t0 = decoded[terms[0]]
+        dl = t0["dls"][np.searchsorted(t0["docs"] - base, hit_local)]
+        scores = idf_sum * _tfn(pf.astype(np.int64), dl, avgdl)
+        doc_idx, score = _topk_arrays(hit_local + base, scores, k)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 
     return kernel

@@ -401,3 +401,32 @@ def test_cli_count_and_facets(spark, dirs, capsys):
     assert facets["lang"] == {"Python": 1, "Ruby": 1}
     assert facets["repo"] == {"repo1": 1, "repo2": 1}
     assert {h["id"] for h in out[1:]} == {"repo1_src/app.py", "repo2_lib/util.rb"}
+
+
+def test_cli_build_positions_and_phrase_search(spark, dirs, capsys):
+    """build --positions + search --phrase: exact-phrase queries through
+    the CLI, blob (whitespace sub-field on the code index) and commit
+    (default-analyzer positions) alike; status reports the sidecar."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--commits", commits, "--positions"]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "table scan",
+                 "--phrase"]) == 0
+    hits = _lines(capsys)
+    assert [h["id"] for h in hits] == ["repo1_src/db.py"]
+
+    # adjacency matters: reversed order must not match
+    assert main(["search", "--index", idx, "--query", "scan table",
+                 "--phrase"]) == 0
+    assert _lines(capsys) == []
+
+    # commit index: default analyzer (stemmed) positions
+    assert main(["search", "--index", idx, "--doc-type", "commit",
+                 "--query", "login flow", "--phrase"]) == 0
+    chits = _lines(capsys)
+    assert len(chits) == 1 and "d" * 40 in chits[0]["id"]
+
+    assert main(["status", "--index", idx]) == 0
+    assert _lines(capsys)[-1]["has_positions"] is True

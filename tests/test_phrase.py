@@ -1,0 +1,212 @@
+"""Phrase search (ES match_phrase analog) over the positional-postings
+sidecar: engine vs a brute-force pure-Python oracle (token adjacency +
+Lucene PhraseQuery scoring), persistence roundtrip, and the consistent-
+degradation contract when an update path doesn't carry positions."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+    code_search_analyze,
+)
+from gitlab_elasticsearch_indexer_spark.operators.index_build import (
+    B,
+    K1,
+    build_index,
+)
+from gitlab_elasticsearch_indexer_spark.operators.query import phrase_search
+
+ROWS = [
+    ("r1_a.py", "def get user by id if return user table hash", "Python", "r1"),
+    ("r1_b.py", "table hash join table hash probe table hash", "Python", "r1"),
+    ("r2_a.rb", "hash table is not table hash at all", "Ruby", "r2"),
+    ("r2_b.rb", "Table   HASH  with odd   spacing", "Ruby", "r2"),
+    ("r3_a.go", "no phrase here just hash and table far apart", "Go", "r3"),
+    ("r3_b.go", "", "Go", "r3"),
+]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark):
+    docs = spark.createDataFrame(
+        [(i, c, l, r) for i, c, l, r in ROWS],
+        "id string, content string, lang string, repo string",
+    ).withColumn("path", F.col("id"))
+    return build_index(spark, docs, analyzer="simple", docs_per_part=2,
+                       positions=True)
+
+
+def brute_phrase(phrase, lang=None, repo=None):
+    """(id, score) list the Lucene way, tie-break (score desc, id asc)."""
+    terms = code_search_analyze(phrase)
+    toks = {i: code_search_analyze(c) for i, c, _, _ in ROWS}
+    n = len(ROWS)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in set(terms)
+    }
+    if any(df[t] == 0 for t in terms):
+        return []
+    idf_sum = sum(
+        math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms
+    )
+    meta = {i: (l, r) for i, _, l, r in ROWS}
+    out = []
+    for i, tk in toks.items():
+        if lang is not None and meta[i][0] != lang:
+            continue
+        if repo is not None and meta[i][1] != repo:
+            continue
+        pf = sum(
+            1
+            for s in range(len(tk) - len(terms) + 1)
+            if tk[s : s + len(terms)] == terms
+        )
+        if pf:
+            score = idf_sum * pf / (pf + K1 * (1 - B + B * dls[i] / avgdl))
+            out.append((i, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("phrase,kw", [
+    ("table hash", {}),
+    ("Table  Hash", {}),            # analyzer normalizes case/whitespace
+    ("table hash", {"lang": "Python"}),
+    ("table hash", {"repo": "r2"}),
+    ("user table hash", {}),        # 3-term phrase
+    ("hash table hash", {}),        # duplicate term in the phrase
+    ("missing phrase words", {}),   # absent term → empty
+])
+def test_phrase_matches_brute_force(pidx, phrase, kw):
+    got = [
+        (r["id"], r["score"])
+        for r in phrase_search(pidx, phrase, k=10, **kw).collect()
+    ]
+    want = brute_phrase(phrase, **kw)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want])
+
+
+def test_phrase_frequency_scores_higher(pidx):
+    """r1_b contains 'table hash' 3× — phrase frequency must rank it
+    above single-occurrence docs (pf enters the BM25 tf slot)."""
+    hits = phrase_search(pidx, "table hash", k=10).collect()
+    assert hits[0]["id"] == "r1_b.py"
+
+
+def test_phrase_survives_versioned_roundtrip(spark, pidx, tmp_path):
+    from gitlab_elasticsearch_indexer_spark.operators.incremental import (
+        load_versioned,
+        save_versioned,
+    )
+
+    path = str(tmp_path / "pidx")
+    save_versioned(pidx, path, snapshot_id=0)
+    loaded = load_versioned(spark, path)
+    assert loaded.pos_postings is not None
+    assert loaded.pos_analyzer == "simple"
+    assert loaded.pos_avgdl == pytest.approx(pidx.pos_avgdl)
+    got = [(r["id"], r["score"])
+           for r in phrase_search(loaded, "table hash", k=10).collect()]
+    want = brute_phrase("table hash")
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want])
+
+
+def test_code_index_gets_whitespace_subfield(spark):
+    """On a code-analyzer index the sidecar is the whitespace sub-field:
+    phrase matching works over source text and the normalizer is the
+    sub-field's own avgdl, not the gram avgdl."""
+    docs = spark.createDataFrame(
+        [("r1_x.py", "def getUserById if return", "Python", "r1"),
+         ("r1_y.py", "if return early always", "Python", "r1"),
+         ("r2_z.py", "return if reversed here", "Python", "r2")],
+        "id string, content string, lang string, repo string",
+    ).withColumn("path", F.col("id"))
+    idx = build_index(spark, docs, analyzer="code", docs_per_part=2,
+                      positions=True)
+    assert idx.pos_analyzer == "simple"
+    # the sub-field normalizer is computed under ITS chain; on plain
+    # ASCII identifiers it coincides with code_dl (captures share a
+    # Lucene position), so only presence is asserted here
+    assert idx.pos_avgdl is not None and idx.pos_avgdl > 0
+    ids = [r["id"] for r in phrase_search(idx, "if return", k=10).collect()]
+    assert set(ids) == {"r1_x.py", "r1_y.py"}
+    idx.unpersist()
+
+
+def test_update_maintains_positions_delta_degrades(spark, tmp_path):
+    """The snapshot update path MAINTAINS the phrase sidecar (it
+    re-reads content anyway): phrase results after update equal a
+    from-scratch brute force over the new corpus.  The O(batch) delta
+    path does not carry positions — a delta-written version degrades
+    the LOADED index to pos=None (never a stale/fresh mix) and
+    phrase_search raises with a rebuild hint."""
+    from gitlab_elasticsearch_indexer_spark.operators.incremental import (
+        load_versioned,
+        save_versioned,
+        update_index,
+        update_index_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, c, l, r) for i, c, l, r in ROWS],
+        "id string, content string, lang string, repo string",
+    ).withColumn("path", F.col("id"))
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=2,
+                      positions=True)
+    path = str(tmp_path / "pidx2")
+    save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+    assert load_versioned(spark, path).pos_postings is not None
+
+    new_body = "table hash table hash table hash table hash brand new"
+    docs2_rows = [
+        (i, new_body if i == "r3_a.go" else c, l, r) for i, c, l, r in ROWS
+    ]
+    docs2 = spark.createDataFrame(
+        docs2_rows, "id string, content string, lang string, repo string"
+    ).withColumn("path", F.col("id"))
+    update_index(spark, path, docs2, snapshot_id=1)
+    loaded = load_versioned(spark, path)
+    assert loaded.pos_postings is not None
+
+    # brute force over the UPDATED corpus
+    import math as _m
+
+    toks = {i: code_search_analyze(c) for i, c, _, _ in docs2_rows}
+    n = len(docs2_rows)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    terms = ["table", "hash"]
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    idf_sum = sum(_m.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms)
+    want = []
+    for i, tk in toks.items():
+        pf = sum(1 for s in range(len(tk) - 1) if tk[s : s + 2] == terms)
+        if pf:
+            want.append(
+                (i, idf_sum * pf / (pf + K1 * (1 - B + B * dls[i] / avgdl)))
+            )
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = [(r["id"], r["score"])
+           for r in phrase_search(loaded, "table hash", k=10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want])
+    assert got[0][0] == "r3_a.go"  # the updated doc (pf=4) ranks first
+
+    # delta path: version without the sidecar → consistent degradation
+    ups = spark.createDataFrame(
+        [("r1_a.py", "tiny delta body", "Python", "r1", "r1_a.py")],
+        "id string, content string, lang string, repo string, path string",
+    )
+    update_index_delta(spark, path, ups, None, snapshot_id=2)
+    loaded2 = load_versioned(spark, path)
+    assert loaded2.pos_postings is None
+    with pytest.raises(ValueError, match="positional-postings"):
+        phrase_search(loaded2, "table hash")
