@@ -398,3 +398,63 @@ def test_combined_lang_and_repo_filter_is_exact(spark):
                             mode=mode).collect()
         ]
         assert got == want and len(got) > 0, mode
+
+
+def test_facet_scan_is_column_pruned(spark, tmp_path_factory):
+    """facet_counts must read docs_bin ONLY from postings (no tf/dl/
+    block payloads) with the query terms pushed to the scan, and its
+    output shuffle is the tiny (field,value,n) aggregate."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import facet_counts
+
+    docs = spark.createDataFrame(
+        [(f"r_{i:03d}", f"alpha beta{i % 3} gamma", f"L{i % 2}")
+         for i in range(80)],
+        "id string, content string, lang string",
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=32)
+    path = str(tmp_path_factory.mktemp("facetidx"))
+    idx.save(path)
+    idx.unpersist()
+    loaded = load_index(spark, path)
+
+    fc = facet_counts(loaded, "alpha beta0", fields=("lang",))
+    plan = formatted_plan(fc)
+    post_reads = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "docs_bin" in l
+    ]
+    assert post_reads, plan
+    for l in post_reads:
+        assert "tfs_bin" not in l and "block_last" not in l, l
+    assert_pushed_filter(fc, "In(term")
+
+
+def test_phrase_scan_pushes_terms_and_matches_meta(spark, tmp_path_factory):
+    """phrase_search's sidecar scan must push the phrase terms down;
+    the persisted sidecar must round-trip pos_meta (analyzer + its own
+    avgdl)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import phrase_search
+
+    docs = spark.createDataFrame(
+        [(f"r_{i:03d}", f"alpha beta gamma delta{i % 5}") for i in range(60)],
+        "id string, content string",
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=32,
+                      positions=True)
+    path = str(tmp_path_factory.mktemp("phraseidx"))
+    idx.save(path)
+    idx.unpersist()
+    loaded = load_index(spark, path)
+    assert loaded.pos_analyzer == "simple"
+    assert loaded.pos_avgdl == pytest.approx(idx.pos_avgdl)
+
+    cand = loaded.pos_postings.filter(
+        F.col("term").isin(["alpha", "beta"])
+    ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin", "pos_bin")
+    from gitlab_elasticsearch_indexer_spark.plans.checks import (
+        assert_pushed_filter as apf,
+    )
+
+    apf(cand, "In(term")
+    hits = phrase_search(loaded, "alpha beta", k=5)
+    assert hits.count() == 5  # every doc contains the phrase; top-5 kept
