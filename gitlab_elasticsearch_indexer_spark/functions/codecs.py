@@ -241,3 +241,16 @@ def unpack_pos_lists(cnt_bin: bytes, pos_bin: bytes) -> tuple[np.ndarray, np.nda
     starts = np.cumsum(counts) - counts
     base = np.where(starts > 0, csum[starts - 1], 0)
     return counts, csum - np.repeat(base, counts)
+
+
+def pos_blob_boundaries(counts: np.ndarray, pos_bin: bytes) -> np.ndarray:
+    """Byte boundaries of each document's position blob inside the
+    concatenated per-doc stream: ``len(counts)+1`` offsets such that doc
+    j's blob is ``pos_bin[b[j]:b[j+1]]``.  Each varint's last byte has
+    the high bit clear, so value ends are found without decoding — the
+    repack/remap paths slice whole documents out of the stream without
+    ever re-encoding a position."""
+    b = np.frombuffer(pos_bin, dtype=np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0) + 1
+    seg_ends = ends[np.cumsum(np.asarray(counts, dtype=np.int64)) - 1]
+    return np.concatenate(([0], seg_ends))

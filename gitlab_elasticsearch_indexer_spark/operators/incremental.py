@@ -131,12 +131,14 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
             .partitionBy("doc_part")
             .parquet(f"{vdir}/pos_postings")
         )
-        spark.createDataFrame(
-            [(index.pos_analyzer or "simple",
-              float(index.pos_avgdl if index.pos_avgdl is not None
-                    else index.avgdl))],
-            "pos_analyzer string, pos_avgdl double",
-        ).write.mode("overwrite").parquet(f"{vdir}/pos_meta")
+        # exact integer token count of the phrase field (Σ cf counts
+        # every position once): the delta path's pos_avgdl bookkeeping
+        pos_total = int(
+            spark.read.parquet(f"{vdir}/pos_postings")
+            .agg(F.coalesce(F.sum("cf"), F.lit(0))).collect()[0][0]
+        )
+        _write_pos_meta(spark, vdir, index.pos_analyzer or "simple",
+                        pos_total, index.n_docs)
 
     parts = [r["doc_part"] for r in index.doc_stats.select("doc_part").distinct().collect()]
     manifest = spark.createDataFrame(
@@ -517,12 +519,9 @@ def update_index(
                     dpp, vdir)
     # phrase positions: maintained through the snapshot path when the
     # previous snapshot carried the sidecar — rebuilt parts re-tokenize
-    # under the sidecar's own chain (this path re-reads content anyway);
-    # pos_avgdl recomputes exactly over the new snapshot (pos_an ==
-    # analyzer shares the main avgdl; a code-index whitespace sub-field
-    # pays one dl-UDF pass over curr, within this path's O(corpus) cost)
+    # under the sidecar's own chain (this path re-reads content anyway)
     if prev.pos_postings is not None:
-        from .index_build import make_dl_udf, positions_from_docs
+        from .index_build import positions_from_docs
 
         pos_an = prev.pos_analyzer or "simple"
         (
@@ -531,14 +530,6 @@ def update_index(
             .write.mode("overwrite").partitionBy("doc_part")
             .parquet(f"{vdir}/pos_postings")
         )
-        if pos_an == prev.analyzer:
-            pos_avgdl = None  # filled from avgdl after stats (below)
-        else:
-            pos_avgdl = float(
-                curr.select(
-                    F.avg(make_dl_udf(pos_an)(F.col("content")))
-                ).collect()[0][0] or 0.0
-            )
 
     rebuilt_parts = {
         int(r["doc_part"]) for r in new_doc_stats.select("doc_part").distinct().collect()
@@ -564,11 +555,17 @@ def update_index(
     n_docs, total_dl = int(g["n"]), int(g["total_dl"])
     avgdl = total_dl / n_docs if n_docs else 0.0
     if prev.pos_postings is not None:
-        spark.createDataFrame(
-            [(prev.pos_analyzer or "simple",
-              float(avgdl if pos_avgdl is None else pos_avgdl))],
-            "pos_analyzer string, pos_avgdl double",
-        ).write.mode("overwrite").parquet(f"{vdir}/pos_meta")
+        # exact phrase-field token count over the NEW snapshot: sum of
+        # the manifest-live sidecar rows' cf (Σ positions) — an
+        # O(index-metadata) column-pruned agg, within this path's
+        # O(corpus) cost envelope
+        new_bv = _manifest_by_version(spark, path, snapshot_id)
+        pos_total = int(
+            _read_parts(spark, path, new_bv, "pos_postings")
+            .agg(F.coalesce(F.sum("cf"), F.lit(0))).collect()[0][0]
+        ) if new_bv else 0
+        _write_pos_meta(spark, vdir, prev.pos_analyzer or "simple",
+                        pos_total, n_docs)
     # snapshot-diff updates recompute the whole vocabulary anyway (that
     # is their nature); the write is still bucketed so later DELTA
     # batches can rewrite bucket-scoped
@@ -744,6 +741,18 @@ def update_index_delta(
 
     by_version = _manifest_by_version(spark, path, prev_snapshot)
     all_parts = {p for ps in by_version.values() for p in ps}
+    # phrase sidecar present on EVERY live version → this batch
+    # maintains it (repack for deletes, fresh build for the appended
+    # docs — whose content is in the batch); otherwise the sidecar is
+    # already degraded and stays so
+    has_pos = bool(by_version) and all(
+        os.path.isdir(f"{path}/v{v}/pos_postings") for v in by_version
+    )
+    pos_an = prev_pos_total = None
+    if has_pos:
+        pos_an, _, prev_pos_total = _read_pos_meta(
+            spark, path, {prev_snapshot, *by_version}
+        )
 
     caches: list = []
     has_seq = "_seq" in upserts.columns
@@ -883,6 +892,7 @@ def update_index_delta(
 
     # 1) repack affected partitions from their stored postings
     new_postings = new_doc_stats = None
+    old_pos = new_pos = None
     if affected:
         aff_versions = _restrict_versions(by_version, affected)
         old_post = _read_parts(spark, path, aff_versions, "postings")
@@ -898,6 +908,16 @@ def update_index_delta(
             F.broadcast(dead.select("id")), "id", "left_anti"
         )
         new_postings, new_doc_stats = repacked, surv_ds
+        if has_pos:
+            # positions repack: surviving docs' blobs are byte-sliced
+            # out of the stream, never decoded (per-doc deltas are
+            # self-contained) — same O(touched parts) cost class
+            old_pos = _read_parts(spark, path, aff_versions, "pos_postings")
+            new_pos = (
+                old_pos.groupBy("doc_part")
+                .cogroup(dead.select("doc_part", "doc_idx").groupBy("doc_part"))
+                .applyInPandas(_make_pos_repack_kernel(), schema=old_pos.schema)
+            )
 
     # 2) append new/modified docs into FRESH partitions
     app_parts: set[int] = set()
@@ -921,6 +941,11 @@ def update_index_delta(
             else new_doc_stats.unionByName(app_ds)
         )
         app_parts = set(range(next_part, next_part + (n_app + dpp - 1) // dpp))
+        if has_pos:
+            from .index_build import positions_from_docs
+
+            app_pos = positions_from_docs(appended, pos_an, dpp)
+            new_pos = app_pos if new_pos is None else new_pos.unionByName(app_pos)
 
     new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(
         "overwrite"
@@ -928,6 +953,18 @@ def update_index_delta(
     new_doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
         f"{vdir}/doc_stats"
     )
+    pos_cf_written = 0
+    if has_pos and new_pos is not None:
+        new_pos.repartition("doc_part").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).partitionBy("doc_part").parquet(f"{vdir}/pos_postings")
+        try:
+            pos_cf_written = int(
+                spark.read.parquet(f"{vdir}/pos_postings")
+                .agg(F.coalesce(F.sum("cf"), F.lit(0))).collect()[0][0]
+            )
+        except Exception:  # batch emptied every touched partition
+            pos_cf_written = 0
     try:  # a batch that empties every touched partition writes no rows
         vds = spark.read.parquet(f"{vdir}/doc_stats")
         written_parts = {
@@ -951,6 +988,17 @@ def update_index_delta(
 
     # 3) vocab-bounded term_stats delta: old − removed + added
     n_docs = old_n_docs - n_dead + n_app
+    if has_pos and new_pos is not None:
+        # exact phrase-field token arithmetic, mirroring total_dl:
+        # prev − (all positions of the affected parts) + (positions
+        # written: affected survivors + appends).  Both deltas are
+        # cf-column aggs over touched parts only — never a corpus pass.
+        old_aff_cf = int(
+            old_pos.agg(F.coalesce(F.sum("cf"), F.lit(0))).collect()[0][0]
+        ) if old_pos is not None else 0
+        _write_pos_meta(spark, vdir, pos_an,
+                        (prev_pos_total or 0) - old_aff_cf + pos_cf_written,
+                        n_docs)
     dl_added = 0
     if n_app or affected:
         if vds is not None:
@@ -1075,6 +1123,136 @@ def update_index_delta(
         "classify_fallback": classify_fallback,
     }
     return out
+
+
+def _write_pos_meta(spark: SparkSession, vdir: str, pos_analyzer: str,
+                    pos_total_dl: int, n_docs: int) -> None:
+    spark.createDataFrame(
+        [(pos_analyzer,
+          float(pos_total_dl) / n_docs if n_docs else 0.0,
+          int(pos_total_dl))],
+        "pos_analyzer string, pos_avgdl double, pos_total_dl long",
+    ).write.mode("overwrite").parquet(f"{vdir}/pos_meta")
+
+
+def _read_pos_meta(spark: SparkSession, path: str,
+                   versions) -> tuple[str, float, int]:
+    """(pos_analyzer, pos_avgdl, pos_total_dl) from the newest version
+    carrying a pos_meta (older versions' values are stale)."""
+    import os
+
+    for v in sorted(versions, reverse=True):
+        p = f"{path}/v{v}/pos_meta"
+        if os.path.isdir(p):
+            pm = spark.read.parquet(p).collect()[0]
+            d = pm.asDict()
+            return (d["pos_analyzer"], float(d["pos_avgdl"]),
+                    int(d.get("pos_total_dl") or 0))
+    return "simple", 0.0, 0
+
+
+def _make_pos_repack_kernel():
+    """Cogrouped kernel: (positional rows of one doc_part, that part's
+    dead (doc_part, doc_idx) rows) → rows with dead docs dropped.
+
+    Positions are NEVER decoded: each doc's blob is self-contained
+    (its first delta is absolute), so surviving docs' byte segments —
+    located via codecs.pos_blob_boundaries — concatenate unchanged.
+    Only the small docs/cnt/dls headers re-encode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import (
+        delta_decode, delta_encode, pos_blob_boundaries, varint_decode,
+        varint_encode,
+    )
+
+    def repack(pos_pdf: pd.DataFrame, dead_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pos_pdf) == 0:
+            return pos_pdf
+        if dead_pdf is None or len(dead_pdf) == 0:
+            return pos_pdf
+        dead = np.unique(dead_pdf["doc_idx"].to_numpy(np.int64))
+        keep_rows = []  # dict rows: robust to the parquet column order
+        for row in pos_pdf.itertuples(index=False):
+            d = row._asdict()
+            docs = delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64)
+            keep = ~np.isin(docs, dead)
+            if keep.all():
+                keep_rows.append(d)
+                continue
+            if not keep.any():
+                continue
+            counts = varint_decode(bytes(row.cnt_bin)).astype(np.int64)
+            dls = varint_decode(bytes(row.dls_bin)).astype(np.int64)
+            blob = bytes(row.pos_bin)
+            bnd = pos_blob_boundaries(counts, blob)
+            d.update(
+                df=int(keep.sum()),
+                cf=int(counts[keep].sum()),
+                docs_bin=varint_encode(delta_encode(docs[keep])),
+                cnt_bin=varint_encode(counts[keep]),
+                dls_bin=varint_encode(dls[keep]),
+                pos_bin=b"".join(
+                    blob[bnd[j]:bnd[j + 1]] for j in np.flatnonzero(keep)
+                ),
+            )
+            keep_rows.append(d)
+        return pd.DataFrame(keep_rows, columns=list(pos_pdf.columns))
+
+    return repack
+
+
+def _make_pos_unpack_kernel():
+    """Cogrouped kernel for compaction: (positional rows of one small
+    doc_part, that part's (old_idx → new doc_idx) map) → per-DOC rows
+    (term, doc_idx, dl, npos, posb) carrying the NEW ids, each doc's
+    blob sliced out of the stream un-decoded.  The shared
+    ``index_build._pos_pack_group`` re-packs them under the new
+    partitioning (doc order may interleave across source parts)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import (
+        delta_decode, pos_blob_boundaries, varint_decode,
+    )
+
+    def unpack(pos_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"term": pd.Series(dtype=object),
+             "doc_idx": pd.Series(dtype=np.int64),
+             "dl": pd.Series(dtype=np.int32),
+             "npos": pd.Series(dtype=np.int32),
+             "posb": pd.Series(dtype=object)}
+        )
+        if len(pos_pdf) == 0 or len(map_pdf) == 0:
+            return empty
+        old_idx = map_pdf["old_idx"].to_numpy(np.int64)
+        new_idx = map_pdf["doc_idx"].to_numpy(np.int64)
+        order = np.argsort(old_idx)
+        old_idx, new_idx = old_idx[order], new_idx[order]
+        t_term, t_doc, t_dl, t_np, t_pb = [], [], [], [], []
+        for row in pos_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64)
+            counts = varint_decode(bytes(row.cnt_bin)).astype(np.int64)
+            dls = varint_decode(bytes(row.dls_bin)).astype(np.int64)
+            blob = bytes(row.pos_bin)
+            bnd = pos_blob_boundaries(counts, blob)
+            remapped = new_idx[np.searchsorted(old_idx, docs)]
+            for j in range(len(docs)):
+                t_term.append(row.term)
+                t_doc.append(int(remapped[j]))
+                t_dl.append(int(dls[j]))
+                t_np.append(int(counts[j]))
+                t_pb.append(blob[bnd[j]:bnd[j + 1]])
+        return pd.DataFrame(
+            {"term": t_term, "doc_idx": np.asarray(t_doc, dtype=np.int64),
+             "dl": np.asarray(t_dl, dtype=np.int32),
+             "npos": np.asarray(t_np, dtype=np.int32), "posb": t_pb}
+        )
+
+    return unpack
 
 
 def _make_remap_kernel():
@@ -1234,6 +1412,39 @@ def compact_index(
     )
     vds = spark.read.parquet(f"{vdir}/doc_stats")
     _write_sidecars(None, None, vds, dpp, vdir)
+
+    # phrase sidecar rides the same remap: per-doc blobs are byte-
+    # sliced out of the small parts' streams (never decoded — the
+    # monotone renumbering can interleave docs from different source
+    # parts, so rows unpack to per-doc units and the shared pack kernel
+    # regroups them under the new partitioning).  Totals are invariant
+    # under renumbering and carry forward.
+    if by_version and all(
+        os.path.isdir(f"{path}/v{v}/pos_postings") for v in by_version
+    ):
+        from .index_build import pack_pos_rows
+
+        old_pos = _read_parts(spark, path, small_versions, "pos_postings")
+        pos_rows = (
+            old_pos.groupBy("doc_part")
+            .cogroup(remapped.select("old_part", "old_idx", "doc_idx")
+                     .groupBy("old_part"))
+            .applyInPandas(
+                _make_pos_unpack_kernel(),
+                schema="term string, doc_idx long, dl int, npos int, "
+                       "posb binary",
+            )
+        )
+        (
+            pack_pos_rows(pos_rows, dpp)
+            .repartition("doc_part").sortWithinPartitions("term")
+            .write.mode("overwrite").partitionBy("doc_part")
+            .parquet(f"{vdir}/pos_postings")
+        )
+        pos_an, _, prev_total = _read_pos_meta(
+            spark, path, {prev_snapshot, *by_version}
+        )
+        _write_pos_meta(spark, vdir, pos_an, prev_total, int(last["n_docs"]))
     written_parts = {
         int(r["doc_part"]) for r in vds.select("doc_part").distinct().collect()
     }

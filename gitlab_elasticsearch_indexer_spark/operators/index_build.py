@@ -190,6 +190,66 @@ def make_pos_rows_kernel(analyzer: str, content_col: str = "content"):
     return kernel
 
 
+POS_PACK_SCHEMA = (
+    "doc_part long, term string, df long, cf long, docs_bin binary, "
+    "cnt_bin binary, dls_bin binary, pos_bin binary"
+)
+
+
+def _pos_pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(doc_part, bucket)-group kernel shared by the build and the
+    compaction remap: (term, doc_idx, dl, npos, posb) rows → packed
+    positional rows.  Per-doc blobs concatenate in doc order — each
+    blob's deltas are self-contained, so no position ever re-encodes.
+    ``cf`` = total positions in the row (the sidecar's exact token
+    count, the delta path's pos_total_dl bookkeeping unit)."""
+    cols = ("doc_part", "term", "df", "cf", "docs_bin", "cnt_bin",
+            "dls_bin", "pos_bin")
+    if len(pdf) == 0:
+        return pd.DataFrame({c: [] for c in cols}, dtype=object)
+    from ..functions.codecs import delta_encode
+    from ..functions.codecs import varint_encode as venc
+
+    codes, _ = pd.factorize(pdf["term"], sort=False)
+    docs = pdf["doc_idx"].to_numpy(np.int64)
+    order = np.lexsort((docs, codes))
+    codes, docs = codes[order], docs[order]
+    dls = pdf["dl"].to_numpy(np.int64)[order]
+    nps = pdf["npos"].to_numpy(np.int64)[order]
+    blobs = pdf["posb"].to_numpy(dtype=object)[order]
+    terms = pdf["term"].to_numpy(dtype=object)[order]
+    starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [len(codes)]))
+    out = {c: [] for c in cols}
+    part = int(pdf["doc_part"].iloc[0])
+    for s, e in zip(starts, ends):
+        out["doc_part"].append(part)
+        out["term"].append(terms[s])
+        out["df"].append(int(e - s))
+        out["cf"].append(int(nps[s:e].sum()))
+        out["docs_bin"].append(venc(delta_encode(docs[s:e])))
+        out["cnt_bin"].append(venc(nps[s:e]))
+        out["dls_bin"].append(venc(dls[s:e]))
+        out["pos_bin"].append(b"".join(bytes(b) for b in blobs[s:e]))
+    return pd.DataFrame(out)
+
+
+def pack_pos_rows(
+    rows: DataFrame, docs_per_part: int, term_buckets: int = 32
+) -> DataFrame:
+    """(doc_idx, term, dl, npos, posb) rows → packed positional-postings
+    sidecar (grouped by (doc_part, term-hash bucket), same shape and
+    scale argument as the tf postings build)."""
+    keyed = rows.select(
+        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).alias("bucket"),
+        "term", "doc_idx", "dl", "npos", "posb",
+    )
+    return keyed.groupBy("doc_part", "bucket").applyInPandas(
+        _pos_pack_group, schema=POS_PACK_SCHEMA
+    )
+
+
 def positions_from_docs(
     with_idx: DataFrame, analyzer: str, docs_per_part: int,
     term_buckets: int = 32, content_col: str = "content",
@@ -200,9 +260,10 @@ def positions_from_docs(
     Same physical shape as :func:`postings_from_docs` — one shuffle of
     (doc, distinct-term) rows grouped by (doc_part, term-hash bucket),
     per-group width bounded by docs_per_part — so the scale argument is
-    identical.  Layout per row: docs_bin (delta+varint doc ids),
-    cnt_bin (varint positions-per-doc), dls_bin (varint dls), pos_bin
-    (per-doc delta+varint positions concatenated in doc order).
+    identical.  Layout per row: df, cf (total positions), docs_bin
+    (delta+varint doc ids), cnt_bin (varint positions-per-doc), dls_bin
+    (varint dls), pos_bin (per-doc delta+varint positions concatenated
+    in doc order).
     """
     if analyzer not in POSITION_ANALYZERS:
         raise ValueError(
@@ -213,47 +274,7 @@ def positions_from_docs(
     rows = with_idx.select("doc_idx", content_col).mapInPandas(
         kernel, schema=POS_ROWS_SCHEMA
     )
-    rows = rows.select(
-        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
-        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).alias("bucket"),
-        "term", "doc_idx", "dl", "npos", "posb",
-    )
-
-    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ("doc_part", "term", "df", "docs_bin", "cnt_bin", "dls_bin",
-                "pos_bin")
-        if len(pdf) == 0:
-            return pd.DataFrame({c: [] for c in cols}, dtype=object)
-        from ..functions.codecs import delta_encode
-        from ..functions.codecs import varint_encode as venc
-
-        codes, _ = pd.factorize(pdf["term"], sort=False)
-        docs = pdf["doc_idx"].to_numpy(np.int64)
-        order = np.lexsort((docs, codes))
-        codes, docs = codes[order], docs[order]
-        dls = pdf["dl"].to_numpy(np.int64)[order]
-        nps = pdf["npos"].to_numpy(np.int64)[order]
-        blobs = pdf["posb"].to_numpy(dtype=object)[order]
-        terms = pdf["term"].to_numpy(dtype=object)[order]
-        starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
-        ends = np.concatenate((starts[1:], [len(codes)]))
-        out = {c: [] for c in cols}
-        part = int(pdf["doc_part"].iloc[0])
-        for s, e in zip(starts, ends):
-            out["doc_part"].append(part)
-            out["term"].append(terms[s])
-            out["df"].append(int(e - s))
-            out["docs_bin"].append(venc(delta_encode(docs[s:e])))
-            out["cnt_bin"].append(venc(nps[s:e]))
-            out["dls_bin"].append(venc(dls[s:e]))
-            out["pos_bin"].append(b"".join(bytes(b) for b in blobs[s:e]))
-        return pd.DataFrame(out)
-
-    return rows.groupBy("doc_part", "bucket").applyInPandas(
-        pack_group,
-        schema="doc_part long, term string, df long, docs_bin binary, "
-               "cnt_bin binary, dls_bin binary, pos_bin binary",
-    )
+    return pack_pos_rows(rows, docs_per_part, term_buckets)
 
 
 def make_dl_udf(analyzer: str):

@@ -140,14 +140,44 @@ def test_code_index_gets_whitespace_subfield(spark):
     idx.unpersist()
 
 
-def test_update_maintains_positions_delta_degrades(spark, tmp_path):
-    """The snapshot update path MAINTAINS the phrase sidecar (it
-    re-reads content anyway): phrase results after update equal a
-    from-scratch brute force over the new corpus.  The O(batch) delta
-    path does not carry positions — a delta-written version degrades
-    the LOADED index to pos=None (never a stale/fresh mix) and
-    phrase_search raises with a rebuild hint."""
+def _brute_rows(rows, phrase, k=10):
+    """Lucene-way phrase scoring over an arbitrary corpus snapshot."""
+    import math as _m
+
+    terms = code_search_analyze(phrase)
+    toks = {i: code_search_analyze(c) for i, c, _, _ in rows}
+    n = len(rows)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n if n else 0.0
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in set(terms)}
+    if any(df[t] == 0 for t in terms):
+        return [], avgdl
+    idf_sum = sum(
+        _m.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms
+    )
+    out = []
+    for i, tk in toks.items():
+        pf = sum(
+            1 for s in range(len(tk) - len(terms) + 1)
+            if tk[s : s + len(terms)] == terms
+        )
+        if pf:
+            out.append(
+                (i, idf_sum * pf / (pf + K1 * (1 - B + B * dls[i] / avgdl)))
+            )
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k], avgdl
+
+
+def test_positions_maintained_through_update_delta_compact(spark, tmp_path):
+    """The phrase sidecar survives the WHOLE index lifecycle: snapshot
+    update (re-tokenizes rebuilt parts), O(batch) delta (byte-slice
+    repack of deletes + fresh positions for appends, exact pos_total_dl
+    arithmetic), and compaction (per-doc blob remap) — phrase results
+    after each step equal a from-scratch brute force over the then-
+    current corpus, including the BM25 normalizer."""
     from gitlab_elasticsearch_indexer_spark.operators.incremental import (
+        compact_index,
         load_versioned,
         save_versioned,
         update_index,
@@ -163,50 +193,62 @@ def test_update_maintains_positions_delta_degrades(spark, tmp_path):
     path = str(tmp_path / "pidx2")
     save_versioned(idx, path, snapshot_id=0)
     idx.unpersist()
-    assert load_versioned(spark, path).pos_postings is not None
 
+    def check(rows, phrase="table hash"):
+        loaded = load_versioned(spark, path)
+        assert loaded.pos_postings is not None
+        want, avgdl = _brute_rows(rows, phrase)
+        assert loaded.pos_avgdl == pytest.approx(avgdl)
+        got = [(r["id"], r["score"])
+               for r in phrase_search(loaded, phrase, k=10).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert np.allclose([g[1] for g in got], [w[1] for w in want])
+        return got
+
+    # 1) snapshot update: one doc rewritten to contain the phrase 4×
     new_body = "table hash table hash table hash table hash brand new"
-    docs2_rows = [
-        (i, new_body if i == "r3_a.go" else c, l, r) for i, c, l, r in ROWS
-    ]
-    docs2 = spark.createDataFrame(
-        docs2_rows, "id string, content string, lang string, repo string"
-    ).withColumn("path", F.col("id"))
-    update_index(spark, path, docs2, snapshot_id=1)
-    loaded = load_versioned(spark, path)
-    assert loaded.pos_postings is not None
+    rows1 = [(i, new_body if i == "r3_a.go" else c, l, r)
+             for i, c, l, r in ROWS]
+    update_index(
+        spark, path,
+        spark.createDataFrame(
+            rows1, "id string, content string, lang string, repo string"
+        ).withColumn("path", F.col("id")),
+        snapshot_id=1,
+    )
+    got = check(rows1)
+    assert got[0][0] == "r3_a.go"  # pf=4 ranks first
 
-    # brute force over the UPDATED corpus
-    import math as _m
-
-    toks = {i: code_search_analyze(c) for i, c, _, _ in docs2_rows}
-    n = len(docs2_rows)
-    dls = {i: len(t) for i, t in toks.items()}
-    avgdl = sum(dls.values()) / n
-    terms = ["table", "hash"]
-    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
-    idf_sum = sum(_m.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms)
-    want = []
-    for i, tk in toks.items():
-        pf = sum(1 for s in range(len(tk) - 1) if tk[s : s + 2] == terms)
-        if pf:
-            want.append(
-                (i, idf_sum * pf / (pf + K1 * (1 - B + B * dls[i] / avgdl)))
-            )
-    want.sort(key=lambda x: (-x[1], x[0]))
-    got = [(r["id"], r["score"])
-           for r in phrase_search(loaded, "table hash", k=10).collect()]
-    assert [g[0] for g in got] == [w[0] for w in want]
-    assert np.allclose([g[1] for g in got], [w[1] for w in want])
-    assert got[0][0] == "r3_a.go"  # the updated doc (pf=4) ranks first
-
-    # delta path: version without the sidecar → consistent degradation
+    # 2) delta: delete one phrase doc + add one with the phrase twice
     ups = spark.createDataFrame(
-        [("r1_a.py", "tiny delta body", "Python", "r1", "r1_a.py")],
+        [("r4_new.py", "intro table hash middle table hash end",
+          "Python", "r4", "r4_new.py")],
         "id string, content string, lang string, repo string, path string",
     )
-    update_index_delta(spark, path, ups, None, snapshot_id=2)
-    loaded2 = load_versioned(spark, path)
-    assert loaded2.pos_postings is None
-    with pytest.raises(ValueError, match="positional-postings"):
-        phrase_search(loaded2, "table hash")
+    dels = spark.createDataFrame([("r2_a.rb", "r2")], "id string, repo string")
+    update_index_delta(spark, path, ups, dels, snapshot_id=2)
+    rows2 = [r for r in rows1 if r[0] != "r2_a.rb"] + [
+        ("r4_new.py", "intro table hash middle table hash end",
+         "Python", "r4"),
+    ]
+    check(rows2)
+
+    # 3) compaction: the delta-accreted small parts merge; phrase
+    # results and the normalizer are invariant
+    out = compact_index(spark, path, snapshot_id=3, min_fill=1.0,
+                        min_parts=2)
+    assert out.__dict__.get("compact_stats", {}).get("written_parts")
+    check(rows2)
+
+    # 4) a second delta AFTER compaction keeps the chain exact
+    ups2 = spark.createDataFrame(
+        [("r1_b.py", "now no phrase at all", "Python", "r1", "r1_b.py")],
+        "id string, content string, lang string, repo string, path string",
+    )
+    update_index_delta(spark, path, ups2, None, snapshot_id=4)
+    rows3 = [
+        ("r1_b.py", "now no phrase at all", "Python", "r1")
+        if r[0] == "r1_b.py" else r
+        for r in rows2
+    ]
+    check(rows3)
