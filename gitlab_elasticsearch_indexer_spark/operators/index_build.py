@@ -754,6 +754,16 @@ def build_index(
     ).persist()
     avgdl = float(doc_stats.agg(F.avg("dl")).collect()[0][0] or 0.0)
 
+    pos_postings = None
+    if positions:
+        # persisted like the tf postings: an unpinned sidecar would
+        # re-run the whole tokenize→shuffle→pack chain on EVERY phrase
+        # query of an in-memory handle
+        pos_postings = positions_from_docs(
+            with_idx, pos_an, docs_per_part, content_col=content_col
+        ).persist()
+        caches.append(pos_postings)
+
     # persist the PACKED postings (compact: delta+varint binaries) so the
     # heavy tokenize→shuffle→pack chain runs exactly once — term_stats,
     # save(), and every query read the materialized result.  At cluster
@@ -776,11 +786,7 @@ def build_index(
         # save() consumes them (no extra build-path jobs)
         filters=filters_from_doc_stats(doc_stats, docs_per_part),
         part_meta=part_meta_from_doc_stats(doc_stats),
-        pos_postings=(
-            positions_from_docs(with_idx, pos_an, docs_per_part,
-                                content_col=content_col)
-            if positions else None
-        ),
+        pos_postings=pos_postings,
         pos_analyzer=pos_an if positions else None,
         # BM25 normalizer of the PHRASE field: its own avgdl (the main
         # avgdl counts grams on a code index, not whitespace tokens)
