@@ -79,7 +79,7 @@ scored AS (
 
 
 def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
-              repo: str | None = None) -> str:
+              repo: str | None = None, offset: int = 0) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     flt = (f"AND meta.lang = '{lang}' " if lang else "") + (
         f"AND meta.repo = '{repo}' " if repo else ""
@@ -91,16 +91,25 @@ SELECT scored.id AS id, round(scored.raw, 4) AS score
 FROM scored JOIN meta USING (id)
 WHERE TRUE {flt}
 ORDER BY scored.raw DESC, scored.id ASC
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """
 
 
 def _bm25_spark(spark, sf_dir, query, k, lang=None, repo=None,
-                mode="exhaustive") -> DataFrame:
+                mode="exhaustive", offset=0) -> DataFrame:
     idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
                          docs_per_part=128)
-    hits = q.search(idx, query, k=k, lang=lang, repo=repo, mode=mode)
+    hits = q.search(idx, query, k=k, lang=lang, repo=repo, mode=mode,
+                    offset=offset)
     return hits.select("id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_paged(spark, sf_dir):
+    """ES from/size pagination: page 3 of a hot multi-term query (the
+    scoring phase keeps offset+k per partition; the driver slices the
+    global order — deep-paging cost grows with from+size, as in ES)."""
+    return _bm25_spark(spark, sf_dir, "table scan merge", k=10, offset=20,
+                       mode="bmw")
 
 
 # --------------------------------------------------------------------------
@@ -1708,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
+        "b14_bm25_topk_paged": q_bm25_paged,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1766,6 +1776,8 @@ def oracle_sql() -> dict[str, str]:
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),
+        "b14_bm25_topk_paged": _bm25_sql(["table", "scan", "merge"], 10,
+                                         offset=20),
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

@@ -112,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--from", dest="offset", type=int, default=0,
+                   help="pagination offset (the ES from analog)")
     s.add_argument("--lang", default=None)
     s.add_argument("--repo", default=None)
     s.add_argument("--bmw", action="store_true")
@@ -361,7 +363,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                             repo=args.repo,
-                            mode="bmw" if args.bmw else "exhaustive")
+                            mode="bmw" if args.bmw else "exhaustive",
+                            offset=args.offset)
         if args.facet:
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
                                 lang=args.lang, repo=args.repo)

@@ -208,11 +208,17 @@ def search(
     repo: str | None = None,
     mode: str = "exhaustive",
     fetch: str = "auto",
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
     Duplicate analyzed query tokens add their scores (one term clause
     per occurrence, like a match query).
+
+    ``offset`` is the ES ``from`` analog (page 2 = offset=k): scoring
+    keeps the top offset+k per partition and the driver slices — the
+    standard deep-paging cost model (cost grows with offset+k, which
+    is why ES caps from+size at 10 000).
 
     ``fetch``: "auto" resolves hit metadata via driver-side point reads
     of the hit doc_parts when the index is file-backed (one Spark job
@@ -220,34 +226,37 @@ def search(
     (the distributed fallback, also used by plan tests).
     """
     spark = index.postings.sparkSession
-    scored = score_plan(index, query, k=k, lang=lang, repo=repo, mode=mode)
+    scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
+                        mode=mode)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
 
     # ES fetch-phase analog: the scoring job runs here (its output is
-    # bounded by k·n_parts candidate rows), the winners resolve
-    # driver-side, and metadata comes ONLY from the doc_parts that
-    # produced hits — point reads (auto) or a doc_part-pruned join
-    # (spark) — never a full per-query metadata scan.
-    return _rank_and_fetch(index, scored.collect(), k, fetch)
+    # bounded by (offset+k)·n_parts candidate rows), the winners
+    # resolve driver-side, and metadata comes ONLY from the doc_parts
+    # that produced hits — point reads (auto) or a doc_part-pruned
+    # join (spark) — never a full per-query metadata scan.
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
 def _rank_and_fetch(
-    index: InvertedIndex, cand_rows: list, k: int, fetch: str
+    index: InvertedIndex, cand_rows: list, k: int, fetch: str,
+    offset: int = 0,
 ) -> DataFrame:
     """Shared fetch phase: bounded candidate (doc_idx, score) rows →
-    top-k hits with metadata from the hit doc_parts only (driver-side
-    point reads, or the doc_part-pruned broadcast join as the
-    distributed fallback)."""
+    rows [offset, offset+k) of the global order with metadata from the
+    hit doc_parts only (driver-side point reads, or the doc_part-pruned
+    broadcast join as the distributed fallback)."""
     spark = index.postings.sparkSession
     out_cols = ["id", "score", "repo", "path", "lang"]
+    n = k + offset
     if not cand_rows:
         return _local_result(spark, [], _HITS_FIELDS)
     cand_rows.sort(key=lambda r: -r["score"])
-    if len(cand_rows) > k:
-        # keep every row tying the kth score: the (score desc, id asc)
+    if len(cand_rows) > n:
+        # keep every row tying the nth score: the (score desc, id asc)
         # tie-break needs the ids, resolved below
-        kth = cand_rows[k - 1]["score"]
+        kth = cand_rows[n - 1]["score"]
         cand_rows = [r for r in cand_rows if r["score"] >= kth]
 
     meta = None
@@ -263,7 +272,7 @@ def _rank_and_fetch(
             if (m := meta.get(int(r["doc_idx"]))) is not None
         ]
         rows.sort(key=lambda t: (-t[1], t[0]))
-        return _local_result(spark, rows[:k], _HITS_FIELDS)
+        return _local_result(spark, rows[offset:n], _HITS_FIELDS)
 
     local = spark.createDataFrame(
         [(int(r["doc_idx"]), float(r["score"])) for r in cand_rows],
@@ -279,9 +288,14 @@ def _rank_and_fetch(
         F.broadcast(local)
         .join(ds.select("doc_idx", "id", "repo", "path", "lang"), "doc_idx")
         .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
+        .limit(n)
         .select(*out_cols)
     )
+    if offset:
+        # bounded local result (≤ n rows): slice driver-side to keep
+        # the exact global order without a window shuffle
+        rows = [tuple(r) for r in hits.collect()][offset:n]
+        return _local_result(spark, rows, _HITS_FIELDS)
     return hits
 
 

@@ -338,3 +338,21 @@ def test_facet_counts_match_oracle(index, oracle):
     # no-match query → empty facets / zero count
     assert facet_counts(index, "zzqqxxnotaterm").count() == 0
     assert match_count(index, "zzqqxxnotaterm") == 0
+
+
+def test_search_pagination_slices_global_order(index):
+    """offset (ES `from`) returns exactly rows [offset, offset+k) of
+    the full ranking, on both fetch paths."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search
+
+    full = [(r["id"], round(r["score"], 9))
+            for r in search(index, "get user if", k=60).collect()]
+    assert len(full) >= 41  # pages below must lie inside the full list
+    for fetch in ("auto", "spark"):
+        for off, k in ((0, 5), (5, 5), (10, 30)):
+            page = [(r["id"], round(r["score"], 9))
+                    for r in search(index, "get user if", k=k, offset=off,
+                                    fetch=fetch).collect()]
+            assert page == full[off:off + k], (fetch, off, k)
+    # offset past the result set → empty
+    assert search(index, "get user if", k=5, offset=10_000).count() == 0
