@@ -208,7 +208,8 @@ def code_capture_tf(text: str) -> tuple[dict[str, int], int]:
 
 
 # expansion mode per analyzer: gram set of a shuffled term row
-EXPAND_PREFIXES = {"code": (MIN_GRAM, MAX_GRAM), "simple": None, "default": None}
+EXPAND_PREFIXES = {"code": (MIN_GRAM, MAX_GRAM), "simple": None,
+                   "default": None, "path": None, "sha": None}
 
 
 def code_dl(text: str) -> int:
@@ -227,6 +228,7 @@ def default_dl(text: str) -> int:
 
 
 DL_FNS = {"code": code_dl, "simple": simple_dl, "default": default_dl}
+# path/sha registered below (their analyze fns are defined later)
 
 
 def code_analyze_tokens(text: str) -> list[str]:
@@ -275,6 +277,31 @@ def sha_analyze(text: str) -> list[str]:
     for run in _re.findall(r"[\p{L}0-9]+", text):
         out.extend(edge_ngrams(fold_ascii(run.lower()), SHA_MIN_GRAM, SHA_MAX_GRAM))
     return out
+
+
+def path_analyze_tf(text: str) -> tuple[dict[str, int], int]:
+    """Index-side ``path_analyzer`` field kernel: (suffix-token → tf,
+    dl).  Empty tokens (an empty path) index nothing; dl counts the
+    emitted suffix tokens — each carries a position in Lucene's
+    path_hierarchy stream."""
+    toks = [t for t in path_analyze(text) if t]
+    return dict(Counter(toks)), len(toks)
+
+
+def path_dl(text: str) -> int:
+    return len([t for t in path_analyze(text) if t])
+
+
+def sha_analyze_tf(text: str) -> tuple[dict[str, int], int]:
+    """Index-side ``sha_analyzer`` field kernel: (gram → tf, dl); the
+    edgeNGram TOKENIZER emits each gram as a position-bearing token, so
+    dl = gram count."""
+    toks = sha_analyze(text)
+    return dict(Counter(toks)), len(toks)
+
+
+def sha_dl(text: str) -> int:
+    return len(sha_analyze(text))
 
 
 def light_english_stem(token: str) -> str:
@@ -327,6 +354,8 @@ ANALYZERS_TF = {
     "code": code_analyze_tf,
     "simple": simple_analyze_tf,
     "default": default_analyze_tf,
+    "path": path_analyze_tf,
+    "sha": sha_analyze_tf,
 }
 
 # shuffle-level term rows per analyzer: "code" ships captures (expanded
@@ -336,4 +365,9 @@ CAPTURE_TF = {
     "code": code_capture_tf,
     "simple": simple_analyze_tf,
     "default": default_analyze_tf,
+    "path": path_analyze_tf,
+    "sha": sha_analyze_tf,
 }
+
+DL_FNS["path"] = path_dl
+DL_FNS["sha"] = sha_dl

@@ -33,6 +33,7 @@ determinism applies to full builds):
 
 from __future__ import annotations
 
+import logging
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,8 @@ from .index_build import (
     term_bucket_expr,
     term_stats_from_postings,
 )
+
+log = logging.getLogger(__name__)
 
 CHECKPOINT_SCHEMA = (
     "snapshot_id long, n_docs long, avgdl double, analyzer string, "
@@ -215,10 +218,18 @@ def _manifest_by_version(spark: SparkSession, path: str,
 def _read_parts(spark: SparkSession, path: str,
                 by_version: dict[int, list[int]], table: str) -> DataFrame:
     """Union a partitioned table across the versions that own its parts;
-    the static IN lists reach each scan as partition filters."""
+    the static IN lists reach each scan as partition filters.  Posting
+    tables read with their EXPLICIT schema: a version dir whose batch
+    appended only zero-term docs has doc_stats rows but a file-less
+    postings dir, which must load as empty, not fail inference."""
+    from .index_build import POS_PACK_SCHEMA, POSTINGS_TABLE_SCHEMA
+
+    schema = {"postings": POSTINGS_TABLE_SCHEMA,
+              "pos_postings": POS_PACK_SCHEMA}.get(table)
     out = None
     for version, parts in sorted(by_version.items()):
-        t = spark.read.parquet(f"{path}/v{version}/{table}").filter(
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        t = reader.parquet(f"{path}/v{version}/{table}").filter(
             F.col("doc_part").isin(parts)
         )
         out = t if out is None else out.unionByName(t)
@@ -769,7 +780,10 @@ def update_index_delta(
     # last-write-wins (the reference applies changes in order,
     # indexer/indexer.go:35-76).  Without it the survivor falls back to
     # deterministic-but-arbitrary oid order.  An id both upserted and
-    # deleted in one batch resolves as the upsert.
+    # deleted in one batch resolves by _seq when the deletes carry one
+    # (highest _seq wins — true sequential apply order, so a put-then-
+    # delete ordering removes the doc); without delete-side _seq the
+    # upsert wins (ties also resolve as the upsert).
     from pyspark.sql.window import Window
 
     order = ([F.col("_seq").desc_nulls_last()] if has_seq else []) + [
@@ -778,9 +792,17 @@ def update_index_delta(
     w = Window.partitionBy("id").orderBy(*order)
     ups = (
         ups.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1).drop("_rn", *(["_seq"] if has_seq else []))
-        .persist()
+        .filter(F.col("_rn") == 1).drop("_rn")
     )
+    if has_seq and deletes is not None and "_seq" in deletes.columns:
+        # a delete strictly newer than the id's winning upsert removes
+        # the doc: drop that upsert HERE, so the downstream delete set
+        # (deletes − surviving upserted ids) includes it naturally
+        dmax = deletes.groupBy("id").agg(F.max("_seq").alias("_del_seq"))
+        ups = ups.join(F.broadcast(dmax), "id", "left").filter(
+            F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("_seq"))
+        ).drop("_del_seq")
+    ups = ups.drop(*(["_seq"] if has_seq else [])).persist()
     caches.append(ups)
 
     change_keys = ups.select("id", "repo")
@@ -826,10 +848,10 @@ def update_index_delta(
                 .select("doc_part").collect()
             }
     if classify_fallback is not None and all_parts:
-        print(
-            f"update_index_delta snapshot={snapshot_id}: classify falls "
-            f"back to ALL {len(all_parts)} doc_stats partitions "
-            f"({classify_fallback})"
+        log.warning(
+            "update_index_delta snapshot=%s: classify falls back to ALL "
+            "%d doc_stats partitions (%s)",
+            snapshot_id, len(all_parts), classify_fallback,
         )
 
     # classify against PRUNED doc_stats metadata (broadcast the batch)
@@ -1001,8 +1023,18 @@ def update_index_delta(
                         n_docs)
     dl_added = 0
     if n_app or affected:
+        vpost = None
         if vds is not None:
-            vpost = spark.read.parquet(f"{vdir}/postings")
+            try:
+                # a batch whose only effect is appending zero-term docs
+                # (e.g. empty content) writes doc_stats rows but a
+                # row-less postings dir — schema inference would raise
+                # AFTER the manifest landed, failing a replay-safe batch
+                vpost = spark.read.parquet(f"{vdir}/postings")
+                vpost.schema  # force the inference error here, if any
+            except Exception:
+                vpost = None
+        if vpost is not None:
             added_stats = vpost.groupBy("term").agg(
                 F.sum("df").alias("d_df"), F.sum("cf").alias("d_cf")
             )
@@ -1088,8 +1120,11 @@ def update_index_delta(
     # rest keep the lineage rows of their owning snapshots) — keeps the
     # lineage write batch-bounded, not corpus-bounded
     if vds is not None:
+        from .index_build import POSTINGS_TABLE_SCHEMA
+
         staged = InvertedIndex(
-            postings=spark.read.parquet(f"{vdir}/postings"),
+            postings=spark.read.schema(POSTINGS_TABLE_SCHEMA)
+            .parquet(f"{vdir}/postings"),
             doc_stats=vds, term_stats=None,  # type: ignore[arg-type]
             n_docs=0, avgdl=0.0, analyzer="", docs_per_part=0,
         )
@@ -1514,8 +1549,12 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
     The retention contract: the last ``keep_last`` checkpoints stay
     fully loadable (each retained manifest's references are live);
     older snapshots may no longer load.  The checkpoint and lineage
-    tables are history and stay intact.  Idempotent and safe to run
-    any time — it reads only committed manifests.
+    tables are history and stay intact.  Idempotent, and version dirs
+    NEWER than the latest committed checkpoint are never touched — an
+    in-progress update's staged (manifest-written, not-yet-checkpointed)
+    snapshot survives a concurrent vacuum.  The remaining single-writer
+    assumption is only the usual one: at most one UPDATE runs at a time
+    (two concurrent updates would race the checkpoint itself).
     """
     import glob as _glob
     import os
@@ -1560,11 +1599,14 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
         removed_dirs += 1
         shutil.rmtree(p, ignore_errors=True)
 
+    latest_committed = snaps[0] if snaps else -1
     for vd in sorted(_glob.glob(f"{path}/v*")):
         name = os.path.basename(vd)
         if not name[1:].isdigit():
             continue
         v = int(name[1:])
+        if v > latest_committed:
+            continue  # staged by an in-progress update — not ours to GC
         lp = live_parts.get(v, set())
         lb = live_buckets.get(v, set())
         if v not in retained and not lp and not lb and v not in legacy_ts:

@@ -89,6 +89,16 @@ PACK_SCHEMA = StructType(
 )
 
 
+# full on-disk schema of a postings table (partition column included):
+# reads of versioned postings use it EXPLICITLY so a row-less partition
+# dir (a batch appending only zero-term docs) loads as empty instead of
+# failing schema inference
+POSTINGS_TABLE_SCHEMA = StructType(
+    [StructField("doc_part", LongType()), StructField("term", StringType())]
+    + list(PACK_SCHEMA.fields)
+)
+
+
 def make_term_rows_kernel(analyzer: str, content_col: str = "content"):
     """mapInPandas kernel: docs → (doc_idx, term, tf, dl) rows.
 
@@ -361,6 +371,48 @@ def assign_doc_ids(
     if with_count:
         return out, acc
     return out
+
+
+@dataclass
+class FieldIndex:
+    """One additional searchable field (the ES multi-field mapping
+    analog): its own postings table over the SAME doc_idx space, its own
+    analyzer chain and BM25 length normalizer.  The reference maps
+    ``blob.file_name`` through the code analyzer and ``blob.path``
+    through ``path_analyzer`` (elastic/index.go:147-151,165-168) so a
+    search can hit a file by NAME; ``commit_sha``/``oid``/``id`` go
+    through ``sha_analyzer`` (elastic/index.go:96-104,137-140) for
+    SHA-prefix lookup.
+
+    No per-field term_stats table is materialized: a query's per-term
+    df comes from a term-pruned aggregation over this (small) postings
+    table, memoized on the handle (``InvertedIndex.field_df_map``)."""
+
+    postings: DataFrame   # doc_part, term, df, cf, docs_bin, ... (PACK_SCHEMA)
+    analyzer: str
+    avgdl: float
+    total_dl: int = 0     # exact integer Σ dl — delta-update arithmetic
+
+
+# derivable extra-field source columns: when the named column is absent
+# from the docs frame, derive it from the standard doc columns
+FIELD_DERIVATIONS = {
+    "file_name": lambda: F.element_at(F.split(F.col("path"), "/"), -1),
+}
+
+
+def with_field_columns(docs: DataFrame, fields) -> DataFrame:
+    """Ensure every extra field's source column exists (deriving
+    ``file_name`` from ``path`` when absent)."""
+    for f in fields or ():
+        if f not in docs.columns:
+            if f not in FIELD_DERIVATIONS:
+                raise ValueError(
+                    f"extra field {f!r}: no column of that name and no "
+                    f"known derivation"
+                )
+            docs = docs.withColumn(f, FIELD_DERIVATIONS[f]())
+    return docs
 
 
 @dataclass

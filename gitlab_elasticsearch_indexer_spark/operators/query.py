@@ -191,10 +191,16 @@ def _fetch_doc_meta(
     out: dict[int, dict] = {}
     want = set(doc_idxs)
     for p in parts:
-        tbl = pads.dataset(paths[p], format="parquet").to_table(
-            columns=["doc_idx", *columns],
-            filter=pads.field("doc_idx").isin(list(want)),
-        )
+        try:
+            tbl = pads.dataset(paths[p], format="parquet").to_table(
+                columns=["doc_idx", *columns],
+                filter=pads.field("doc_idx").isin(list(want)),
+            )
+        except (OSError, FileNotFoundError):
+            # a mapped directory can vanish under a live handle (vacuum
+            # ran, files moved) — degrade to the pruned Spark join
+            # fallback instead of failing the query
+            return None
         for row in tbl.to_pylist():
             out[int(row["doc_idx"])] = row
     return out

@@ -122,8 +122,11 @@ def start_incremental_stream(
         update_index_delta(
             spark, index_dir,
             upserts=batch_docs.filter(F.col("content").isNotNull()),
+            # deletes keep their _seq so a put-then-delete ordering
+            # WITHIN one micro-batch resolves sequentially (highest
+            # _seq wins in the updater, not upsert-always-wins)
             deletes=batch_docs.filter(F.col("content").isNull())
-            .select("id", "repo"),
+            .select("id", "repo", "_seq"),
             snapshot_id=base_snapshot + batch_id + 1,
         )
 
@@ -135,8 +138,22 @@ def start_incremental_stream(
         batch_docs.unpersist()
 
     def _fold_source_state(spark, src_path: str, batch_docs: DataFrame) -> None:
-        staged = batch_docs.drop("_seq").withColumn(
-            "state_part", _state_part(F.col("id"))
+        from pyspark.sql.window import Window
+
+        # collapse to ONE row per id first, with the SAME winner rule as
+        # update_index_delta (_seq desc, then oid desc; a winning NULL-
+        # content delete then drops out in the content filter below) —
+        # otherwise a doc modified twice in one micro-batch keeps BOTH
+        # content rows in _source_state, diverging from the index
+        w = Window.partitionBy("id").orderBy(
+            F.col("_seq").desc_nulls_last(),
+            F.sha2(F.col("content"), 256).desc_nulls_last(),
+        )
+        staged = (
+            batch_docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+            .withColumn("state_part", _state_part(F.col("id")))
         )
         touched = [
             int(r["state_part"])

@@ -272,6 +272,71 @@ def test_seq_column_orders_same_batch_changes(spark, base_index):
     assert late_tok in surv_terms and early_tok not in surv_terms
 
 
+def test_put_then_delete_within_one_batch_deletes(spark, base_index):
+    """When deletes carry _seq too, the HIGHEST _seq wins the
+    upsert-vs-delete race: a put-then-delete ordering within one
+    micro-batch removes the doc (sequential apply,
+    indexer/indexer.go:35-76); delete-then-put keeps it."""
+    docs, path = base_index
+    ups = spark.createDataFrame(
+        [("r1_f0001.py", "doomedTok if", "r1", "f0001.py", "Go", "file-0001")],
+        DOCS_SCHEMA + ", _seq string")
+    dels = spark.createDataFrame(
+        [("r1_f0001.py", "r1", "file-0002")], "id string, repo string, _seq string")
+    out = inc.update_index_delta(spark, path, ups, dels, snapshot_id=1)
+    assert out.n_docs == 119  # the delete (newer _seq) won
+    assert out.doc_stats.filter(F.col("id") == "r1_f0001.py").count() == 0
+    assert "doomedtok" not in {r["term"] for r in out.term_stats.collect()}
+
+    # reverse ordering: delete first, put later → the doc survives
+    ups2 = spark.createDataFrame(
+        [("r2_f0002.py", "revivedTok if", "r2", "f0002.py", "Go", "file-0004")],
+        DOCS_SCHEMA + ", _seq string")
+    dels2 = spark.createDataFrame(
+        [("r2_f0002.py", "r2", "file-0003")], "id string, repo string, _seq string")
+    out2 = inc.update_index_delta(spark, path, ups2, dels2, snapshot_id=2)
+    assert out2.n_docs == 119
+    assert out2.doc_stats.filter(F.col("id") == "r2_f0002.py").count() == 1
+    assert _topk(out2, "revivedtok", k=3)[0][0] == "r2_f0002.py"
+
+
+def test_append_only_zero_term_docs_commits(spark, base_index):
+    """A batch whose only effect is appending docs that tokenize to ZERO
+    terms (empty content) writes doc_stats rows but a row-less postings
+    dir — the batch must still commit (no schema-inference crash after
+    the manifest lands) and the docs must be live."""
+    docs, path = base_index
+    ups = spark.createDataFrame(
+        [("zz_empty.py", "", "zz", "empty.py", "Go")], DOCS_SCHEMA)
+    out = inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+    assert out.n_docs == 121
+    assert inc.latest_checkpoint(spark, path)["snapshot_id"] == 1
+    assert out.doc_stats.filter(F.col("id") == "zz_empty.py").count() == 1
+    # stats unchanged (no terms added) and search still exact
+    assert _topk(out, "getuser7", k=3)
+    re = inc.load_versioned(spark, path)
+    assert re.n_docs == 121
+
+
+def test_vacuum_skips_in_progress_staged_version(spark, base_index):
+    """A version dir NEWER than the latest committed checkpoint (an
+    in-progress update's staged snapshot) must survive vacuum."""
+    import os
+    import shutil
+
+    docs, path = base_index
+    ups = spark.createDataFrame(
+        [("zz_v1.py", "vacProbe if", "zz", "v1.py", "Go")], DOCS_SCHEMA)
+    inc.update_index_delta(spark, path, ups, None, snapshot_id=1)
+    # fake an in-progress snapshot: copy v1 to v7 (manifest written,
+    # checkpoint row NOT written)
+    shutil.copytree(f"{path}/v1", f"{path}/v7")
+    st = inc.vacuum(spark, path, keep_last=1)
+    assert os.path.isdir(f"{path}/v7/manifest")  # untouched
+    assert os.path.isdir(f"{path}/v7/postings")
+    assert st["retained_snapshots"] == [1]
+
+
 def test_avgdl_exact_across_many_chained_deltas(spark, base_index):
     """The checkpointed integer total_dl keeps avgdl EXACT (bit-for-bit
     vs a from-scratch rebuild) across a long chain of delta batches —
@@ -344,16 +409,21 @@ def test_delta_rewrites_only_its_terms_buckets(spark, base_index):
     full.unpersist()
 
 
-def test_classify_fallback_is_recorded(spark, base_index):
+def test_classify_fallback_is_recorded(spark, base_index, caplog):
     """A batch whose deletes lack a repo column forces the full-metadata
-    classify — the fallback must be OBSERVABLE in delta_stats, and a
-    pruned batch must record None."""
+    classify — the fallback must be OBSERVABLE in delta_stats (and on the
+    logger), and a pruned batch must record None."""
+    import logging
+
     docs, path = base_index
     dels = spark.createDataFrame([("r3_f0003.py",)], "id string")  # no repo
     empty_ups = spark.createDataFrame([], DOCS_SCHEMA)
-    out = inc.update_index_delta(spark, path, empty_ups, dels, snapshot_id=1)
+    with caplog.at_level(logging.WARNING,
+                         logger="gitlab_elasticsearch_indexer_spark.operators.incremental"):
+        out = inc.update_index_delta(spark, path, empty_ups, dels, snapshot_id=1)
     st = out.__dict__["delta_stats"]
     assert st["classify_fallback"] == "deletes_missing_repo_column"
+    assert any("deletes_missing_repo_column" in r.message for r in caplog.records)
 
     dels2 = spark.createDataFrame([("r2_f0002.py", "r2")], "id string, repo string")
     out2 = inc.update_index_delta(spark, path, empty_ups, dels2, snapshot_id=2)

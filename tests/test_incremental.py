@@ -186,3 +186,59 @@ def test_streaming_rewrites_only_touched_state_partitions(spark, snapshots, tmp_
     base = spark.read.parquet(f"{path}/_stream_meta").collect()[0]["base_snapshot"]
     assert base == 0
     assert inc.latest_checkpoint(spark, path)["snapshot_id"] == 1
+
+
+def test_streaming_source_state_one_row_per_id(spark, snapshots, tmp_path):
+    """A doc modified twice (and another put-then-deleted) within ONE
+    micro-batch: _source_state must hold exactly one row per surviving
+    id — the _seq winner's content — and none for the deleted id
+    (the fold collapses staged rows with the updater's winner rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gitlab_elasticsearch_indexer_spark.streaming import incremental_stream as st
+
+    docs1, _ = snapshots
+    path = str(tmp_path / "sidx3")
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+
+    idx1 = build_index(spark, docs1, analyzer="code", docs_per_part=32)
+    inc.save_versioned(idx1, path, snapshot_id=0)
+    st.init_source_state(docs1, path)
+    idx1.unpersist()
+
+    victim = docs1.limit(1).collect()[0]
+    vid_repo, vid_path = victim["repo"], victim["path"]
+    vid = f"{vid_repo}_{vid_path}"
+    # file 1: modify twice-doc (v1) + create doomed doc; file 2: modify
+    # twice-doc again (v2) + DELETE the doomed doc (NULL content)
+    def tbl(rows):
+        cols = ["repo", "path", "commit", "lang", "content"]
+        return pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+
+    pq.write_table(tbl([
+        (vid_repo, vid_path, "a" * 40, "Python", "twiceDoc versionOne"),
+        ("zz", "doomed.py", "a" * 40, "Python", "doomedDoc body"),
+    ]), str(landing / "0001.parquet"))
+    pq.write_table(tbl([
+        (vid_repo, vid_path, "b" * 40, "Python", "twiceDoc versionTwo"),
+        ("zz", "doomed.py", None, "Python", None),
+    ]), str(landing / "0002.parquet"))
+
+    q = st.start_incremental_stream(
+        spark, str(landing), path, str(tmp_path / "scp3"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    state = spark.read.parquet(f"{path}/_source_state")
+    rows = state.filter(F.col("id") == vid).collect()
+    assert len(rows) == 1  # ONE row, not both staged versions
+    assert rows[0]["content"] == "twiceDoc versionTwo"
+    assert state.filter(F.col("id") == "zz_doomed.py").count() == 0
+
+    # and the index agrees: later version indexed, doomed doc absent
+    out = inc.load_versioned(spark, path)
+    terms = {r["term"] for r in out.term_stats.collect()}
+    assert "versiontwo" in terms and "versionone" not in terms
+    assert out.doc_stats.filter(F.col("id") == "zz_doomed.py").count() == 0
