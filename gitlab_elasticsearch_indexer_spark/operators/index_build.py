@@ -398,7 +398,31 @@ class FieldIndex:
 # from the docs frame, derive it from the standard doc columns
 FIELD_DERIVATIONS = {
     "file_name": lambda: F.element_at(F.split(F.col("path"), "/"), -1),
+    "oid": lambda: F.sha2(F.col("content"), 256),
 }
+
+# reference mapping's analyzer per field (elastic/index.go:137-168):
+# file_name → code_analyzer, path → path_analyzer, oid/commit_sha/id →
+# sha_analyzer.  A dict ``fields`` argument overrides per field (the
+# driver gates use the SQL-expressible "simple" chain for file_name the
+# same way the content gates do).
+FIELD_ANALYZERS = {
+    "file_name": "code",
+    "path": "path",
+    "oid": "sha",
+    "commit_sha": "sha",
+    "id": "sha",
+}
+
+
+def normalize_fields(fields) -> dict[str, str]:
+    """fields argument → {field: analyzer} (sequence uses the reference
+    mapping's defaults)."""
+    if not fields:
+        return {}
+    if isinstance(fields, dict):
+        return dict(fields)
+    return {f: FIELD_ANALYZERS[f] for f in fields}
 
 
 def with_field_columns(docs: DataFrame, fields) -> DataFrame:
@@ -451,6 +475,11 @@ class InvertedIndex:
     # point-reads the hit parts driver-side (pyarrow) instead of paying
     # a second Spark job per query.  None for in-memory handles.
     doc_stats_paths: dict | None = None
+    # additional searchable fields (ES multi-field mapping analog):
+    # field name → FieldIndex.  Built by build_index(fields=...);
+    # multi_search scores bool-should across content + these, summing
+    # per-field BM25 (elastic/index.go:137-168).
+    fields: dict | None = None
 
     def unpersist(self, blocking: bool = False) -> None:
         """Release every build-path cache registered on this handle.
@@ -479,6 +508,38 @@ class InvertedIndex:
                 ts = ts.filter(F.col("term_bucket").isin(bks))
             rows = ts.filter(F.col("term").isin(missing)).collect()
             found = {r["term"]: r["idf"] for r in rows}
+            for t in missing:
+                cache[t] = found.get(t)
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
+
+    def field_idf(self, field: str, terms: list[str]) -> dict[str, float]:
+        """idf per query term over an EXTRA field, memoized like
+        :meth:`idf_map`.  No per-field term_stats table exists — df
+        comes from a term-pruned aggregation over the (small) field
+        postings; n is the shared collection size (every doc carries
+        the field — empty values index zero tokens but stay counted,
+        like Lucene's docCount≈maxDoc here)."""
+        import math
+
+        cache = self.__dict__.setdefault("_field_idf_cache", {}).setdefault(
+            field, {}
+        )
+        missing = [t for t in set(terms) if t not in cache]
+        if missing:
+            fh = (self.fields or {}).get(field)
+            if fh is None:
+                raise ValueError(f"index has no field {field!r}")
+            rows = (
+                fh.postings.filter(F.col("term").isin(missing))
+                .groupBy("term").agg(F.sum("df").alias("df")).collect()
+            )
+            n = float(self.n_docs)
+            found = {
+                r["term"]: math.log(
+                    1.0 + (n - float(r["df"]) + 0.5) / (float(r["df"]) + 0.5)
+                )
+                for r in rows
+            }
             for t in missing:
                 cache[t] = found.get(t)
         return {t: cache[t] for t in terms if cache.get(t) is not None}
@@ -516,6 +577,23 @@ class InvertedIndex:
                         else self.avgdl))],
                 "pos_analyzer string, pos_avgdl double",
             ).write.mode("overwrite").parquet(f"{path}/pos_meta")
+        if self.fields:
+            meta_rows = []
+            for name, fh in sorted(self.fields.items()):
+                (
+                    fh.postings.repartition("doc_part")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .partitionBy("doc_part")
+                    .parquet(f"{path}/fields/{name}/postings")
+                )
+                meta_rows.append(
+                    (name, fh.analyzer, float(fh.avgdl), int(fh.total_dl))
+                )
+            spark.createDataFrame(
+                meta_rows,
+                "field string, analyzer string, avgdl double, total_dl long",
+            ).write.mode("overwrite").parquet(f"{path}/fields_meta")
         spark.createDataFrame(
             [(self.n_docs, self.avgdl, self.analyzer, self.docs_per_part)],
             "n_docs long, avgdl double, analyzer string, docs_per_part long",
@@ -550,6 +628,19 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         if os.path.isdir(f"{path}/pos_meta"):
             pm = spark.read.parquet(f"{path}/pos_meta").collect()[0]
             pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
+    fields = None
+    if os.path.isdir(f"{path}/fields_meta"):
+        fields = {
+            r["field"]: FieldIndex(
+                postings=spark.read.parquet(
+                    f"{path}/fields/{r['field']}/postings"
+                ),
+                analyzer=r["analyzer"],
+                avgdl=float(r["avgdl"]),
+                total_dl=int(r["total_dl"]),
+            )
+            for r in spark.read.parquet(f"{path}/fields_meta").collect()
+        }
     return InvertedIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         doc_stats=spark.read.parquet(f"{path}/doc_stats"),
@@ -564,6 +655,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         pos_analyzer=pos_analyzer,
         pos_avgdl=pos_avgdl,
         doc_stats_paths=doc_stats_paths_of(f"{path}/doc_stats"),
+        fields=fields,
     )
 
 
@@ -774,6 +866,7 @@ def build_index(
     id_col: str = "id",
     content_col: str = "content",
     positions: bool = False,
+    fields=None,
 ) -> InvertedIndex:
     """documents (id, content [, repo, path, lang]) → inverted index.
 
@@ -782,16 +875,31 @@ def build_index(
     chain is the index analyzer when that has single-position tokens
     (simple/default), else the whitespace "simple" chain (the ES
     sub-field pattern — a second analyzer over the same stored field).
+
+    ``fields`` adds extra searchable fields (the ES multi-field mapping,
+    elastic/index.go:137-168): a sequence of field names (reference
+    analyzers — file_name→code, path→path, oid/commit_sha→sha) or a
+    {field: analyzer} dict.  Each gets its own postings table over the
+    same doc_idx/doc_part space plus its own BM25 length normalizer;
+    :func:`operators.query.multi_search` scores bool-should across them.
+    Missing source columns derive via FIELD_DERIVATIONS (file_name from
+    path, oid from content).
     """
     pos_an = analyzer if analyzer in POSITION_ANALYZERS else "simple"
     for c in ("repo", "path", "lang"):
         if c not in docs.columns:
             docs = docs.withColumn(c, F.lit(""))
+    fdefs = normalize_fields(fields)
+    docs = with_field_columns(docs, fdefs)
+    extra_cols = [
+        f for f in fdefs
+        if f not in (id_col, content_col, "repo", "path", "lang")
+    ]
 
     caches: list = []
     with_idx, n_docs = assign_doc_ids(
-        docs.select(id_col, content_col, "repo", "path", "lang"), id_col,
-        with_count=True, caches=caches,
+        docs.select(id_col, content_col, "repo", "path", "lang", *extra_cols),
+        id_col, with_count=True, caches=caches,
     )
     with_idx = with_idx.persist()  # consumed by two jobs (doc_stats,
     # postings); at cluster scale this would be a checkpointed staging
@@ -826,6 +934,30 @@ def build_index(
     term_stats = term_stats_from_postings(postings, n_docs)
     caches += [with_idx, doc_stats, postings]
 
+    field_handles: dict[str, FieldIndex] | None = None
+    if fdefs:
+        # ONE stats job covers every field's exact integer Σ dl (the
+        # same arithmetic the delta path uses for avgdl)
+        dl_row = with_idx.agg(
+            *[
+                F.coalesce(F.sum(make_dl_udf(an)(F.col(f))), F.lit(0)).alias(f)
+                for f, an in fdefs.items()
+            ]
+        ).collect()[0]
+        field_handles = {}
+        for f, an in fdefs.items():
+            fpost = postings_from_docs(
+                with_idx, an, docs_per_part, content_col=f
+            ).persist()
+            caches.append(fpost)
+            total = int(dl_row[f])
+            field_handles[f] = FieldIndex(
+                postings=fpost,
+                analyzer=an,
+                avgdl=(total / n_docs) if n_docs else 0.0,
+                total_dl=total,
+            )
+
     return InvertedIndex(
         postings=postings,
         doc_stats=doc_stats,
@@ -851,6 +983,7 @@ def build_index(
             )
         ) if positions else None,
         caches=caches,
+        fields=field_handles,
     )
 
 

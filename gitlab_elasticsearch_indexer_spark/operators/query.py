@@ -42,7 +42,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analyzers import code_search_analyze, default_analyze
+from ..functions.analyzers import (
+    code_search_analyze,
+    default_analyze,
+    path_analyze,
+    sha_analyze,
+)
 from ..functions.codecs import unpack_postings
 from .index_build import B, K1, InvertedIndex
 
@@ -83,6 +88,20 @@ QUERY_ANALYZERS = {
     "code": code_search_analyze,
     "simple": code_search_analyze,
     "default": default_analyze,
+}
+
+# search-side chain per FIELD analyzer (extra fields): code/simple use
+# the asymmetric code_search_analyzer; path and sha fields have no
+# separate search_analyzer in the mapping (elastic/index.go:137-168),
+# so ES analyzes the query with the INDEX chain — a path query emits
+# its own suffixes (each matching docs whose path ends with it), a sha
+# query emits its prefix grams 5..len (prefix lookup).
+FIELD_QUERY_ANALYZERS = {
+    "code": code_search_analyze,
+    "simple": code_search_analyze,
+    "default": default_analyze,
+    "path": lambda s: [t for t in path_analyze(s) if t],
+    "sha": sha_analyze,
 }
 
 
@@ -215,11 +234,15 @@ def search(
     mode: str = "exhaustive",
     fetch: str = "auto",
     offset: int = 0,
+    fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
     Duplicate analyzed query tokens add their scores (one term clause
     per occurrence, like a match query).
+
+    ``fields`` switches to the multi-field bool-should shape (see
+    :func:`multi_search`); ``mode`` is then ignored (exhaustive).
 
     ``offset`` is the ES ``from`` analog (page 2 = offset=k): scoring
     keeps the top offset+k per partition and the driver slices — the
@@ -231,6 +254,9 @@ def search(
     per query total); "spark" forces the doc_part-pruned broadcast join
     (the distributed fallback, also used by plan tests).
     """
+    if fields is not None:
+        return multi_search(index, query, k=k, fields=fields, lang=lang,
+                            repo=repo, fetch=fetch, offset=offset)
     spark = index.postings.sparkSession
     scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
                         mode=mode)
@@ -310,6 +336,180 @@ def _wrap_single(kernel):
         return kernel(pdf, None)
 
     return single
+
+
+def multi_search(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    fields: tuple[str, ...] | None = None,
+    lang: str | None = None,
+    repo: str | None = None,
+    fetch: str = "auto",
+    offset: int = 0,
+) -> DataFrame:
+    """Multi-field search — the ES bool-should shape GitLab issues over
+    blobs (content + file_name + path, elastic/index.go:137-168): each
+    field analyzes the query with ITS search chain, scores BM25 with
+    ITS df/avgdl, and a document's score is the SUM of its per-field
+    scores (Lucene BooleanQuery should-clause sum).  A file whose NAME
+    matches is found even when the name never appears in its content.
+
+    ``fields``: names to search — "content" plus any of the index's
+    extra fields (default: content + all built fields).  Physical plan
+    mirrors :func:`search`: every field's postings table shares the
+    doc_part space, so the per-part kernel sums across fields locally
+    and only ≤ (offset+k)·n_parts candidate rows leave the partitions;
+    keyword filters/routing ride the same sidecar bitmaps and part_meta
+    pruning.
+    """
+    spark = index.postings.sparkSession
+    built = index.fields or {}
+    if fields is None:
+        fields = ("content", *sorted(built))
+    unknown = [f for f in fields if f != "content" and f not in built]
+    if unknown:
+        raise ValueError(
+            f"index has no field(s) {unknown!r} "
+            f"(build_index(fields=...) to add them)"
+        )
+
+    # per-field analyzed terms and idf-weighted term weights
+    widf_by_fld: dict[int, dict[str, float]] = {}
+    avgdl_by_fld: dict[int, float] = {}
+    srcs: list[DataFrame] = []
+    for i, f in enumerate(fields):
+        if f == "content":
+            chain = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+            weights = Counter(chain(query))
+            idf = index.idf_map(list(weights))
+            post, avgdl = index.postings, index.avgdl
+        else:
+            fh = built[f]
+            chain = FIELD_QUERY_ANALYZERS.get(fh.analyzer, code_search_analyze)
+            weights = Counter(chain(query))
+            idf = index.field_idf(f, list(weights))
+            post, avgdl = fh.postings, fh.avgdl
+        widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
+        if not widf:
+            continue
+        fld = len(widf_by_fld)
+        widf_by_fld[fld] = widf
+        avgdl_by_fld[fld] = avgdl
+        srcs.append(
+            post.filter(F.col("term").isin(list(widf))).select(
+                "doc_part", F.lit(fld).alias("fld"), "term",
+                "docs_bin", "tfs_bin", "dls_bin",
+            )
+        )
+    if not srcs:
+        return _local_result(spark, [], _HITS_FIELDS)
+    cand = srcs[0]
+    for s in srcs[1:]:
+        cand = cand.unionByName(s)
+
+    predicates = []
+    if lang is not None:
+        predicates.append(("lang", lang))
+    if repo is not None:
+        predicates.append(("repo", repo))
+    parts: list[int] | None = None
+    if repo is not None and index.part_meta is not None:
+        parts = [
+            r["doc_part"]
+            for r in index.part_meta.filter(
+                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
+            ).select("doc_part").collect()
+        ]
+        if not parts:
+            return _local_result(spark, [], _HITS_FIELDS)
+        cand = cand.filter(F.col("doc_part").isin(parts))
+    if predicates and index.filters is None:
+        raise ValueError(
+            "keyword-filtered multi_search needs the index's filters sidecar"
+        )
+
+    kernel = _make_multifield_kernel(
+        widf_by_fld, avgdl_by_fld, k + offset, index.docs_per_part,
+        len(predicates),
+    )
+    if predicates:
+        cond = None
+        for f, v in predicates:
+            c = (F.col("field") == f) & (F.col("value") == v)
+            cond = c if cond is None else (cond | c)
+        fsel = index.filters.filter(cond).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def _make_multifield_kernel(
+    widf_by_fld: dict[int, dict[str, float]],
+    avgdl_by_fld: dict[int, float],
+    k: int,
+    docs_per_part: int,
+    n_predicates: int,
+):
+    """Per-doc_part multi-field kernel: decode every (field, term)
+    posting row, weight by that field's idf and normalize by that
+    field's avgdl, accumulate SUMS per doc, local top-k.  Same masking
+    and candidate-bound arguments as the single-field kernel."""
+    from ..functions.codecs import unpack_doc_set
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
+        if len(post_pdf) == 0:
+            return empty
+        bits = None
+        base = 0
+        if n_predicates:
+            if filter_pdf is None or len(filter_pdf) < n_predicates:
+                return empty
+            base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
+            for b in filter_pdf["bits"]:
+                arr = unpack_doc_set(bytes(b), docs_per_part)
+                bits = arr if bits is None else (bits & arr)
+            if not bits.any():
+                return empty
+
+        all_docs: list[np.ndarray] = []
+        all_contrib: list[np.ndarray] = []
+        for row in post_pdf.itertuples(index=False):
+            w = widf_by_fld[int(row.fld)].get(row.term)
+            if w is None:
+                continue
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            if bits is not None:
+                keep = bits[docs - base]
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            all_docs.append(docs)
+            all_contrib.append(w * _tfn(tfs, dls, avgdl_by_fld[int(row.fld)]))
+        if not all_docs:
+            return empty
+        uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_contrib))
+        doc_idx, score = _topk_arrays(uniq, acc, k)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
 
 
 def _make_part_kernel(
