@@ -1684,6 +1684,163 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.search(idx, "table scan", k=10, mode="bmw")
 
 
+# --------------------------------------------------------------------------
+# B21/B22: multi-field search (file_name / path / sha fields)
+#
+# The reference maps blob.file_name through code_analyzer, blob.path
+# through path_analyzer and oid/commit_sha through sha_analyzer
+# (elastic/index.go:137-168); GitLab's blob query is a bool-should over
+# content + file_name + path whose scores SUM (Lucene BooleanQuery).
+# The gates use the SQL-expressible "simple" chain for file_name (the
+# same convention as every content gate); the code-analyzer chain on
+# file_name is pinned by tests/test_multifield.py against the pure-
+# Python oracle.
+
+
+def _docs_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a synthesized path whose file NAME is the doc's
+    first content word — so filename queries and content queries overlap
+    meaningfully (a doc can be hit by name, by content, or both)."""
+    d = load_table(spark, sf_dir, "documents")
+    first = F.lower(F.element_at(F.split(F.col("text"), r"\s+"), 1))
+    return d.select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("id"),
+        F.col("text").alias("content"),
+        F.col("lang"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("source"), F.lit("/"), first,
+                 F.lit(".txt")).alias("path"),
+    )
+
+
+def _mf_index(spark, sf_dir):
+    return ib.build_index(
+        spark, _docs_mf(spark, sf_dir), analyzer="simple", docs_per_part=128,
+        fields={"file_name": "simple", "path": "path"},
+    )
+
+
+def q_multifield_search(spark, sf_dir):
+    """B21: bool-should multi-field search — per-field BM25 (per-field
+    df/dl/avgdl) summed per doc.  'merge.txt' hits docs by NAME (the
+    name never appears in any content), 'sort'/'table' hit by content;
+    the top-k interleaves both kinds."""
+    idx = _mf_index(spark, sf_dir)
+    hits = q.multi_search(idx, "merge.txt sort table", k=15,
+                          fields=("content", "file_name", "path"))
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+# file_name field: single token (the name), dl = 1 = avgdl, tf = 1 →
+# tfn = 1/(1+k1); df = docs sharing the name; n = all docs
+SQL_MULTIFIELD = f"""
+WITH q AS (SELECT unnest(['merge.txt', 'sort', 'table']) AS term),
+{_BM25_CTES.removeprefix("WITH ")},
+fn AS (
+    SELECT {_DOC_ID_SQL} AS id,
+           lower(string_split_regex(text, '\\s+')[1]) || '.txt' AS name
+    FROM documents
+),
+fn_n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fdf AS (SELECT name, count(*)::DOUBLE AS df FROM fn GROUP BY 1),
+fscore AS (
+    SELECT fn.id,
+           sum(ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
+               * (1.0 / (1.0 + {K1}))) AS raw
+    FROM q JOIN fn ON fn.name = q.term JOIN fdf USING (name)
+    CROSS JOIN fn_n s
+    GROUP BY fn.id
+),
+summed AS (
+    SELECT coalesce(c.id, f.id) AS id,
+           coalesce(c.raw, 0) + coalesce(f.raw, 0) AS raw
+    FROM scored c FULL OUTER JOIN fscore f ON c.id = f.id
+)
+SELECT id, round(raw, 4) AS score
+FROM summed ORDER BY raw DESC, id ASC LIMIT 15
+"""
+
+
+def q_path_field_search(spark, sf_dir):
+    """B21 (path field): reversed path_hierarchy on BOTH sides — the
+    query's own suffixes each match docs whose path ends with them, so
+    'src3/merge.txt' double-scores src3's merge.txt and single-scores
+    every other source's."""
+    idx = _mf_index(spark, sf_dir)
+    hits = q.multi_search(idx, "src3/merge.txt", k=15, fields=("path",))
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+# path field: every doc's path has exactly 3 segments → 3 suffix
+# tokens, dl = 3 = avgdl, tf = 1 → tfn = 1/(1+k1)
+SQL_PATH_FIELD = f"""
+WITH q AS (SELECT unnest(['src3/merge.txt', 'merge.txt']) AS term),
+paths AS (
+    SELECT {_DOC_ID_SQL} AS id,
+           string_split('docs/' || source || '/' ||
+                        lower(string_split_regex(text, '\\s+')[1]) ||
+                        '.txt', '/') AS p
+    FROM documents
+),
+ptok AS (
+    SELECT id, array_to_string(list_slice(p, g, len(p)), '/') AS term
+    FROM paths JOIN (SELECT range AS g FROM range(1, 4)) n ON n.g <= len(p)
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptok GROUP BY 1),
+score AS (
+    SELECT ptok.id,
+           sum(ln(1 + (n.n - pdf.df + 0.5) / (pdf.df + 0.5))
+               * (1.0 / (1.0 + {K1}))) AS raw
+    FROM q JOIN ptok USING (term) JOIN pdf USING (term) CROSS JOIN n
+    GROUP BY 1
+)
+SELECT id, round(raw, 4) AS score
+FROM score ORDER BY raw DESC, id ASC LIMIT 15
+"""
+
+
+def q_sha_prefix_search(spark, sf_dir):
+    """B22: SHA-prefix lookup — oid indexed through sha_analyzer
+    (edgeNGram 5..40, elastic/index.go:96-104,160-164); a 7-char prefix
+    of a known oid returns exactly its document (prefix grams 5..7 each
+    match, BM25 sums their idfs)."""
+    docs = _docs(spark, sf_dir)
+    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=128,
+                         fields={"oid": "sha"})
+    pfx = docs.filter(F.col("id") == "doc_000042").select(
+        F.substring(F.sha2("content", 256), 1, 7).alias("p")
+    ).collect()[0]["p"]
+    hits = q.multi_search(idx, pfx, k=5, fields=("oid",))
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+# oid = 64 hex chars → one letter/digit run → grams 5..40 → dl = 36 =
+# avgdl, tf = 1 → tfn = 1/(1+k1); df(g) = docs whose oid starts with g
+SQL_SHA_PREFIX_SEARCH = f"""
+WITH t AS (SELECT substr(sha256(text), 1, 7) AS pfx
+           FROM documents WHERE doc_id = 42),
+grams AS (
+    SELECT substr(pfx, 1, g) AS gram
+    FROM t JOIN (SELECT range AS g FROM range(5, 8)) r ON TRUE
+),
+oids AS (SELECT {_DOC_ID_SQL} AS id, sha256(text) AS oid FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+hit AS (SELECT g.gram, o.id FROM grams g
+        JOIN oids o ON starts_with(o.oid, g.gram)),
+gdf AS (SELECT gram, count(*)::DOUBLE AS df FROM hit GROUP BY 1),
+score AS (
+    SELECT hit.id,
+           sum(ln(1 + (n.n - gdf.df + 0.5) / (gdf.df + 0.5))
+               * (1.0 / (1.0 + {K1}))) AS raw
+    FROM hit JOIN gdf USING (gram) CROSS JOIN n
+    GROUP BY 1
+)
+SELECT id, round(raw, 4) AS score
+FROM score ORDER BY raw DESC, id ASC LIMIT 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_snapshot_diff": q_snapshot_diff,
@@ -1718,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
         "b14_bm25_topk_paged": q_bm25_paged,
+        "b21_multifield_search": q_multifield_search,
+        "b21_path_field_search": q_path_field_search,
+        "b22_sha_prefix_search": q_sha_prefix_search,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1778,6 +1938,9 @@ def oracle_sql() -> dict[str, str]:
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),
         "b14_bm25_topk_paged": _bm25_sql(["table", "scan", "merge"], 10,
                                          offset=20),
+        "b21_multifield_search": SQL_MULTIFIELD,
+        "b21_path_field_search": SQL_PATH_FIELD,
+        "b22_sha_prefix_search": SQL_SHA_PREFIX_SEARCH,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,
