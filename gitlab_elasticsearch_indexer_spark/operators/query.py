@@ -1177,20 +1177,31 @@ def phrase_search(
     lang: str | None = None,
     repo: str | None = None,
     fetch: str = "auto",
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase query (ES ``match_phrase`` analog) over the
-    positional-postings sidecar: documents containing the analyzed
-    tokens at CONSECUTIVE positions, scored the Lucene PhraseQuery way —
+    """Phrase query (ES ``match_phrase`` analog) over the
+    positional-postings sidecar, scored the Lucene PhraseQuery way —
     BM25 with tf = phrase frequency and idf = the sum of the constituent
     terms' idfs.
 
+    ``slop=0`` (default) matches the analyzed tokens at CONSECUTIVE
+    positions.  ``slop>0`` is ES ``match_phrase`` with ``slop``: Lucene
+    sloppy-phrase semantics, where terms may spread apart or transpose
+    as long as the edit-distance-like match length stays ≤ slop, and
+    each match contributes ``1/(1+matchLength)`` to a fractional phrase
+    frequency (see :func:`sloppy_freq`).  Sloppy matching of a phrase
+    containing the same analyzed term twice is not supported (raises —
+    Lucene's repeat-cursor disambiguation is out of scope).
+
     Physical plan mirrors :func:`search`: per doc_part the kernel
-    decodes each phrase term's (docs, positions), offsets term i's
-    positions by −i, and intersects the sorted (local_doc, pos) keys —
-    surviving keys ARE the phrase occurrences, counted per doc into the
-    phrase frequency.  Keyword filters ride the same sidecar bitmaps,
-    repo routing prunes doc_parts, and only ≤ k·n_parts candidate rows
-    reach the driver; the fetch phase is shared with ``search``.
+    intersects the cheap delta-decoded doc-id lists FIRST (docs-first,
+    like Lucene's conjunction cursors), then byte-slices and decodes
+    ONLY the surviving docs' position blobs; for slop=0, term i's
+    positions offset by −i intersect as sorted (local_doc, pos) keys —
+    surviving keys ARE the phrase occurrences.  Keyword filters ride
+    the same sidecar bitmaps, repo routing prunes doc_parts, and only
+    ≤ k·n_parts candidate rows reach the driver; the fetch phase is
+    shared with ``search``.
     """
     import math
 
@@ -1200,6 +1211,8 @@ def phrase_search(
             "phrase_search needs the positional-postings sidecar "
             "(build_index(..., positions=True))"
         )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     # the sidecar is its own field (ES sub-field pattern): analyze the
     # phrase with ITS chain and take idf from ITS dfs — one tiny
     # term-pruned aggregation, global like Lucene's PhraseWeight idf
@@ -1208,6 +1221,10 @@ def phrase_search(
     terms = analyze_query(phrase)
     if not terms:
         return _local_result(spark, [], _HITS_FIELDS)
+    if slop and len(set(terms)) != len(terms):
+        raise ValueError(
+            "slop > 0 with a repeated analyzed term is not supported"
+        )
     dfs = {
         r["term"]: int(r["df"])
         for r in index.pos_postings.filter(F.col("term").isin(sorted(set(terms))))
@@ -1248,7 +1265,7 @@ def phrase_search(
     avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
     kernel = _make_phrase_kernel(
         list(terms), idf_sum, avgdl, k, index.docs_per_part,
-        len(predicates),
+        len(predicates), slop,
     )
     if predicates:
         cond = None
@@ -1270,6 +1287,50 @@ def phrase_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch)
 
 
+def sloppy_freq(arrays: list[np.ndarray], slop: int) -> float:
+    """Lucene sloppy-phrase frequency for ONE document.
+
+    ``arrays[i]`` is phrase term i's offset-adjusted positions
+    (``position − i``), sorted ascending; terms must be distinct.
+    Transcribes the public SloppyPhraseScorer/SloppyPhraseMatcher
+    algorithm: a min-heap of per-term cursors slides a window; each
+    time the minimum cursor would overtake the runner-up, the smallest
+    match length seen for the current configuration contributes
+    ``1/(1+matchLength)`` if ``matchLength ≤ slop``.  Transpositions
+    are allowed when slop affords them (adjusted positions may go
+    negative), matching ES ``match_phrase`` with ``slop``.
+    """
+    import heapq
+
+    heap = [(int(a[0]), i, 0) for i, a in enumerate(arrays)]
+    heapq.heapify(heap)
+    end = max(int(a[0]) for a in arrays)
+    freq = 0.0
+    pos, i, c = heapq.heappop(heap)
+    match_length = end - pos
+    next_pos = heap[0][0] if heap else pos
+    while True:
+        c += 1
+        if c >= len(arrays[i]):
+            break
+        pos = int(arrays[i][c])
+        if pos > end:
+            end = pos
+        while pos > next_pos:
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos, i, c))
+            pos, i, c = heapq.heappop(heap)
+            next_pos = heap[0][0] if heap else pos
+            match_length = end - pos
+        ml2 = end - pos
+        if ml2 < match_length:
+            match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 def _make_phrase_kernel(
     terms: list[str],
     idf_sum: float,
@@ -1277,16 +1338,26 @@ def _make_phrase_kernel(
     k: int,
     docs_per_part: int,
     n_predicates: int,
+    slop: int = 0,
 ):
-    """Per-doc_part phrase kernel.  (local_doc << 32 | position−i) keys
-    per term are strictly increasing (docs asc, positions asc within
-    doc), so successive ``np.intersect1d(assume_unique=True)`` leaves
-    exactly the phrase start positions; counts per surviving local_doc
-    are the phrase frequencies."""
-    from ..functions.codecs import unpack_doc_set, unpack_pos_lists, \
+    """Per-doc_part phrase kernel, docs-first and positions-lazy.
+
+    The doc-id lists (one cheap delta+varint stream per term) and the
+    keyword-filter bitmap intersect FIRST — like Lucene's conjunction
+    doc cursors — so a hot term's corpus-wide position list is never
+    materialized; only the surviving docs' position blobs are
+    byte-sliced out of the concatenated per-doc stream
+    (``pos_blob_boundaries`` finds varint ends without decoding) and
+    decoded.  For slop=0, (local_doc << 32 | position−i) keys per term
+    are strictly increasing, so successive ``np.intersect1d(
+    assume_unique=True)`` leaves exactly the phrase start positions;
+    counts per surviving local_doc are the phrase frequencies.  For
+    slop>0 each surviving doc runs :func:`sloppy_freq`."""
+    from ..functions.codecs import unpack_doc_set, pos_blob_boundaries, \
         varint_decode, delta_decode
 
     SHIFT = np.int64(1) << np.int64(32)
+    uniq_terms = list(dict.fromkeys(terms))
 
     def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_idx": [], "score": []})
@@ -1304,42 +1375,93 @@ def _make_phrase_kernel(
             if not bits.any():
                 return empty
 
+        # cheap decodes only: doc ids, per-doc counts, dls; the position
+        # stream stays raw bytes until the surviving docs are known
         decoded: dict[str, dict] = {}
         for row in pos_pdf.itertuples(index=False):
-            docs = delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64)
-            counts, flat_pos = unpack_pos_lists(
-                bytes(row.cnt_bin), bytes(row.pos_bin)
-            )
-            dls = varint_decode(bytes(row.dls_bin)).astype(np.int64)
             decoded[row.term] = {
-                "docs": docs, "counts": counts,
-                "pos": flat_pos.astype(np.int64), "dls": dls,
+                "docs": delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64),
+                "counts": varint_decode(bytes(row.cnt_bin)).astype(np.int64),
+                "dls": varint_decode(bytes(row.dls_bin)).astype(np.int64),
+                "pos_bin": bytes(row.pos_bin),
             }
         if any(t not in decoded for t in terms):
             return empty  # some phrase term absent from this part
 
-        inter: np.ndarray | None = None
-        for i, t in enumerate(terms):
-            ent = decoded[t]
-            local = np.repeat(ent["docs"] - base, ent["counts"])
-            keys = local * SHIFT + (ent["pos"] - np.int64(i))
-            if i:
-                keys = keys[ent["pos"] >= i]  # negative starts can't match
-            inter = keys if inter is None else np.intersect1d(
-                inter, keys, assume_unique=True
+        # 1) docs-first: intersect doc ids across terms, then the filter
+        surv: np.ndarray | None = None
+        for t in uniq_terms:
+            d = decoded[t]["docs"]
+            surv = d if surv is None else np.intersect1d(
+                surv, d, assume_unique=True
             )
-            if len(inter) == 0:
+            if len(surv) == 0:
+                return empty
+        if bits is not None:
+            surv = surv[bits[(surv - base)]]
+            if len(surv) == 0:
                 return empty
 
-        hit_local, pf = np.unique(inter // SHIFT, return_counts=True)
-        if bits is not None:
-            keep = bits[hit_local]
-            hit_local, pf = hit_local[keep], pf[keep]
-            if len(hit_local) == 0:
+        # 2) positions-lazy: byte-slice only the survivors' blobs; the
+        # concatenation of whole per-doc blobs re-decodes with the same
+        # segment-reset cumsum as unpack_pos_lists (each blob's first
+        # delta is its absolute first position)
+        pos_of: dict[str, dict] = {}
+        for t in uniq_terms:
+            ent = decoded[t]
+            idx = np.searchsorted(ent["docs"], surv)
+            bnd = pos_blob_boundaries(ent["counts"], ent["pos_bin"])
+            blob = b"".join(
+                ent["pos_bin"][bnd[j]:bnd[j + 1]] for j in idx
+            )
+            counts = ent["counts"][idx]
+            deltas = varint_decode(blob).astype(np.int64)
+            csum = np.cumsum(deltas)
+            starts = np.cumsum(counts) - counts
+            seg0 = np.where(starts > 0, csum[starts - 1], 0)
+            pos_of[t] = {
+                "counts": counts,
+                "pos": csum - np.repeat(seg0, counts),
+                "ends": np.cumsum(counts),
+            }
+
+        if slop == 0:
+            inter: np.ndarray | None = None
+            for i, t in enumerate(terms):
+                p = pos_of[t]
+                local = np.repeat(surv - base, p["counts"])
+                keys = local * SHIFT + (p["pos"] - np.int64(i))
+                if i:
+                    keys = keys[p["pos"] >= i]  # negative starts can't match
+                inter = keys if inter is None else np.intersect1d(
+                    inter, keys, assume_unique=True
+                )
+                if len(inter) == 0:
+                    return empty
+            hit_local, pf = np.unique(inter // SHIFT, return_counts=True)
+            pf = pf.astype(np.float64)
+        else:
+            hit_list: list[int] = []
+            pf_list: list[float] = []
+            for j in range(len(surv)):
+                arrays: list[np.ndarray] = []
+                for i, t in enumerate(terms):
+                    p = pos_of[t]
+                    e = int(p["ends"][j])
+                    s = e - int(p["counts"][j])
+                    arrays.append(p["pos"][s:e] - np.int64(i))
+                f = sloppy_freq(arrays, slop)
+                if f > 0.0:
+                    hit_list.append(int(surv[j] - base))
+                    pf_list.append(f)
+            if not hit_list:
                 return empty
+            hit_local = np.asarray(hit_list, dtype=np.int64)
+            pf = np.asarray(pf_list, dtype=np.float64)
+
         t0 = decoded[terms[0]]
         dl = t0["dls"][np.searchsorted(t0["docs"] - base, hit_local)]
-        scores = idf_sum * _tfn(pf.astype(np.int64), dl, avgdl)
+        scores = idf_sum * _tfn(pf, dl, avgdl)
         doc_idx, score = _topk_arrays(hit_local + base, scores, k)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 

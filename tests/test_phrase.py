@@ -252,3 +252,141 @@ def test_positions_maintained_through_update_delta_compact(spark, tmp_path):
         for r in rows2
     ]
     check(rows3)
+
+
+# ---------------------------------------------------------------------------
+# slop (ES match_phrase with slop / Lucene sloppy phrase)
+
+from hypothesis import given, settings, strategies as st
+
+from gitlab_elasticsearch_indexer_spark.operators.query import sloppy_freq
+
+
+def _adj_arrays(tokens, terms):
+    """Offset-adjusted position arrays for each phrase term, or None if
+    some term is absent (the doc can't match)."""
+    arrays = []
+    for i, t in enumerate(terms):
+        pos = np.asarray([p - i for p, tok in enumerate(tokens) if tok == t],
+                         dtype=np.int64)
+        if len(pos) == 0:
+            return None
+        arrays.append(pos)
+    return arrays
+
+
+def _exact_pf(tokens, terms):
+    m = len(terms)
+    return sum(1 for s in range(len(tokens) - m + 1)
+               if tokens[s:s + m] == terms)
+
+
+def test_sloppy_freq_hand_examples():
+    # adjacent pair: one exact match at any slop
+    assert sloppy_freq(_adj_arrays(["a", "b"], ["a", "b"]), 0) == 1.0
+    assert sloppy_freq(_adj_arrays(["a", "b"], ["a", "b"]), 3) == 1.0
+    # one-token gap: miss at slop 0, 1/(1+1) at slop 1
+    arr = _adj_arrays(["a", "x", "b"], ["a", "b"])
+    assert sloppy_freq(arr, 0) == 0.0
+    assert sloppy_freq(arr, 1) == 0.5
+    # transposition costs 2 (adjusted distance |1 - (-1)|)
+    arr = _adj_arrays(["b", "a"], ["a", "b"])
+    assert sloppy_freq(arr, 1) == 0.0
+    assert sloppy_freq(arr, 2) == pytest.approx(1 / 3)
+    # two exact occurrences count twice
+    arr = _adj_arrays(["a", "b", "y", "a", "b"], ["a", "b"])
+    assert sloppy_freq(arr, 0) == 2.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "x", "y"]), min_size=2,
+             max_size=30),
+    st.sampled_from([["a", "b"], ["a", "b", "c"], ["c", "a"]]),
+)
+def test_sloppy_slop0_equals_exact_phrase_freq(tokens, terms):
+    arrays = _adj_arrays(tokens, terms)
+    if arrays is None:
+        return
+    assert sloppy_freq(arrays, 0) == float(_exact_pf(tokens, terms))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=2, max_size=25),
+    st.sampled_from([["a", "b"], ["b", "a", "c"]]),
+    st.integers(min_value=0, max_value=6),
+)
+def test_sloppy_freq_monotone_in_slop(tokens, terms, slop):
+    arrays = _adj_arrays(tokens, terms)
+    if arrays is None:
+        return
+    assert sloppy_freq(arrays, slop + 1) >= sloppy_freq(arrays, slop)
+
+
+def brute_sloppy(phrase, slop, lang=None, repo=None):
+    """Lucene sloppy-phrase scoring over ROWS: doc must contain every
+    term; tf = sloppy_freq (the matcher itself is pinned by the unit +
+    property tests above — this exercises the kernel's doc
+    intersection, lazy position slicing, filters and BM25 plumbing)."""
+    terms = code_search_analyze(phrase)
+    toks = {i: code_search_analyze(c) for i, c, _, _ in ROWS}
+    n = len(ROWS)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in set(terms)}
+    if any(df[t] == 0 for t in terms):
+        return []
+    idf_sum = sum(
+        math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms
+    )
+    meta = {i: (l, r) for i, _, l, r in ROWS}
+    out = []
+    for i, tk in toks.items():
+        if lang is not None and meta[i][0] != lang:
+            continue
+        if repo is not None and meta[i][1] != repo:
+            continue
+        arrays = _adj_arrays(tk, terms)
+        if arrays is None:
+            continue
+        pf = sloppy_freq(arrays, slop)
+        if pf > 0:
+            score = idf_sum * pf / (pf + K1 * (1 - B + B * dls[i] / avgdl))
+            out.append((i, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("phrase,slop,kw", [
+    ("table hash", 1, {}),          # sloppy widens the exact result set
+    ("hash table", 2, {}),          # transpositions within slop
+    ("user table", 3, {}),          # long-range spread
+    ("table hash", 1, {"lang": "Ruby"}),
+    ("table hash", 2, {"repo": "r3"}),
+])
+def test_phrase_slop_matches_brute_force(pidx, phrase, slop, kw):
+    got = [
+        (r["id"], r["score"])
+        for r in phrase_search(pidx, phrase, k=10, slop=slop, **kw).collect()
+    ]
+    want = brute_sloppy(phrase, slop, **kw)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want])
+
+
+def test_phrase_slop_widens_and_reweights(pidx):
+    """'hash' and 'apart' sit 4 apart in r3_a — invisible at slop 0,
+    visible at slop 3 with a down-weighted tf."""
+    ids0 = {r["id"] for r in phrase_search(pidx, "hash apart", k=10).collect()}
+    assert "r3_a.go" not in ids0
+    ids3 = {r["id"]
+            for r in phrase_search(pidx, "hash apart", k=10, slop=3).collect()}
+    assert "r3_a.go" in ids3
+
+
+def test_phrase_slop_rejects_repeated_terms(pidx):
+    with pytest.raises(ValueError, match="repeated"):
+        phrase_search(pidx, "hash table hash", slop=1)
+    with pytest.raises(ValueError):
+        phrase_search(pidx, "table hash", slop=-1)
