@@ -1411,11 +1411,16 @@ def _make_phrase_kernel(
             ent = decoded[t]
             idx = np.searchsorted(ent["docs"], surv)
             bnd = pos_blob_boundaries(ent["counts"], ent["pos_bin"])
-            blob = b"".join(
-                ent["pos_bin"][bnd[j]:bnd[j + 1]] for j in idx
+            raw = np.frombuffer(ent["pos_bin"], dtype=np.uint8)
+            starts, ends = bnd[idx], bnd[idx + 1]
+            lens = ends - starts
+            # ragged gather: one vectorized index build, no per-doc loop
+            shift = np.repeat(
+                starts - (np.cumsum(lens) - lens), lens
             )
+            blob = raw[np.arange(int(lens.sum()), dtype=np.int64) + shift]
             counts = ent["counts"][idx]
-            deltas = varint_decode(blob).astype(np.int64)
+            deltas = varint_decode(blob.tobytes()).astype(np.int64)
             csum = np.cumsum(deltas)
             starts = np.cumsum(counts) - counts
             seg0 = np.where(starts > 0, csum[starts - 1], 0)
