@@ -155,8 +155,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--queries", required=True,
                    help="JSON file mapping query_id -> query string or "
-                        '{"q": ..., "lang": ..., "repo": ...}')
+                        '{"q": ..., "lang": ..., "repo": ..., "from": ..., '
+                        '"phrase": true, "slop": ...}')
     m.add_argument("--k", type=int, default=10)
+    m.add_argument("--from", dest="offset", type=int, default=0,
+                   help="default result offset (ES from) for entries "
+                        "without their own")
     m.add_argument("--bmw", action="store_true")
     m.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
 
@@ -269,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.queries) as fh:
             qspec = json.load(fh)
         rows = q.search_many(
-            idx, qspec, k=args.k,
+            idx, qspec, k=args.k, offset=args.offset,
             mode="bmw" if args.bmw else "exhaustive",
         ).orderBy("query_id", "rank").collect()
         for r in rows:

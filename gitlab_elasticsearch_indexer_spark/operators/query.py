@@ -715,22 +715,33 @@ def search_many(
     k: int = 10,
     mode: str = "exhaustive",
     fetch: str = "auto",
+    offset: int = 0,
 ) -> DataFrame:
     """Batched top-k: one Spark job scores every query.
 
-    Returns (query_id, rank, id, score).  Per doc partition, each term's
-    postings are decoded once and reused by all queries containing it —
-    the amortization that makes a query *service* viable on Spark (per-
-    query jobs pay ~0.3 s scheduling floor each; a batch pays it once).
+    Returns (query_id, rank, id, score) — ``rank`` is the GLOBAL rank
+    (page 2 of a query starts at rank offset+1, the ES ``from`` analog).
+    Per doc partition, each term's postings are decoded once and reused
+    by all queries containing it — the amortization that makes a query
+    *service* viable on Spark (per-query jobs pay ~0.3 s scheduling
+    floor each; a batch pays it once).
 
-    Full feature parity with :func:`search`: each entry of ``queries``
-    is either a plain query string or a spec dict ``{"q": str,
-    "lang": str|None, "repo": str|None}``.  Keyword predicates ride the
-    same per-part packed bitmaps (B16), repo-scoped entries prune their
+    Full feature parity with :func:`search` and :func:`phrase_search`:
+    each entry of ``queries`` is either a plain query string or a spec
+    dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
+    "phrase": bool, "slop": int}``.  Keyword predicates ride the same
+    per-part packed bitmaps (B16), repo-scoped entries prune their
     scoring to the doc_parts whose ``part_meta`` range covers the repo
     (B17) — and when EVERY entry is repo-scoped the postings scan itself
     is pruned to the union of their parts.  ``mode="bmw"`` runs the
-    block-max WAND kernel per query over the shared decodes.
+    block-max WAND kernel per term query over the shared decodes.
+    ``offset`` (or a per-entry ``"from"``) slices each query's result
+    exactly like ``search(offset=)``: kernels keep top offset+k per
+    part and the driver slices [offset, offset+k).  Phrase entries
+    (``"phrase": True``) score over the positional sidecar in ONE
+    additional job shared by every phrase entry of the batch (the ES
+    ``_msearch`` mixed-body analog); their candidates join the same
+    fetch phase.
     """
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
@@ -738,13 +749,26 @@ def search_many(
     empty = _local_result(spark, [], _BATCH_FIELDS)
 
     specs: dict[str, tuple[str, str | None, str | None]] = {}
+    off_by_query: dict[str, int] = {}
+    phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
     for qid, spec in queries.items():
         if isinstance(spec, str):
             specs[qid] = (spec, None, None)
+            off_by_query[qid] = offset
         else:
             specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
+            off_by_query[qid] = int(spec.get("from", offset))
+            if spec.get("phrase"):
+                phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
+    if any(v < 0 for v in off_by_query.values()):
+        raise ValueError("from/offset must be >= 0")
+    n_by_query = {qid: k + off_by_query[qid] for qid in specs}
 
-    weights = {qid: Counter(analyze_query(qs)) for qid, (qs, _, _) in specs.items()}
+    weights = {
+        qid: Counter(analyze_query(qs))
+        for qid, (qs, _, _) in specs.items()
+        if qid not in phrase_specs
+    }
     all_terms = sorted({t for w in weights.values() for t in w})
     idf = index.idf_map(all_terms)
     widf_by_query = {
@@ -752,11 +776,60 @@ def search_many(
         for qid, w in weights.items()
     }
     widf_by_query = {qid: w for qid, w in widf_by_query.items() if w}
-    if not widf_by_query:
+
+    # phrase entries: analyze with the sidecar's chain, idf from ITS dfs
+    # (one term-pruned aggregation shared by every phrase entry), exactly
+    # like phrase_search
+    phrase_q: dict[str, dict] = {}
+    if phrase_specs:
+        import math
+
+        if index.pos_postings is None:
+            raise ValueError(
+                "phrase entries in search_many need the positional-postings "
+                "sidecar (build_index(..., positions=True))"
+            )
+        p_analyze = {"simple": code_search_analyze,
+                     "default": default_analyze}[index.pos_analyzer or "simple"]
+        terms_by_qid = {}
+        for qid, (qs, slop) in phrase_specs.items():
+            if slop < 0:
+                raise ValueError("slop must be >= 0")
+            pterms = p_analyze(qs)
+            if slop and len(set(pterms)) != len(pterms):
+                raise ValueError(
+                    "slop > 0 with a repeated analyzed term is not supported"
+                )
+            if pterms:
+                terms_by_qid[qid] = pterms
+        all_pterms = sorted({t for ts in terms_by_qid.values() for t in ts})
+        if all_pterms:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in index.pos_postings.filter(
+                    F.col("term").isin(all_pterms)
+                ).groupBy("term").agg(F.sum("df").alias("df")).collect()
+            }
+            n_docs = float(index.n_docs)
+            p_idf = {
+                t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+                for t, d in dfs.items()
+            }
+            for qid, pterms in terms_by_qid.items():
+                if any(t not in dfs for t in pterms):
+                    continue  # an absent term can't phrase-match anywhere
+                phrase_q[qid] = {
+                    "terms": list(pterms),
+                    "idf_sum": float(sum(p_idf[t] for t in pterms)),
+                    "slop": phrase_specs[qid][1],
+                }
+
+    live = set(widf_by_query) | set(phrase_q)
+    if not live:
         return empty
 
     preds_by_query: dict[str, list[tuple[str, str]]] = {}
-    for qid in widf_by_query:
+    for qid in live:
         _, lang, repo = specs[qid]
         p = []
         if lang is not None:
@@ -775,7 +848,7 @@ def search_many(
     # entry; each such query scores only its covering doc_parts.
     parts_by_query: dict[str, set[int]] = {}
     repos = sorted(
-        {specs[qid][2] for qid in widf_by_query if specs[qid][2] is not None}
+        {specs[qid][2] for qid in live if specs[qid][2] is not None}
     )
     if repos and index.part_meta is not None:
         cond = None
@@ -785,7 +858,7 @@ def search_many(
         pm_rows = index.part_meta.filter(cond).select(
             "doc_part", "repo_min", "repo_max"
         ).collect()
-        for qid in widf_by_query:
+        for qid in live:
             repo = specs[qid][2]
             if repo is None:
                 continue
@@ -794,64 +867,119 @@ def search_many(
                 if r["repo_min"] <= repo <= r["repo_max"]
             }
         # a repo pruned to zero parts can have no hits — drop it now
-        widf_by_query = {
-            qid: w for qid, w in widf_by_query.items()
-            if parts_by_query.get(qid) is None or parts_by_query[qid]
+        dead = {
+            qid for qid, ps in parts_by_query.items() if not ps
         }
-        if not widf_by_query:
+        widf_by_query = {
+            qid: w for qid, w in widf_by_query.items() if qid not in dead
+        }
+        phrase_q = {qid: s for qid, s in phrase_q.items() if qid not in dead}
+        if not widf_by_query and not phrase_q:
             return empty
 
-    cols = ["doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"]
-    if use_bmw:
-        cols += ["block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl"]
-    live_terms = sorted({t for w in widf_by_query.values() for t in w})
-    cand = index.postings.filter(F.col("term").isin(live_terms)).select(*cols)
-
-    # scan-level pruning is sound only when EVERY live entry is part-
-    # restricted; one unrestricted query needs all parts anyway
-    scan_parts: list[int] | None = None
-    if all(qid in parts_by_query for qid in widf_by_query):
-        scan_parts = sorted({p for ps in parts_by_query.values() for p in ps})
-        cand = cand.filter(F.col("doc_part").isin(scan_parts))
-
-    kernel = _make_batch_kernel(
-        widf_by_query, preds_by_query, parts_by_query,
-        index.avgdl, k, use_bmw, index.docs_per_part,
-    )
     out_schema = "query_id string, doc_idx long, score double"
-    if needed_preds:
+
+    def _filters_for(qids, scan_parts):
+        """Predicate-pruned filters sidecar selection for one job."""
+        preds = sorted({p for q in qids for p in preds_by_query[q]})
+        if not preds:
+            return None
         cond = None
-        for f, v in needed_preds:
+        for f, v in preds:
             c = (F.col("field") == f) & (F.col("value") == v)
             cond = c if cond is None else (cond | c)
-        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        fsel = index.filters.filter(cond).select(
+            "doc_part", "field", "value", "bits"
+        )
         if scan_parts is not None:
             fsel = fsel.filter(F.col("doc_part").isin(scan_parts))
-        scored = (
-            cand.groupBy("doc_part")
-            .cogroup(fsel.groupBy("doc_part"))
-            .applyInPandas(kernel, schema=out_schema)
+        return fsel
+
+    def _scan_parts_for(qids):
+        # scan-level pruning is sound only when EVERY live entry of the
+        # job is part-restricted; one unrestricted query needs all parts
+        if qids and all(q in parts_by_query for q in qids):
+            return sorted({p for q in qids for p in parts_by_query[q]})
+        return None
+
+    rows: list = []
+    if widf_by_query:
+        cols = ["doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"]
+        if use_bmw:
+            cols += ["block_last", "block_max_tf", "block_min_dl",
+                     "max_tf", "min_dl"]
+        live_terms = sorted({t for w in widf_by_query.values() for t in w})
+        cand = index.postings.filter(
+            F.col("term").isin(live_terms)
+        ).select(*cols)
+        scan_parts = _scan_parts_for(set(widf_by_query))
+        if scan_parts is not None:
+            cand = cand.filter(F.col("doc_part").isin(scan_parts))
+
+        kernel = _make_batch_kernel(
+            widf_by_query, preds_by_query, parts_by_query,
+            index.avgdl, n_by_query, use_bmw, index.docs_per_part,
         )
-    else:
-        scored = cand.groupBy("doc_part").applyInPandas(
-            _wrap_single(kernel), schema=out_schema
+        fsel = _filters_for(set(widf_by_query), scan_parts)
+        if fsel is not None:
+            scored = (
+                cand.groupBy("doc_part")
+                .cogroup(fsel.groupBy("doc_part"))
+                .applyInPandas(kernel, schema=out_schema)
+            )
+        else:
+            scored = cand.groupBy("doc_part").applyInPandas(
+                _wrap_single(kernel), schema=out_schema
+            )
+        rows.extend(scored.collect())
+
+    if phrase_q:
+        # one additional job scores EVERY phrase entry: the sidecar scan
+        # is pruned to the union of their terms, each term's cheap
+        # decodes (and pos-blob boundaries) are shared across entries
+        p_terms = sorted({t for s in phrase_q.values() for t in s["terms"]})
+        p_cand = index.pos_postings.filter(
+            F.col("term").isin(p_terms)
+        ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin",
+                 "pos_bin")
+        p_scan = _scan_parts_for(set(phrase_q))
+        if p_scan is not None:
+            p_cand = p_cand.filter(F.col("doc_part").isin(p_scan))
+        p_avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
+        p_kernel = _make_batch_phrase_kernel(
+            phrase_q, preds_by_query, parts_by_query,
+            p_avgdl, n_by_query, index.docs_per_part,
         )
+        p_fsel = _filters_for(set(phrase_q), p_scan)
+        if p_fsel is not None:
+            p_scored = (
+                p_cand.groupBy("doc_part")
+                .cogroup(p_fsel.groupBy("doc_part"))
+                .applyInPandas(p_kernel, schema=out_schema)
+            )
+        else:
+            p_scored = p_cand.groupBy("doc_part").applyInPandas(
+                _wrap_single(p_kernel), schema=out_schema
+            )
+        rows.extend(p_scored.collect())
+
     # fetch phase, batched: per-query winners resolve driver-side from
     # the bounded candidate set; metadata comes from the hit doc_parts
     # only — point reads (auto) or one doc_part-pruned join (spark) —
     # same pruning argument as the single-query path.
-    rows = scored.collect()
     if not rows:
         return empty
     by_q: dict[str, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r)
     cand_rows = []
-    for rs in by_q.values():
+    for qid, rs in by_q.items():
+        n_q = n_by_query[qid]
         rs.sort(key=lambda r: -r["score"])
-        if len(rs) > k:
-            kth = rs[k - 1]["score"]  # keep kth-score ties for id tie-break
+        if len(rs) > n_q:
+            kth = rs[n_q - 1]["score"]  # keep nth-score ties for id tie-break
             rs = [r for r in rs if r["score"] >= kth]
+            by_q[qid] = rs
         cand_rows.extend(rs)
 
     meta = None
@@ -862,6 +990,7 @@ def search_many(
     if meta is not None:
         out_rows = []
         for qid, rs in by_q.items():
+            off = off_by_query[qid]
             resolved = [
                 (qid, m["id"], float(r["score"]))
                 for r in rs
@@ -870,13 +999,19 @@ def search_many(
             resolved.sort(key=lambda t: (-t[2], t[1]))
             out_rows.extend(
                 (qid, rank, did, s)
-                for rank, (_, did, s) in enumerate(resolved[:k], 1)
+                for rank, (_, did, s) in enumerate(
+                    resolved[off:off + k], off + 1
+                )
             )
         return _local_result(spark, out_rows, _BATCH_FIELDS)
 
     local = spark.createDataFrame(
-        [(r["query_id"], int(r["doc_idx"]), float(r["score"])) for r in cand_rows],
-        "query_id string, doc_idx long, score double",
+        [
+            (r["query_id"], int(r["doc_idx"]), float(r["score"]),
+             off_by_query[r["query_id"]])
+            for r in cand_rows
+        ],
+        "query_id string, doc_idx long, score double, off int",
     )
     ds = index.doc_stats
     if index.docs_per_part > 0:
@@ -893,7 +1028,7 @@ def search_many(
         F.broadcast(local)
         .join(ds.select("doc_idx", "id"), "doc_idx")
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") > F.col("off")) & (F.col("rank") <= F.col("off") + F.lit(k)))
         .select("query_id", "rank", "id", "score")
     )
 
@@ -903,7 +1038,7 @@ def _make_batch_kernel(
     preds_by_query: dict[str, list[tuple[str, str]]],
     parts_by_query: dict[str, set[int]],
     avgdl: float,
-    k: int,
+    n_by_query: dict[str, int],
     use_bmw: bool,
     docs_per_part: int,
 ):
@@ -982,7 +1117,11 @@ def _make_batch_kernel(
                 terms.append(term)
             if not terms:
                 continue
-            d, s = _bmw_topk(terms, k) if use_bmw else _exhaustive_topk(terms, k)
+            n_q = n_by_query[qid]
+            d, s = (
+                _bmw_topk(terms, n_q) if use_bmw
+                else _exhaustive_topk(terms, n_q)
+            )
             qids.extend([qid] * len(d))
             didx.extend(d.tolist())
             scores.extend(s.tolist())
@@ -1353,11 +1492,7 @@ def _make_phrase_kernel(
     assume_unique=True)`` leaves exactly the phrase start positions;
     counts per surviving local_doc are the phrase frequencies.  For
     slop>0 each surviving doc runs :func:`sloppy_freq`."""
-    from ..functions.codecs import unpack_doc_set, pos_blob_boundaries, \
-        varint_decode, delta_decode
-
-    SHIFT = np.int64(1) << np.int64(32)
-    uniq_terms = list(dict.fromkeys(terms))
+    from ..functions.codecs import unpack_doc_set
 
     def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_idx": [], "score": []})
@@ -1375,99 +1510,201 @@ def _make_phrase_kernel(
             if not bits.any():
                 return empty
 
-        # cheap decodes only: doc ids, per-doc counts, dls; the position
-        # stream stays raw bytes until the surviving docs are known
-        decoded: dict[str, dict] = {}
-        for row in pos_pdf.itertuples(index=False):
-            decoded[row.term] = {
-                "docs": delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64),
-                "counts": varint_decode(bytes(row.cnt_bin)).astype(np.int64),
-                "dls": varint_decode(bytes(row.dls_bin)).astype(np.int64),
-                "pos_bin": bytes(row.pos_bin),
-            }
-        if any(t not in decoded for t in terms):
-            return empty  # some phrase term absent from this part
-
-        # 1) docs-first: intersect doc ids across terms, then the filter
-        surv: np.ndarray | None = None
-        for t in uniq_terms:
-            d = decoded[t]["docs"]
-            surv = d if surv is None else np.intersect1d(
-                surv, d, assume_unique=True
-            )
-            if len(surv) == 0:
-                return empty
-        if bits is not None:
-            surv = surv[bits[(surv - base)]]
-            if len(surv) == 0:
-                return empty
-
-        # 2) positions-lazy: byte-slice only the survivors' blobs; the
-        # concatenation of whole per-doc blobs re-decodes with the same
-        # segment-reset cumsum as unpack_pos_lists (each blob's first
-        # delta is its absolute first position)
-        pos_of: dict[str, dict] = {}
-        for t in uniq_terms:
-            ent = decoded[t]
-            idx = np.searchsorted(ent["docs"], surv)
-            bnd = pos_blob_boundaries(ent["counts"], ent["pos_bin"])
-            raw = np.frombuffer(ent["pos_bin"], dtype=np.uint8)
-            starts, ends = bnd[idx], bnd[idx + 1]
-            lens = ends - starts
-            # ragged gather: one vectorized index build, no per-doc loop
-            shift = np.repeat(
-                starts - (np.cumsum(lens) - lens), lens
-            )
-            blob = raw[np.arange(int(lens.sum()), dtype=np.int64) + shift]
-            counts = ent["counts"][idx]
-            deltas = varint_decode(blob.tobytes()).astype(np.int64)
-            csum = np.cumsum(deltas)
-            starts = np.cumsum(counts) - counts
-            seg0 = np.where(starts > 0, csum[starts - 1], 0)
-            pos_of[t] = {
-                "counts": counts,
-                "pos": csum - np.repeat(seg0, counts),
-                "ends": np.cumsum(counts),
-            }
-
-        if slop == 0:
-            inter: np.ndarray | None = None
-            for i, t in enumerate(terms):
-                p = pos_of[t]
-                local = np.repeat(surv - base, p["counts"])
-                keys = local * SHIFT + (p["pos"] - np.int64(i))
-                if i:
-                    keys = keys[p["pos"] >= i]  # negative starts can't match
-                inter = keys if inter is None else np.intersect1d(
-                    inter, keys, assume_unique=True
-                )
-                if len(inter) == 0:
-                    return empty
-            hit_local, pf = np.unique(inter // SHIFT, return_counts=True)
-            pf = pf.astype(np.float64)
-        else:
-            hit_list: list[int] = []
-            pf_list: list[float] = []
-            for j in range(len(surv)):
-                arrays: list[np.ndarray] = []
-                for i, t in enumerate(terms):
-                    p = pos_of[t]
-                    e = int(p["ends"][j])
-                    s = e - int(p["counts"][j])
-                    arrays.append(p["pos"][s:e] - np.int64(i))
-                f = sloppy_freq(arrays, slop)
-                if f > 0.0:
-                    hit_list.append(int(surv[j] - base))
-                    pf_list.append(f)
-            if not hit_list:
-                return empty
-            hit_local = np.asarray(hit_list, dtype=np.int64)
-            pf = np.asarray(pf_list, dtype=np.float64)
-
-        t0 = decoded[terms[0]]
-        dl = t0["dls"][np.searchsorted(t0["docs"] - base, hit_local)]
+        decoded = _phrase_cheap_decode(pos_pdf)
+        hit = _phrase_hits(decoded, terms, base, bits, slop)
+        if hit is None:
+            return empty
+        hit_local, pf, dl = hit
         scores = idf_sum * _tfn(pf, dl, avgdl)
         doc_idx, score = _topk_arrays(hit_local + base, scores, k)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
+
+
+def _phrase_cheap_decode(pos_pdf: pd.DataFrame) -> dict[str, dict]:
+    """Cheap decodes only — doc ids, per-doc counts, dls; the position
+    stream stays raw bytes until the surviving docs are known."""
+    from ..functions.codecs import varint_decode, delta_decode
+
+    decoded: dict[str, dict] = {}
+    for row in pos_pdf.itertuples(index=False):
+        decoded[row.term] = {
+            "docs": delta_decode(varint_decode(bytes(row.docs_bin))).astype(np.int64),
+            "counts": varint_decode(bytes(row.cnt_bin)).astype(np.int64),
+            "dls": varint_decode(bytes(row.dls_bin)).astype(np.int64),
+            "pos_bin": bytes(row.pos_bin),
+        }
+    return decoded
+
+
+def _phrase_hits(
+    decoded: dict[str, dict],
+    terms: list[str],
+    base: np.int64,
+    bits: np.ndarray | None,
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Docs-first, positions-lazy phrase matching within ONE doc_part.
+
+    Returns ``(hit_local, phrase_freq, dl)`` or None when no doc
+    matches.  Each term's pos-blob boundary scan is memoized on its
+    ``decoded`` entry, so a batch of phrase queries sharing a hot term
+    walks its position stream's varint ends exactly once per part.
+    """
+    from ..functions.codecs import pos_blob_boundaries, varint_decode
+
+    SHIFT = np.int64(1) << np.int64(32)
+    uniq_terms = list(dict.fromkeys(terms))
+    if any(t not in decoded for t in terms):
+        return None  # some phrase term absent from this part
+
+    # 1) docs-first: intersect doc ids across terms, then the filter
+    surv: np.ndarray | None = None
+    for t in uniq_terms:
+        d = decoded[t]["docs"]
+        surv = d if surv is None else np.intersect1d(
+            surv, d, assume_unique=True
+        )
+        if len(surv) == 0:
+            return None
+    if bits is not None:
+        surv = surv[bits[(surv - base)]]
+        if len(surv) == 0:
+            return None
+
+    # 2) positions-lazy: byte-slice only the survivors' blobs; the
+    # concatenation of whole per-doc blobs re-decodes with the same
+    # segment-reset cumsum as unpack_pos_lists (each blob's first
+    # delta is its absolute first position)
+    pos_of: dict[str, dict] = {}
+    for t in uniq_terms:
+        ent = decoded[t]
+        idx = np.searchsorted(ent["docs"], surv)
+        bnd = ent.get("bnd")
+        if bnd is None:
+            bnd = ent["bnd"] = pos_blob_boundaries(
+                ent["counts"], ent["pos_bin"]
+            )
+        raw = np.frombuffer(ent["pos_bin"], dtype=np.uint8)
+        starts, ends = bnd[idx], bnd[idx + 1]
+        lens = ends - starts
+        # ragged gather: one vectorized index build, no per-doc loop
+        shift = np.repeat(
+            starts - (np.cumsum(lens) - lens), lens
+        )
+        blob = raw[np.arange(int(lens.sum()), dtype=np.int64) + shift]
+        counts = ent["counts"][idx]
+        deltas = varint_decode(blob.tobytes()).astype(np.int64)
+        csum = np.cumsum(deltas)
+        starts = np.cumsum(counts) - counts
+        seg0 = np.where(starts > 0, csum[starts - 1], 0)
+        pos_of[t] = {
+            "counts": counts,
+            "pos": csum - np.repeat(seg0, counts),
+            "ends": np.cumsum(counts),
+        }
+
+    if slop == 0:
+        inter: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            p = pos_of[t]
+            local = np.repeat(surv - base, p["counts"])
+            keys = local * SHIFT + (p["pos"] - np.int64(i))
+            if i:
+                keys = keys[p["pos"] >= i]  # negative starts can't match
+            inter = keys if inter is None else np.intersect1d(
+                inter, keys, assume_unique=True
+            )
+            if len(inter) == 0:
+                return None
+        hit_local, pf = np.unique(inter // SHIFT, return_counts=True)
+        pf = pf.astype(np.float64)
+    else:
+        hit_list: list[int] = []
+        pf_list: list[float] = []
+        for j in range(len(surv)):
+            arrays: list[np.ndarray] = []
+            for i, t in enumerate(terms):
+                p = pos_of[t]
+                e = int(p["ends"][j])
+                s = e - int(p["counts"][j])
+                arrays.append(p["pos"][s:e] - np.int64(i))
+            f = sloppy_freq(arrays, slop)
+            if f > 0.0:
+                hit_list.append(int(surv[j] - base))
+                pf_list.append(f)
+        if not hit_list:
+            return None
+        hit_local = np.asarray(hit_list, dtype=np.int64)
+        pf = np.asarray(pf_list, dtype=np.float64)
+
+    t0 = decoded[terms[0]]
+    dl = t0["dls"][np.searchsorted(t0["docs"] - base, hit_local)]
+    return hit_local, pf, dl
+
+
+def _make_batch_phrase_kernel(
+    phrase_q: dict[str, dict],
+    preds_by_query: dict[str, list[tuple[str, str]]],
+    parts_by_query: dict[str, set[int]],
+    avgdl: float,
+    n_by_query: dict[str, int],
+    docs_per_part: int,
+):
+    """Per-doc_part BATCHED phrase kernel (the ES ``_msearch`` mixed-body
+    analog): every phrase entry of the batch scores in this one job.
+    Each term's cheap decodes (doc ids / counts / dls) happen once and
+    the pos-blob boundary scan is memoized by :func:`_phrase_hits`, so
+    entries sharing a hot term amortize its stream walk; per entry the
+    docs-first intersection and lazy position slicing are identical to
+    the single-query kernel."""
+    from ..functions.codecs import unpack_doc_set
+
+    def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_idx": [], "score": []})
+        if len(pos_pdf) == 0:
+            return empty
+        part = int(pos_pdf["doc_part"].iloc[0])
+        base = np.int64(part) * np.int64(docs_per_part)
+        bitmaps: dict[tuple[str, str], np.ndarray] = {}
+        if filter_pdf is not None and len(filter_pdf):
+            for row in filter_pdf.itertuples(index=False):
+                bitmaps[(row.field, row.value)] = unpack_doc_set(
+                    bytes(row.bits), docs_per_part
+                )
+
+        decoded = _phrase_cheap_decode(pos_pdf)
+        qids: list[str] = []
+        didx: list[int] = []
+        scores: list[float] = []
+        for qid, spec in phrase_q.items():
+            pq = parts_by_query.get(qid)
+            if pq is not None and part not in pq:
+                continue  # repo routing excludes this part for this query
+            bits = None
+            missing_pred = False
+            for p in preds_by_query.get(qid) or []:
+                b = bitmaps.get(p)
+                if b is None:  # predicate matches no doc in this part
+                    missing_pred = True
+                    break
+                bits = b if bits is None else (bits & b)
+            if missing_pred or (bits is not None and not bits.any()):
+                continue
+            hit = _phrase_hits(decoded, spec["terms"], base, bits,
+                               spec["slop"])
+            if hit is None:
+                continue
+            hit_local, pf, dl = hit
+            sc = spec["idf_sum"] * _tfn(pf, dl, avgdl)
+            d, s = _topk_arrays(hit_local + base, sc, n_by_query[qid])
+            qids.extend([qid] * len(d))
+            didx.extend(d.tolist())
+            scores.extend(s.tolist())
+        if not qids:
+            return empty
+        return pd.DataFrame({"query_id": qids, "doc_idx": didx,
+                             "score": scores})
 
     return kernel

@@ -356,3 +356,35 @@ def test_search_pagination_slices_global_order(index):
             assert page == full[off:off + k], (fetch, off, k)
     # offset past the result set → empty
     assert search(index, "get user if", k=5, offset=10_000).count() == 0
+
+
+@pytest.mark.parametrize("fetch", ["auto", "spark"])
+def test_search_many_offset_matches_single(index, fetch):
+    """Per-entry 'from' slices each batch entry's ranking exactly like
+    search(offset=) — global rank numbering, tie-break preserved — on
+    both fetch paths; a 'from' past the result set yields no rows."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    qs = {
+        "page0": {"q": "get user if", "from": 0},
+        "page1": {"q": "get user if", "from": 5},
+        "deep": {"q": "get user if", "from": 10},
+        "filt": {"q": "if", "lang": "Python", "from": 3},
+        "past": {"q": "get user if", "from": 10_000},
+    }
+    batched = search_many(index, qs, k=5, fetch=fetch).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        off = spec["from"]
+        single = search(index, spec["q"], k=5, offset=off,
+                        lang=spec.get("lang")).collect()
+        exp = [(off + i + 1, r["id"], r["score"])
+               for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (fetch, qid)
+        assert np.allclose([g[2] for g in got], [e[2] for e in exp],
+                           rtol=1e-9)

@@ -390,3 +390,60 @@ def test_phrase_slop_rejects_repeated_terms(pidx):
         phrase_search(pidx, "hash table hash", slop=1)
     with pytest.raises(ValueError):
         phrase_search(pidx, "table hash", slop=-1)
+
+
+# --- phrase entries in the batched path (msearch mixed-body analog) --------
+
+
+def test_search_many_phrase_entries_match_single(pidx):
+    """Phrase entries in search_many reproduce phrase_search exactly —
+    mixed with a term entry, keyword filters, repo routing, and slop."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        search,
+        search_many,
+    )
+
+    qs = {
+        "p0": {"q": "table hash", "phrase": True},
+        "p1": {"q": "table hash", "phrase": True, "lang": "Python"},
+        "p2": {"q": "table hash", "phrase": True, "repo": "r2"},
+        "p3": {"q": "hash table", "phrase": True, "slop": 2},
+        "p4": {"q": "zzz missing", "phrase": True},
+        "t0": "table hash",
+    }
+    batched = search_many(pidx, qs, k=5).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if isinstance(spec, str):
+            single = search(pidx, spec, k=5).collect()
+        else:
+            single = phrase_search(
+                pidx, spec["q"], k=5, lang=spec.get("lang"),
+                repo=spec.get("repo"), slop=spec.get("slop", 0),
+            ).collect()
+        exp = [(i + 1, r["id"], r["score"]) for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got], [e[2] for e in exp])
+
+
+@pytest.mark.parametrize("fetch", ["auto", "spark"])
+def test_search_many_phrase_offset_pages_global_order(pidx, fetch):
+    """A phrase entry's per-entry 'from' slices the same global ranking
+    phrase_search produces, with GLOBAL rank numbering, on both fetch
+    paths."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    full = [(r["id"], round(r["score"], 9))
+            for r in phrase_search(pidx, "table hash", k=10).collect()]
+    assert len(full) >= 3, "fixture must rank at least 3 phrase hits"
+    got = search_many(
+        pidx, {"p": {"q": "table hash", "phrase": True, "from": 1}},
+        k=2, fetch=fetch,
+    ).collect()
+    rows = sorted((r["rank"], r["id"], round(r["score"], 9)) for r in got)
+    assert rows == [(2, *full[1]), (3, *full[2])]
