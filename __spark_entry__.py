@@ -1563,12 +1563,13 @@ WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
 
 
 def q_media_decode(spark, sf_dir):
-    """M3: REAL media decode — synth_real_media writes genuine binary-PPM
-    and PCM16-WAV payloads; decode_media parses the actual bytes (pure
-    numpy/stdlib) into dimensions + pixel/sample statistics.  The oracle
-    computes the SAME statistics analytically from the closed-form
-    generators, so a decode bug (header walk, chunk alignment, dtype)
-    mismatches."""
+    """M3: REAL media decode — synth_real_media writes genuine binary-PPM,
+    PCM16-WAV and AVI/MJPEG payloads; decode_media parses the actual
+    bytes (pure numpy/stdlib; AVI = RIFF walk + per-frame baseline-JPEG
+    decode, frames constant-tiled hence bit-exact) into dimensions +
+    pixel/sample statistics.  The oracle computes the SAME statistics
+    analytically from the closed-form generators, so a decode bug
+    (header walk, chunk alignment, dtype) mismatches."""
     media = mm.synth_real_media(
         load_table(spark, sf_dir, "documents").select("doc_id"))
     out = mm.decode_media(media)
@@ -1602,8 +1603,24 @@ aud_feat AS (
            8000 AS rate, n::INTEGER AS n_samples,
            round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
     FROM aud_px GROUP BY id, n
+),
+vid AS (SELECT id, 2 + id % 3 AS bw, 1 + id % 2 AS bh, 1 + id % 4 AS nf
+        FROM ids WHERE id % 3 = 2),
+vid_px AS (
+    SELECT id, bw, bh, nf,
+           ((id * 37 + (e.k // (bw * bh)) * 53 + (e.k % (bw * bh)) * 11)
+            % 256)::DOUBLE AS v
+    FROM vid JOIN e ON e.k < nf * bw * bh
+),
+vid_feat AS (
+    SELECT id, 'video' AS kind, (8 * bw)::INTEGER AS width,
+           (8 * bh)::INTEGER AS height,
+           NULL::INTEGER AS rate, nf::INTEGER AS n_samples,
+           round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
+    FROM vid_px GROUP BY id, bw, bh, nf
 )
 SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
+UNION ALL SELECT * FROM vid_feat
 """
 
 
@@ -1663,6 +1680,41 @@ tiles AS (SELECT id, bw, bh, ((id * 37 + e.k * 11) % 256)::DOUBLE AS v
 SELECT id, (8 * bw)::INTEGER AS width, (8 * bh)::INTEGER AS height,
        round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
 FROM tiles GROUP BY id, bw, bh
+"""
+
+
+def q_video_frame_decode(spark, sf_dir):
+    """M6: REAL video-container frame walk — synth_real_media's AVI
+    payloads run through sample_frames (movi '##dc' chunk walk, every
+    2nd frame) and each sampled frame — a genuine baseline JPEG —
+    through decode_frames.  The oracle replays frame numbers and the
+    per-frame constant-tile statistics analytically: a container-walk
+    bug (chunk alignment, word padding, header counts) or a frame
+    decode bug mismatches."""
+    media = mm.synth_real_media(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
+    frames = mm.sample_frames(media, stride=2)
+    out = mm.decode_frames(frames)
+    return out.select(
+        "id", "frame_no", "width", "height",
+        F.round("mean", 4).alias("mean"), F.round("rms", 4).alias("rms"),
+    )
+
+
+SQL_VIDEO_FRAME_DECODE = """
+WITH e(k) AS (SELECT unnest(generate_series(0, 7)) AS k),
+ids AS (SELECT doc_id::BIGINT AS id FROM documents WHERE doc_id % 3 = 2),
+vid AS (SELECT id, 2 + id % 3 AS bw, 1 + id % 2 AS bh, 1 + id % 4 AS nf
+        FROM ids),
+sampled AS (SELECT id, bw, bh, 2 * e.k AS fno FROM vid
+            JOIN e ON 2 * e.k < nf),
+px AS (SELECT id, bw, bh, fno,
+              ((id * 37 + fno * 53 + e.k * 11) % 256)::DOUBLE AS v
+       FROM sampled JOIN e ON e.k < bw * bh)
+SELECT id, fno::INTEGER AS frame_no, (8 * bw)::INTEGER AS width,
+       (8 * bh)::INTEGER AS height,
+       round(avg(v), 4) AS mean, round(sqrt(avg(v * v)), 4) AS rms
+FROM px GROUP BY id, bw, bh, fno
 """
 
 
@@ -1900,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_media_decode": q_media_decode,
         "m4_png_decode": q_png_decode,
         "m5_jpeg_decode": q_jpeg_decode,
+        "m6_video_frame_decode": q_video_frame_decode,
     }
 
 
@@ -1962,4 +2015,5 @@ def oracle_sql() -> dict[str, str]:
         "m3_media_decode": SQL_MEDIA_DECODE,
         "m4_png_decode": SQL_PNG_DECODE,
         "m5_jpeg_decode": SQL_JPEG_DECODE,
+        "m6_video_frame_decode": SQL_VIDEO_FRAME_DECODE,
     }

@@ -5,14 +5,16 @@ typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched kernels over ``mapInPandas``.
 
 Decode status: binary PPM (P6) images, PCM16 mono WAV audio,
-zlib-compressed PNG (8-bit gray/RGB/RGBA, every scanline filter), AND
+zlib-compressed PNG (8-bit gray/RGB/RGBA, every scanline filter),
 baseline-sequential JPEG (grayscale JFIF: Huffman entropy decode,
-DPCM, dequant, IDCT) decode for real in pure numpy/stdlib
+DPCM, dequant, IDCT), AND AVI/MJPEG video (RIFF container walk +
+per-frame JPEG decode) decode for real in pure numpy/stdlib
 (:func:`decode_media`, with :func:`synth_real_media` /
 :func:`synth_png_media` / :func:`synth_jpeg_media` generating genuine
-payloads).  Video containers (MP4/H.264/…) remain the honest stub:
-``decode_features`` raises ``NotImplementedError`` unless
-``deterministic_fake=True`` (no codec libraries in this container); the
+payloads).  The one remaining honest boundary is compressed
+inter-frame video codecs (H.264/VP9/… inside MP4 etc.), which need a
+codec library, not a container walk: ``decode_features`` raises
+``NotImplementedError`` unless ``deterministic_fake=True``; the
 Spark-side plumbing (schema, batching, partition flow) is identical
 either way.
 """
@@ -552,6 +554,101 @@ def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, img.reshape(-1)
 
 
+# --------------------------------------------------------------------------
+# AVI / MJPEG — minimal RIFF container (public spec: Microsoft AVI RIFF
+# form, msdn "AVI RIFF File Reference").  MJPEG stores each video frame
+# as a standalone baseline JPEG in a '00dc' movi chunk, so the frame
+# payload decoder is the JPEG codec above.  This closes the video-
+# container boundary for real: the walker parses actual RIFF bytes
+# (fourcc + LE32 size, word-aligned chunks); only compressed inter-
+# frame codecs (H.264/VP9/…) stay out of scope — they need a codec
+# library, not a container walk.
+
+
+def _encode_avi_mjpeg(frames: list[bytes], w: int, h: int,
+                      fps: int = 10) -> bytes:
+    """Minimal AVI writer: RIFF('AVI ') → LIST hdrl(avih, LIST
+    strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER)) → LIST movi with
+    one word-aligned '00dc' chunk per JPEG frame."""
+    n = len(frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,   # dwMaxBytesPerSec
+        0, 0x10,           # padding, AVIF_HASINDEX off: no idx1 written
+        n, 0, 1,           # totalframes, initialframes, streams
+        max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIIIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0,
+        1, fps, 0, n,      # scale, rate, start, length
+        max_bytes, 0xFFFFFFFF, 0,
+        0, 0, w, h,        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk_avi(raw: bytes) -> tuple[int, int, int, list[bytes]]:
+    """RIFF walk of an AVI: (width, height, header frame count, movi
+    video-frame payloads).  Accepts any stream layout — scans chunks by
+    fourcc + size, honoring word alignment; video frames are the
+    ``##dc``/``##db`` movi entries."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI container")
+    w = h = n_frames = -1
+    frames: list[bytes] = []
+
+    def scan(lo: int, hi: int, in_movi: bool) -> None:
+        nonlocal w, h, n_frames
+        o = lo
+        while o + 8 <= hi:
+            fourcc = raw[o:o + 4]
+            (size,) = struct.unpack("<I", raw[o + 4:o + 8])
+            body_lo, body_hi = o + 8, min(o + 8 + size, hi)
+            if fourcc == b"LIST":
+                ltype = raw[body_lo:body_lo + 4]
+                scan(body_lo + 4, body_hi, ltype == b"movi")
+            elif fourcc == b"avih":
+                hdr = struct.unpack("<14I", raw[body_lo:body_lo + 56])
+                n_frames, w, h = hdr[4], hdr[8], hdr[9]
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(raw[body_lo:body_hi])
+            o = body_lo + size + (size & 1)
+
+    scan(12, len(raw), False)
+    if w < 0:
+        raise NotImplementedError("AVI without avih header")
+    return w, h, n_frames, frames
+
+
+def _decode_avi_mjpeg(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, n_frames, concatenated frame pixels) of an
+    AVI whose frames are baseline grayscale JPEGs."""
+    w, h, _n, frames = _walk_avi(raw)
+    px = [
+        _decode_jpeg_gray(f)[2] for f in frames
+    ]
+    return w, h, len(frames), (
+        np.concatenate(px) if px else np.zeros(0, dtype=np.uint8)
+    )
+
+
 def synth_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL baseline JPEGs per id: each 8×8 tile is the
     constant ``(id·37 + t·11) mod 256`` (tile index t, row-major).
@@ -630,11 +727,12 @@ def synth_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media payloads per id: binary-PPM images
-    (``id % 3 == 0``), PCM16 WAV audio (``id % 3 == 1``), and an opaque
-    synthetic container for video (``id % 3 == 2``, kept stub-decoded —
-    real containers need ffmpeg).  Pixels/samples follow closed-form
-    generators, so an oracle can compute the expected decode output
-    analytically while the engine path parses the actual bytes."""
+    (``id % 3 == 0``), PCM16 WAV audio (``id % 3 == 1``), and AVI/MJPEG
+    video (``id % 3 == 2``: a real RIFF container whose frames are real
+    baseline JPEGs with constant — hence bit-exact DC-only — 8×8
+    tiles).  Pixels/samples follow closed-form generators, so an oracle
+    can compute the expected decode output analytically while the
+    engine path parses the actual bytes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -654,8 +752,22 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             % 65536) - 32768).astype("<i2")
                     payload = _wav_container(pcm.tobytes(), rate=8000)
                 else:
-                    payload = (b"VID0"
-                               + hashlib.md5(str(i).encode()).digest() * 64)
+                    # 1 + i%4 frames, each a constant-tile (DC-only,
+                    # bit-exact) grayscale JPEG; tile value depends on
+                    # (id, frame, tile) so every frame differs
+                    bw, bh = 2 + i % 3, 1 + i % 2
+                    w, h = 8 * bw, 8 * bh
+                    jf = []
+                    for f in range(1 + i % 4):
+                        tiles = ((i * 37 + f * 53
+                                  + np.arange(bw * bh, dtype=np.int64) * 11)
+                                 % 256).astype(np.uint8)
+                        img = np.repeat(
+                            np.repeat(tiles.reshape(bh, bw), 8, axis=0),
+                            8, axis=1,
+                        )
+                        jf.append(_encode_jpeg_gray(img.reshape(-1), w, h))
+                    payload = _encode_avi_mjpeg(jf, w, h)
                 kinds.append(kind)
                 payloads.append(payload)
             yield pd.DataFrame({"id": ids, "kind": kinds, "payload": payloads})
@@ -676,9 +788,11 @@ def decode_media(media: DataFrame) -> DataFrame:
     """REAL decode via mapInPandas: P6 PPM, PNG (zlib-compressed, all
     five scanline filters) and baseline grayscale JPEG (Huffman +
     dequant + IDCT) → (width, height, pixel mean/rms), PCM16 WAV →
-    (rate, n_samples, sample mean/rms).  Rows whose magic matches none
-    of these (video containers) are passed over — route those through
-    :func:`decode_features`'s stub boundary instead."""
+    (rate, n_samples, sample mean/rms), AVI/MJPEG video (RIFF walk +
+    per-frame JPEG decode) → (width, height, n_samples = frame count,
+    pixel mean/rms over all frames).  Rows whose magic matches none of
+    these (compressed inter-frame codecs) are passed over — route those
+    through :func:`decode_features`'s stub boundary instead."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -700,6 +814,13 @@ def decode_media(media: DataFrame) -> DataFrame:
                     out["height"].append(h)
                     out["rate"].append(None)
                     out["n_samples"].append(None)
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    w, h, nf, px = _decode_avi_mjpeg(raw)
+                    v = px.astype(np.float64)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["rate"].append(None)
+                    out["n_samples"].append(nf)
                 elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                     rate, samples = _decode_wav(raw)
                     v = samples.astype(np.float64)
@@ -755,17 +876,24 @@ def decode_features(media: DataFrame, deterministic_fake: bool = False) -> DataF
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 1024, stride: int = 4) -> DataFrame:
-    """Frame sampling for video payloads: every ``stride``-th chunk.
+    """Frame sampling for video payloads: every ``stride``-th frame.
 
-    Chunking is the real plumbing; with actual video the kernel would
-    seek keyframes instead of fixed offsets.
-    """
+    AVI containers walk REAL frame boundaries (the movi '##dc' chunks —
+    the keyframe-seek analog; each emitted frame is a standalone JPEG);
+    other payloads fall back to fixed ``frame_bytes`` chunking."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, frames = [], [], []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 raw = bytes(payload)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    _w, _h, _n, fpayloads = _walk_avi(raw)
+                    for fno in range(0, len(fpayloads), stride):
+                        ids.append(rid)
+                        nos.append(fno)
+                        frames.append(fpayloads[fno])
+                    continue
                 n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
                 for fno in range(0, n_frames, stride):
                     ids.append(rid)
@@ -774,3 +902,35 @@ def sample_frames(media: DataFrame, frame_bytes: int = 1024, stride: int = 4) ->
             yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": frames})
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
+FRAME_DECODE_SCHEMA = (
+    "id long, frame_no int, width int, height int, mean double, rms double"
+)
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """Per-frame decode of :func:`sample_frames` output whose frames are
+    standalone JPEGs (the MJPEG case): (width, height, pixel mean/rms)
+    per (id, frame_no).  Non-JPEG frames are passed over."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "frame_no", "width", "height",
+                                   "mean", "rms")}
+            for rid, fno, frame in zip(pdf["id"], pdf["frame_no"],
+                                       pdf["frame"]):
+                raw = bytes(frame)
+                if raw[:2] != b"\xff\xd8":
+                    continue
+                w, h, px = _decode_jpeg_gray(raw)
+                v = px.astype(np.float64)
+                out["id"].append(rid)
+                out["frame_no"].append(fno)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean"].append(float(v.mean()))
+                out["rms"].append(float(np.sqrt((v * v).mean())))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(kernel, schema=FRAME_DECODE_SCHEMA)

@@ -247,15 +247,23 @@ def test_synth_real_media_decodes_to_generator_truth(spark, docs):
             w, h = 16 + i % 16, 8 + i % 8
             v = (i * 31 + np.arange(3 * w * h, dtype=np.int64) * 7) % 256
             assert (r["width"], r["height"]) == (w, h)
-        else:
+        elif r["kind"] == "audio":
             n = 256 + i % 256
             v = ((i * 13 + np.arange(n, dtype=np.int64) * 5) % 65536) - 32768
             assert (r["rate"], r["n_samples"]) == (8000, n)
+        else:  # AVI/MJPEG: constant (id, frame, tile) generator
+            bw, bh, nf = 2 + i % 3, 1 + i % 2, 1 + i % 4
+            v = np.array([
+                (i * 37 + f * 53 + t * 11) % 256
+                for f in range(nf) for t in range(bw * bh)
+            ], dtype=np.int64)
+            assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+            assert r["n_samples"] == nf
         v = v.astype(np.float64)
         assert abs(r["mean"] - v.mean()) < 1e-9
         assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
     kinds = {r["kind"] for r in rows.values()}
-    assert kinds == {"image", "audio"}  # video stays at the stub boundary
+    assert kinds == {"image", "audio", "video"}  # all three decode for real
 
 
 def test_ann_ivf_recall(emb, spark, tmp_path):
@@ -451,3 +459,74 @@ def test_synth_jpeg_media_decodes_through_spark(spark, docs):
         assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
         assert abs(r["mean"] - v.mean()) < 1e-9
         assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
+
+
+def test_avi_mjpeg_round_trip_kernel():
+    """Pure-kernel AVI: writer → walker round-trips frames bit-exactly,
+    honors word alignment for odd-length frame bodies, and rejects
+    non-RIFF payloads at the honest boundary."""
+    import numpy as np
+    import pytest as _pt
+
+    from gitlab_elasticsearch_indexer_spark.sources import multimodal as mm
+
+    frames, expect = [], []
+    for f in range(3):
+        tiles = ((f * 53 + np.arange(2, dtype=np.int64) * 11) % 256
+                 ).astype(np.uint8)
+        img = np.repeat(np.repeat(tiles.reshape(1, 2), 8, axis=0), 8, axis=1)
+        frames.append(mm._encode_jpeg_gray(img.reshape(-1), 16, 8))
+        expect.append(img.reshape(-1))
+    raw = mm._encode_avi_mjpeg(frames, 16, 8)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    w, h, nf, px = mm._decode_avi_mjpeg(raw)
+    assert (w, h, nf) == (16, 8, 3)
+    assert np.array_equal(px, np.concatenate(expect))
+
+    # odd-length movi chunk bodies stay word-aligned through the walk
+    odd = b"\xff\xd8" + b"x" * 7
+    _, _, n, fr = mm._walk_avi(mm._encode_avi_mjpeg([odd, odd], 8, 8))
+    assert n == 2 and fr == [odd, odd]
+
+    with _pt.raises(NotImplementedError):
+        mm._walk_avi(b"MP4\x00" + b"\x00" * 64)
+
+
+def test_avi_video_decodes_through_spark(spark, docs):
+    """Video end-to-end on the distributed surface: synth_real_media's
+    AVI payloads decode through the RIFF walk + per-frame JPEG path to
+    the closed-form (id, frame, tile) generator stats, and
+    sample_frames walks REAL frame boundaries (stride over movi
+    chunks), each sampled frame decoding standalone."""
+    import numpy as np
+
+    from gitlab_elasticsearch_indexer_spark.sources import multimodal as mm
+
+    media = mm.synth_real_media(docs.select("doc_id").limit(90))
+    vids = {r["id"]: r for r in mm.decode_media(media).collect()
+            if r["kind"] == "video"}
+    assert len(vids) == 30
+    for i, r in vids.items():
+        bw, bh, nf = 2 + i % 3, 1 + i % 2, 1 + i % 4
+        v = np.array([
+            (i * 37 + f * 53 + t * 11) % 256
+            for f in range(nf) for t in range(bw * bh)
+        ], dtype=np.float64)
+        assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+        assert r["n_samples"] == nf
+        assert abs(r["mean"] - v.mean()) < 1e-9
+        assert abs(r["rms"] - np.sqrt((v * v).mean())) < 1e-9
+
+    frames = mm.sample_frames(media, stride=2)
+    decoded = mm.decode_frames(frames).collect()
+    by_id: dict = {}
+    for r in decoded:
+        by_id.setdefault(r["id"], []).append(r)
+    for i, rs in by_id.items():
+        nf = 1 + i % 4
+        assert sorted(r["frame_no"] for r in rs) == list(range(0, nf, 2))
+        for r in rs:
+            bw, bh = 2 + i % 3, 1 + i % 2
+            v = np.array([(i * 37 + r["frame_no"] * 53 + t * 11) % 256
+                          for t in range(bw * bh)], dtype=np.float64)
+            assert abs(r["mean"] - v.mean()) < 1e-9
