@@ -39,6 +39,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import fs as _fs
 from .index_build import (
     TERM_BUCKETS,
     InvertedIndex,
@@ -240,10 +241,9 @@ def _term_manifest_by_version(spark: SparkSession, path: str,
                               snapshot_id: int) -> dict[int, list[int]] | None:
     """Bucket-ownership map of a snapshot's term_stats (version →
     term_buckets), or ``None`` for the legacy whole-file layout."""
-    import os
 
     p = f"{path}/v{snapshot_id}/term_manifest"
-    if not os.path.isdir(p):
+    if not _fs.isdir(p):
         return None
     out: dict[int, list[int]] = {}
     for r in spark.read.parquet(p).collect():
@@ -363,7 +363,6 @@ def load_versioned(spark: SparkSession, path: str,
     query.  Index dirs written before the sidecars existed fall back to
     lazy derivation.
     """
-    import os
 
     cp = _checkpoint_df(spark, path)
     if snapshot_id is None:
@@ -377,8 +376,8 @@ def load_versioned(spark: SparkSession, path: str,
     doc_stats = _read_parts(spark, path, by_version, "doc_stats")
 
     have_sidecars = all(
-        os.path.isdir(f"{path}/v{v}/filters")
-        and os.path.isdir(f"{path}/v{v}/part_meta")
+        _fs.isdir(f"{path}/v{v}/filters")
+        and _fs.isdir(f"{path}/v{v}/part_meta")
         for v in by_version
     )
     if have_sidecars:
@@ -393,14 +392,14 @@ def load_versioned(spark: SparkSession, path: str,
     # positions degrades the whole index to pos=None (consistent: never
     # a mix of stale and fresh position partitions)
     pos_postings = pos_analyzer = pos_avgdl = None
-    if all(os.path.isdir(f"{path}/v{v}/pos_postings") for v in by_version):
+    if all(_fs.isdir(f"{path}/v{v}/pos_postings") for v in by_version):
         pos_postings = _read_parts(spark, path, by_version, "pos_postings")
         pos_analyzer, pos_avgdl = "simple", None
         # the loaded snapshot's own dir first, then newest owner: the
         # most recent pos_meta carries the CURRENT collection's
         # pos_avgdl (older versions' values are stale)
         for v in [snapshot_id, *sorted(by_version, reverse=True)]:
-            if os.path.isdir(f"{path}/v{v}/pos_meta"):
+            if _fs.isdir(f"{path}/v{v}/pos_meta"):
                 pm = spark.read.parquet(f"{path}/v{v}/pos_meta").collect()[0]
                 pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
                 break
@@ -592,9 +591,8 @@ def update_index(
     # replays the whole update under the same snapshot; committing first
     # would leave the store permanently stale (the replayed diff is then
     # empty and never re-runs the store fold).
-    import os
 
-    if store_docs is not None and os.path.isdir(f"{path}/documents"):
+    if store_docs is not None and _fs.isdir(f"{path}/documents"):
         from ..sources.doc_store import update_documents
 
         update_documents(
@@ -739,7 +737,6 @@ def update_index_delta(
     Many small batches accrete many small doc partitions — compact with
     ``compact_index`` (the ES/Lucene segment-merge analog).
     """
-    import os
 
     t0 = time.time()
     last = latest_checkpoint(spark, path)
@@ -757,7 +754,7 @@ def update_index_delta(
     # docs — whose content is in the batch); otherwise the sidecar is
     # already degraded and stays so
     has_pos = bool(by_version) and all(
-        os.path.isdir(f"{path}/v{v}/pos_postings") for v in by_version
+        _fs.isdir(f"{path}/v{v}/pos_postings") for v in by_version
     )
     pos_an = prev_pos_total = None
     if has_pos:
@@ -834,7 +831,7 @@ def update_index_delta(
         classify_fallback = f"too_many_repos({len(repos)})"
     else:
         pm = None
-        if all(os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version):
+        if all(_fs.isdir(f"{path}/v{v}/part_meta") for v in by_version):
             pm = _read_parts(spark, path, by_version, "part_meta")
         if pm is None:
             classify_fallback = "no_part_meta_sidecar"
@@ -1131,7 +1128,7 @@ def update_index_delta(
         _write_lineage(spark, path, snapshot_id, staged,
                        rebuilt_parts=written_parts)
 
-    if store_docs is not None and os.path.isdir(f"{path}/documents"):
+    if store_docs is not None and _fs.isdir(f"{path}/documents"):
         from ..sources.doc_store import update_documents
 
         update_documents(
@@ -1174,11 +1171,10 @@ def _read_pos_meta(spark: SparkSession, path: str,
                    versions) -> tuple[str, float, int]:
     """(pos_analyzer, pos_avgdl, pos_total_dl) from the newest version
     carrying a pos_meta (older versions' values are stale)."""
-    import os
 
     for v in sorted(versions, reverse=True):
         p = f"{path}/v{v}/pos_meta"
-        if os.path.isdir(p):
+        if _fs.isdir(p):
             pm = spark.read.parquet(p).collect()[0]
             d = pm.asDict()
             return (d["pos_analyzer"], float(d["pos_avgdl"]),
@@ -1363,7 +1359,6 @@ def compact_index(
     Cost: O(size of the compacted segments) — the accretion since the
     last compaction — never O(corpus).
     """
-    import os
 
     from .index_build import PACK_SCHEMA, make_pack_group_kernel
 
@@ -1378,7 +1373,7 @@ def compact_index(
 
     pm = None
     if by_version and all(
-        os.path.isdir(f"{path}/v{v}/part_meta") for v in by_version
+        _fs.isdir(f"{path}/v{v}/part_meta") for v in by_version
     ):
         pm = _read_parts(spark, path, by_version, "part_meta")
     if pm is None:
@@ -1455,7 +1450,7 @@ def compact_index(
     # regroups them under the new partitioning).  Totals are invariant
     # under renumbering and carry forward.
     if by_version and all(
-        os.path.isdir(f"{path}/v{v}/pos_postings") for v in by_version
+        _fs.isdir(f"{path}/v{v}/pos_postings") for v in by_version
     ):
         from .index_build import pack_pos_rows
 
@@ -1556,10 +1551,6 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
     assumption is only the usual one: at most one UPDATE runs at a time
     (two concurrent updates would race the checkpoint itself).
     """
-    import glob as _glob
-    import os
-    import shutil
-
     assert keep_last >= 1
     cp = _checkpoint_df(spark, path)
     snaps = sorted(
@@ -1573,7 +1564,7 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
     legacy_ts: set[int] = set()  # retained snapshots on the whole-file layout
     for s in retained:
         man = f"{path}/v{s}/manifest"
-        if os.path.isdir(man):
+        if _fs.isdir(man):
             for r in spark.read.parquet(man).collect():
                 live_parts.setdefault(int(r["version"]), set()).add(
                     int(r["doc_part"])
@@ -1585,23 +1576,17 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
             for v, bks in tm.items():
                 live_buckets.setdefault(int(v), set()).update(int(b) for b in bks)
 
-    def _size(p: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(d, f))
-            for d, _, fs in os.walk(p) for f in fs
-        )
-
     removed_dirs, bytes_freed = 0, 0
 
     def _rm(p: str):
         nonlocal removed_dirs, bytes_freed
-        bytes_freed += _size(p)
+        bytes_freed += _fs.tree_size(p)
         removed_dirs += 1
-        shutil.rmtree(p, ignore_errors=True)
+        _fs.rmtree(p)
 
     latest_committed = snaps[0] if snaps else -1
-    for vd in sorted(_glob.glob(f"{path}/v*")):
-        name = os.path.basename(vd)
+    for name in sorted(n for n in _fs.listdir(path) if n.startswith("v")):
+        vd = f"{path}/{name}"
         if not name[1:].isdigit():
             continue
         v = int(name[1:])
@@ -1614,17 +1599,17 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
             continue
         for table in ("postings", "doc_stats", "filters", "pos_postings"):
             tdir = f"{vd}/{table}"
-            if not os.path.isdir(tdir):
+            if not _fs.isdir(tdir):
                 continue
-            for sub in os.listdir(tdir):
+            for sub in _fs.listdir(tdir):
                 if sub.startswith("doc_part="):
                     if int(sub.split("=", 1)[1]) not in lp:
                         _rm(f"{tdir}/{sub}")
             if not lp:
                 _rm(tdir)
         tdir = f"{vd}/term_stats"
-        if os.path.isdir(tdir):
-            subs = [s for s in os.listdir(tdir) if s.startswith("term_bucket=")]
+        if _fs.isdir(tdir):
+            subs = [s for s in _fs.listdir(tdir) if s.startswith("term_bucket=")]
             if subs:
                 for sub in subs:
                     if int(sub.split("=", 1)[1]) not in lb:
@@ -1635,15 +1620,15 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
                 _rm(tdir)  # legacy whole-file layout, superseded
         if v not in retained:
             for meta in ("manifest", "term_manifest"):
-                if os.path.isdir(f"{vd}/{meta}"):
+                if _fs.isdir(f"{vd}/{meta}"):
                     _rm(f"{vd}/{meta}")
-            if not lp and os.path.isdir(f"{vd}/part_meta"):
+            if not lp and _fs.isdir(f"{vd}/part_meta"):
                 _rm(f"{vd}/part_meta")
-            if not lp and os.path.isdir(f"{vd}/pos_meta"):
+            if not lp and _fs.isdir(f"{vd}/pos_meta"):
                 _rm(f"{vd}/pos_meta")
         # a version directory that ended up owning nothing disappears
-        if os.path.isdir(vd) and not any(
-            os.path.isdir(f"{vd}/{s}") for s in os.listdir(vd)
+        if _fs.isdir(vd) and not any(
+            _fs.isdir(f"{vd}/{s}") for s in _fs.listdir(vd)
         ) and v not in retained:
             _rm(vd)
 

@@ -602,34 +602,33 @@ class InvertedIndex:
 
 def doc_stats_paths_of(root: str) -> dict:
     """doc_part → parquet dir map of a partitionBy("doc_part") layout."""
-    import os
+    from ..sources import fs
 
     out = {}
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if d.startswith("doc_part="):
-                out[int(d.split("=", 1)[1])] = os.path.join(root, d)
+    for d in fs.listdir(root):
+        if d.startswith("doc_part="):
+            out[int(d.split("=", 1)[1])] = f"{root}/{d}"
     return out
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
-    import os
+    from ..sources import fs
 
     g = spark.read.parquet(f"{path}/globals").collect()[0]
     filters = part_meta = pos_postings = None
-    if os.path.isdir(f"{path}/filters"):
+    if fs.isdir(f"{path}/filters"):
         filters = spark.read.parquet(f"{path}/filters")
-    if os.path.isdir(f"{path}/part_meta"):
+    if fs.isdir(f"{path}/part_meta"):
         part_meta = spark.read.parquet(f"{path}/part_meta")
     pos_analyzer = pos_avgdl = None
-    if os.path.isdir(f"{path}/pos_postings"):
+    if fs.isdir(f"{path}/pos_postings"):
         pos_postings = spark.read.parquet(f"{path}/pos_postings")
         pos_analyzer = "simple"
-        if os.path.isdir(f"{path}/pos_meta"):
+        if fs.isdir(f"{path}/pos_meta"):
             pm = spark.read.parquet(f"{path}/pos_meta").collect()[0]
             pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
     fields = None
-    if os.path.isdir(f"{path}/fields_meta"):
+    if fs.isdir(f"{path}/fields_meta"):
         fields = {
             r["field"]: FieldIndex(
                 postings=spark.read.parquet(

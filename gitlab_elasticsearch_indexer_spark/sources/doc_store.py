@@ -122,10 +122,10 @@ def update_documents(
     # a partition whose every row was deleted writes no data under
     # dynamic overwrite — drop its directory explicitly (under a real
     # table format this is the DELETE's metadata operation)
-    import shutil
+    from . import fs
 
     for p in set(touched) - surviving:
-        shutil.rmtree(f"{path}/store_part={p}", ignore_errors=True)
+        fs.rmtree(f"{path}/store_part={p}")
 
 
 def point_read_documents(
@@ -139,35 +139,35 @@ def point_read_documents(
     the id-sorted files).  This is the fetch-phase primitive the search
     highlighter uses — cost is O(touched partitions), never a scan.
     Legacy un-partitioned stores fall back to one filtered read."""
-    import os
-
     import pyarrow.dataset as pads
 
     from ..functions.hashing import term_bucket_py
+    from . import fs
 
     root = f"{index_path}/documents"
-    if not os.path.isdir(root) or not ids:
+    if not ids:
+        return {}
+    children = fs.listdir(root)
+    if not children:
         return {}
     cols = list(dict.fromkeys(["id", *columns]))
     out: dict[str, dict] = {}
-    has_parts = any(
-        d.startswith("store_part=") for d in os.listdir(root)
-    )
+    has_parts = any(d.startswith("store_part=") for d in children)
     if not has_parts:  # legacy layout: single filtered read
-        tbl = pads.dataset(root, format="parquet").to_table(
+        tbl = fs.dataset(root).to_table(
             columns=cols, filter=pads.field("id").isin(ids)
         )
         for row in tbl.to_pylist():
             out[row["id"]] = row
         return out
+    live = {d for d in children if d.startswith("store_part=")}
     by_part: dict[int, list[str]] = {}
     for i in ids:
         by_part.setdefault(term_bucket_py(i, N_STORE_PARTS), []).append(i)
     for p, pids in sorted(by_part.items()):
-        d = f"{root}/store_part={p}"
-        if not os.path.isdir(d):
+        if f"store_part={p}" not in live:
             continue
-        tbl = pads.dataset(d, format="parquet").to_table(
+        tbl = fs.dataset(f"{root}/store_part={p}").to_table(
             columns=cols, filter=pads.field("id").isin(pids)
         )
         for row in tbl.to_pylist():
