@@ -207,11 +207,13 @@ def _fetch_doc_meta(
         return None
     import pyarrow.dataset as pads
 
+    from ..sources import fs
+
     out: dict[int, dict] = {}
     want = set(doc_idxs)
     for p in parts:
         try:
-            tbl = pads.dataset(paths[p], format="parquet").to_table(
+            tbl = fs.dataset(paths[p]).to_table(
                 columns=["doc_idx", *columns],
                 filter=pads.field("doc_idx").isin(list(want)),
             )
@@ -1317,6 +1319,7 @@ def phrase_search(
     repo: str | None = None,
     fetch: str = "auto",
     slop: int = 0,
+    offset: int = 0,
 ) -> DataFrame:
     """Phrase query (ES ``match_phrase`` analog) over the
     positional-postings sidecar, scored the Lucene PhraseQuery way —
@@ -1352,6 +1355,8 @@ def phrase_search(
         )
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     # the sidecar is its own field (ES sub-field pattern): analyze the
     # phrase with ITS chain and take idf from ITS dfs — one tiny
     # term-pruned aggregation, global like Lucene's PhraseWeight idf
@@ -1403,7 +1408,7 @@ def phrase_search(
 
     avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
     kernel = _make_phrase_kernel(
-        list(terms), idf_sum, avgdl, k, index.docs_per_part,
+        list(terms), idf_sum, avgdl, k + offset, index.docs_per_part,
         len(predicates), slop,
     )
     if predicates:
@@ -1423,7 +1428,7 @@ def phrase_search(
         scored = cand.groupBy("doc_part").applyInPandas(
             _wrap_single(kernel), schema=TOPK_SCHEMA
         )
-    return _rank_and_fetch(index, scored.collect(), k, fetch)
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
 def sloppy_freq(arrays: list[np.ndarray], slop: int) -> float:
@@ -1538,6 +1543,19 @@ def _phrase_cheap_decode(pos_pdf: pd.DataFrame) -> dict[str, dict]:
     return decoded
 
 
+def _isect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED-UNIQUE int64 arrays without the
+    re-sort ``np.intersect1d`` pays: binary-search the smaller array
+    into the larger (O(min·log max) vs O((n+m)·log(n+m)))."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(b) == 0:
+        return b[:0]
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = 0  # out-of-range probes can't match b[idx]
+    return a[b[idx] == a]
+
+
 def _phrase_hits(
     decoded: dict[str, dict],
     terms: list[str],
@@ -1559,13 +1577,14 @@ def _phrase_hits(
     if any(t not in decoded for t in terms):
         return None  # some phrase term absent from this part
 
-    # 1) docs-first: intersect doc ids across terms, then the filter
+    # 1) docs-first: intersect doc ids across terms, then the filter.
+    # Every array here is already sorted-unique (delta-decoded doc ids;
+    # (doc<<32|pos) keys below), so a searchsorted merge replaces
+    # intersect1d's full re-sort — the dominant cost on hot-hot pairs.
     surv: np.ndarray | None = None
     for t in uniq_terms:
         d = decoded[t]["docs"]
-        surv = d if surv is None else np.intersect1d(
-            surv, d, assume_unique=True
-        )
+        surv = d if surv is None else _isect_sorted(surv, d)
         if len(surv) == 0:
             return None
     if bits is not None:
@@ -1573,35 +1592,56 @@ def _phrase_hits(
         if len(surv) == 0:
             return None
 
-    # 2) positions-lazy: byte-slice only the survivors' blobs; the
-    # concatenation of whole per-doc blobs re-decodes with the same
-    # segment-reset cumsum as unpack_pos_lists (each blob's first
-    # delta is its absolute first position)
+    # 2) positions: HYBRID per term.  The lazy byte-slice (boundary
+    # scan + ragged gather + re-decode of selected bytes) wins when the
+    # doc intersection is selective; for an unselective one (a hot-hot
+    # pair where most docs survive) it costs ~2x a single straight
+    # decode of the whole stream — so when survivors carry most of the
+    # term's positions, decode everything once and mask (both branches
+    # use the same segment-reset cumsum as unpack_pos_lists: each
+    # per-doc blob's first delta is its absolute first position)
     pos_of: dict[str, dict] = {}
     for t in uniq_terms:
         ent = decoded[t]
         idx = np.searchsorted(ent["docs"], surv)
-        bnd = ent.get("bnd")
-        if bnd is None:
-            bnd = ent["bnd"] = pos_blob_boundaries(
-                ent["counts"], ent["pos_bin"]
-            )
-        raw = np.frombuffer(ent["pos_bin"], dtype=np.uint8)
-        starts, ends = bnd[idx], bnd[idx + 1]
-        lens = ends - starts
-        # ragged gather: one vectorized index build, no per-doc loop
-        shift = np.repeat(
-            starts - (np.cumsum(lens) - lens), lens
-        )
-        blob = raw[np.arange(int(lens.sum()), dtype=np.int64) + shift]
         counts = ent["counts"][idx]
-        deltas = varint_decode(blob.tobytes()).astype(np.int64)
-        csum = np.cumsum(deltas)
-        starts = np.cumsum(counts) - counts
-        seg0 = np.where(starts > 0, csum[starts - 1], 0)
+        sel = int(counts.sum())
+        total = int(ent["counts"].sum())
+        if sel * 2 >= total:  # unselective: full decode + mask
+            full = ent.get("full_pos")
+            if full is None:
+                deltas = varint_decode(ent["pos_bin"]).astype(np.int64)
+                csum = np.cumsum(deltas)
+                fstarts = np.cumsum(ent["counts"]) - ent["counts"]
+                seg0 = np.where(fstarts > 0, csum[fstarts - 1], 0)
+                full = ent["full_pos"] = csum - np.repeat(
+                    seg0, ent["counts"]
+                )
+            mask = np.zeros(len(ent["docs"]), dtype=bool)
+            mask[idx] = True
+            pos = full[np.repeat(mask, ent["counts"])]
+        else:  # selective: slice only the survivors' blobs
+            bnd = ent.get("bnd")
+            if bnd is None:
+                bnd = ent["bnd"] = pos_blob_boundaries(
+                    ent["counts"], ent["pos_bin"]
+                )
+            raw = np.frombuffer(ent["pos_bin"], dtype=np.uint8)
+            starts, ends = bnd[idx], bnd[idx + 1]
+            lens = ends - starts
+            # ragged gather: one vectorized index build, no per-doc loop
+            shift = np.repeat(
+                starts - (np.cumsum(lens) - lens), lens
+            )
+            blob = raw[np.arange(int(lens.sum()), dtype=np.int64) + shift]
+            deltas = varint_decode(blob.tobytes()).astype(np.int64)
+            csum = np.cumsum(deltas)
+            sstarts = np.cumsum(counts) - counts
+            seg0 = np.where(sstarts > 0, csum[sstarts - 1], 0)
+            pos = csum - np.repeat(seg0, counts)
         pos_of[t] = {
             "counts": counts,
-            "pos": csum - np.repeat(seg0, counts),
+            "pos": pos,
             "ends": np.cumsum(counts),
         }
 
@@ -1613,9 +1653,7 @@ def _phrase_hits(
             keys = local * SHIFT + (p["pos"] - np.int64(i))
             if i:
                 keys = keys[p["pos"] >= i]  # negative starts can't match
-            inter = keys if inter is None else np.intersect1d(
-                inter, keys, assume_unique=True
-            )
+            inter = keys if inter is None else _isect_sorted(inter, keys)
             if len(inter) == 0:
                 return None
         hit_local, pf = np.unique(inter // SHIFT, return_counts=True)
