@@ -1813,6 +1813,66 @@ FROM summed ORDER BY raw DESC, id ASC LIMIT 15
 """
 
 
+def q_fields_delta_search(spark, sf_dir):
+    """B21 lifecycle: field postings maintained through the VERSIONED
+    store's O(batch) delta path — build with a file_name field →
+    save_versioned → one delta batch (delete doc_000000, append a doc
+    whose NAME is unique) → multi-field search over the loaded result.
+    The oracle replays per-name BM25 over the post-delta corpus: a
+    stale field partition, a wrong per-field total, or a missed
+    repack/append all mismatch."""
+    import os
+    import shutil
+
+    from gitlab_elasticsearch_indexer_spark.operators import (
+        incremental as inc,
+    )
+
+    scratch = f"/root/repo/.cache/b21d_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    idx = ib.build_index(
+        spark, _docs_mf(spark, sf_dir), analyzer="simple",
+        docs_per_part=128, fields={"file_name": "simple"},
+    )
+    inc.save_versioned(idx, scratch, snapshot_id=0)
+    idx.unpersist()
+    batch = spark.createDataFrame(
+        [("doc_zzz", "zz1 zz2", "srcx", "docs/srcx/newname.txt", "xx")],
+        "id string, content string, repo string, path string, lang string",
+    )
+    dels = spark.createDataFrame([("doc_000000",)], "id string")
+    out = inc.update_index_delta(spark, scratch, batch, dels, snapshot_id=1)
+    hits = q.multi_search(out, "newname.txt merge.txt", k=15,
+                          fields=("file_name",))
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+# post-delta corpus: documents minus doc 0 plus the appended doc; the
+# file_name field keeps dl = 1 = avgdl, tf = 1 → tfn = 1/(1+k1)
+SQL_FIELDS_DELTA = f"""
+WITH q AS (SELECT unnest(['newname.txt', 'merge.txt']) AS term),
+corpus AS (
+    SELECT {_DOC_ID_SQL} AS id,
+           lower(string_split_regex(text, '\\s+')[1]) || '.txt' AS name
+    FROM documents WHERE doc_id <> 0
+    UNION ALL SELECT 'doc_zzz', 'newname.txt'
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM corpus),
+fdf AS (SELECT name, count(*)::DOUBLE AS df FROM corpus GROUP BY 1),
+score AS (
+    SELECT corpus.id,
+           sum(ln(1 + (n.n - fdf.df + 0.5) / (fdf.df + 0.5))
+               * (1.0 / (1.0 + {K1}))) AS raw
+    FROM q JOIN corpus ON corpus.name = q.term JOIN fdf USING (name)
+    CROSS JOIN n
+    GROUP BY corpus.id
+)
+SELECT id, round(raw, 4) AS score
+FROM score ORDER BY raw DESC, id ASC LIMIT 15
+"""
+
+
 def q_path_field_search(spark, sf_dir):
     """B21 (path field): reversed path_hierarchy on BOTH sides — the
     query's own suffixes each match docs whose path ends with them, so
@@ -1929,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_bm25_topk_paged": q_bm25_paged,
         "b21_multifield_search": q_multifield_search,
         "b21_path_field_search": q_path_field_search,
+        "b21_fields_delta_search": q_fields_delta_search,
         "b22_sha_prefix_search": q_sha_prefix_search,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
@@ -1993,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
                                          offset=20),
         "b21_multifield_search": SQL_MULTIFIELD,
         "b21_path_field_search": SQL_PATH_FIELD,
+        "b21_fields_delta_search": SQL_FIELDS_DELTA,
         "b22_sha_prefix_search": SQL_SHA_PREFIX_SEARCH,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,

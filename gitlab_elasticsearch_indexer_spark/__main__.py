@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="also build the positional-postings sidecar "
                         "(whitespace sub-field on code indexes) enabling "
                         "`search --phrase`")
+    b.add_argument("--field", action="append", default=None, metavar="NAME",
+                   help="also index this field through the reference "
+                        "mapping's analyzer (file_name→code, "
+                        "path→path_analyzer, oid→sha_analyzer; "
+                        "NAME=analyzer overrides; repeatable) enabling "
+                        "`search --fields` / `search --sha`")
 
     u = sub.add_parser("update")
     u.add_argument("--source", required=True)
@@ -110,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", default=None)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--from", dest="offset", type=int, default=0,
                    help="pagination offset (the ES from analog)")
@@ -129,6 +135,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact-phrase query (ES match_phrase analog) over "
                         "the positional-postings sidecar; needs an index "
                         "built with --positions")
+    s.add_argument("--slop", type=int, default=0,
+                   help="with --phrase: ES match_phrase slop (Lucene "
+                        "sloppy-phrase matching, tf = sloppy freq)")
+    s.add_argument("--fields", default=None,
+                   help="comma-separated fields for bool-should multi-"
+                        "field search (e.g. content,file_name,path); "
+                        "needs an index built with --field")
+    s.add_argument("--sha", default=None, metavar="PREFIX",
+                   help="SHA-prefix lookup (>=5 hex chars) over the oid "
+                        "field's edgeNGram 5..40 grams; needs `build "
+                        "--field oid`; replaces --query")
     s.add_argument("--facet", action="append", default=None, metavar="FIELD",
                    help="also print per-value match counts for this keyword "
                         "field (lang/repo; repeatable — the ES terms-"
@@ -187,12 +204,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         src = spark.read.parquet(args.source)
         docs = pl.run_blob_pipeline(spark, src, blob_type=args.blob_type)
+        fields = None
+        if args.field:
+            fields = {}
+            for spec in args.field:
+                name, _, an = spec.partition("=")
+                fields[name] = an or ib.FIELD_ANALYZERS.get(name, "simple")
         idx = ib.build_index(
             spark,
             docs.select("id", "content", F.col("rid").alias("repo"), "path",
                         F.col("language").alias("lang")),
             analyzer=args.analyzer,
             positions=args.positions,
+            fields=fields,
         )
         inc.save_versioned(idx, args.index, snapshot_id=0)
         _write_index_meta(spark, args.index, args.blob_type)
@@ -360,10 +384,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
+        if (args.query is None) == (args.sha is None):
+            ap.error("search needs exactly one of --query / --sha")
         idx = inc.load_versioned(spark, root)
-        if args.phrase:
+        if args.sha is not None:
+            if len(args.sha) < 5:
+                ap.error("--sha needs >= 5 characters (sha_analyzer "
+                         "emits edgeNGrams 5..40)")
+            hits = q.multi_search(idx, args.sha, k=args.k,
+                                  fields=("oid",), lang=args.lang,
+                                  repo=args.repo, offset=args.offset)
+            args.query = args.sha  # facet/highlight reuse below
+        elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
-                                   repo=args.repo)
+                                   repo=args.repo, slop=args.slop,
+                                   offset=args.offset)
+        elif args.fields:
+            hits = q.search(idx, args.query, k=args.k, lang=args.lang,
+                            repo=args.repo, offset=args.offset,
+                            fields=tuple(args.fields.split(",")))
         else:
             hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                             repo=args.repo,

@@ -143,6 +143,13 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
         )
         _write_pos_meta(spark, vdir, index.pos_analyzer or "simple",
                         pos_total, index.n_docs)
+    if index.fields:
+        for name, fh in sorted(index.fields.items()):
+            _write_field_postings(fh.postings, vdir, name)
+        _write_fields_meta(spark, vdir, [
+            (name, fh.analyzer, fh.total_dl)
+            for name, fh in sorted(index.fields.items())
+        ])
 
     parts = [r["doc_part"] for r in index.doc_stats.select("doc_part").distinct().collect()]
     manifest = spark.createDataFrame(
@@ -227,13 +234,20 @@ def _read_parts(spark: SparkSession, path: str,
 
     schema = {"postings": POSTINGS_TABLE_SCHEMA,
               "pos_postings": POS_PACK_SCHEMA}.get(table)
+    if schema is None and table.startswith("fields/"):
+        schema = POSTINGS_TABLE_SCHEMA  # field postings share the layout
     out = None
     for version, parts in sorted(by_version.items()):
         reader = spark.read if schema is None else spark.read.schema(schema)
         t = reader.parquet(f"{path}/v{version}/{table}").filter(
             F.col("doc_part").isin(parts)
         )
-        out = t if out is None else out.unionByName(t)
+        # doc_stats may gain dl_<field> columns when extra fields are
+        # built; versions written before that union as null (fields are
+        # only consumed when EVERY live version carries them anyway)
+        out = t if out is None else out.unionByName(
+            t, allowMissingColumns=(table == "doc_stats")
+        )
     return out
 
 
@@ -321,6 +335,39 @@ def _write_term_manifest(spark: SparkSession, vdir: str,
     ).write.mode("overwrite").parquet(f"{vdir}/term_manifest")
 
 
+def _write_fields_meta(spark: SparkSession, vdir: str,
+                       rows: list[tuple[str, str, int]]) -> None:
+    """(field, analyzer, exact integer Σ field-dl) for a version that
+    maintains the extra searchable fields (ES multi-field mapping)."""
+    spark.createDataFrame(
+        [(f, a, int(t)) for f, a, t in rows],
+        "field string, analyzer string, total_dl long",
+    ).write.mode("overwrite").parquet(f"{vdir}/fields_meta")
+
+
+def _read_fields_meta(spark: SparkSession, path: str,
+                      versions) -> dict[str, tuple[str, int]] | None:
+    """{field: (analyzer, total_dl)} from the NEWEST version carrying a
+    fields_meta (older versions' totals are stale), or None when no
+    version maintains fields."""
+    for v in sorted(versions, reverse=True):
+        p = f"{path}/v{v}/fields_meta"
+        if _fs.isdir(p):
+            return {
+                r["field"]: (r["analyzer"], int(r["total_dl"]))
+                for r in spark.read.parquet(p).collect()
+            }
+    return None
+
+
+def _write_field_postings(fpost: DataFrame, vdir: str, name: str) -> None:
+    (
+        fpost.repartition("doc_part").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("doc_part")
+        .parquet(f"{vdir}/fields/{name}/postings")
+    )
+
+
 def _empty_index(spark: SparkSession, path: str, snapshot_id: int,
                  g) -> InvertedIndex:
     """A delta batch can delete EVERY document, leaving an empty
@@ -404,6 +451,32 @@ def load_versioned(spark: SparkSession, path: str,
                 pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
                 break
 
+    # extra searchable fields: loadable ONLY when every live version
+    # carries every field's postings (same all-or-nothing degradation
+    # rule as the phrase sidecar — never a stale/fresh partition mix);
+    # totals come from the NEWEST fields_meta, maintained exactly by
+    # the update paths
+    fields = None
+    fmeta = _read_fields_meta(spark, path, {snapshot_id, *by_version})
+    if fmeta and all(
+        _fs.isdir(f"{path}/v{v}/fields/{name}/postings")
+        for v in by_version for name in fmeta
+    ):
+        from .index_build import FieldIndex
+
+        n_docs_g = int(g["n_docs"])
+        fields = {
+            name: FieldIndex(
+                postings=_read_parts(
+                    spark, path, by_version, f"fields/{name}/postings"
+                ),
+                analyzer=an,
+                avgdl=(total / n_docs_g) if n_docs_g else 0.0,
+                total_dl=total,
+            )
+            for name, (an, total) in sorted(fmeta.items())
+        }
+
     return InvertedIndex(
         postings=postings,
         doc_stats=doc_stats,
@@ -417,6 +490,7 @@ def load_versioned(spark: SparkSession, path: str,
         pos_postings=pos_postings,
         pos_analyzer=pos_analyzer,
         pos_avgdl=pos_avgdl,
+        fields=fields,
         # manifest-resolved per-part doc_stats dirs: the query fetch
         # phase point-reads hit parts driver-side (no second job)
         doc_stats_paths={
@@ -512,7 +586,20 @@ def update_index(
     rebuilt_src = surviving.unionByName(appended).persist()
     caches.append(rebuilt_src)
 
-    new_doc_stats = doc_stats_from_docs(rebuilt_src, prev.analyzer, dpp)
+    # extra searchable fields ride the rebuild: maintained only when the
+    # previous snapshot's doc_stats carries their dl_<field> columns
+    # (all-or-nothing, like the sidecars)
+    fdefs = {
+        name: fh.analyzer for name, fh in sorted((prev.fields or {}).items())
+        if f"dl_{name}" in prev.doc_stats.columns
+    }
+    if fdefs:
+        from .index_build import with_field_columns
+
+        rebuilt_src = with_field_columns(rebuilt_src, fdefs)
+
+    new_doc_stats = doc_stats_from_docs(rebuilt_src, prev.analyzer, dpp,
+                                        field_dls=fdefs or None)
     new_postings = postings_from_docs(rebuilt_src, prev.analyzer, dpp)
 
     vdir = f"{path}/v{snapshot_id}"
@@ -539,6 +626,11 @@ def update_index(
             .repartition("doc_part").sortWithinPartitions("term")
             .write.mode("overwrite").partitionBy("doc_part")
             .parquet(f"{vdir}/pos_postings")
+        )
+    for name, an in fdefs.items():
+        _write_field_postings(
+            postings_from_docs(rebuilt_src, an, dpp, content_col=name),
+            vdir, name,
         )
 
     rebuilt_parts = {
@@ -576,6 +668,19 @@ def update_index(
         ) if new_bv else 0
         _write_pos_meta(spark, vdir, prev.pos_analyzer or "simple",
                         pos_total, n_docs)
+    if fdefs:
+        # exact per-field totals over the NEW snapshot: one column-
+        # pruned agg of the manifest-live doc_stats' dl_<field> columns
+        # (within this path's O(corpus) cost envelope)
+        frow = staged.doc_stats.agg(
+            *[
+                F.coalesce(F.sum(f"dl_{name}"), F.lit(0)).alias(name)
+                for name in fdefs
+            ]
+        ).collect()[0]
+        _write_fields_meta(spark, vdir, [
+            (name, an, int(frow[name])) for name, an in fdefs.items()
+        ])
     # snapshot-diff updates recompute the whole vocabulary anyway (that
     # is their nature); the write is still bucketed so later DELTA
     # batches can rewrite bucket-scoped
@@ -761,6 +866,14 @@ def update_index_delta(
         pos_an, _, prev_pos_total = _read_pos_meta(
             spark, path, {prev_snapshot, *by_version}
         )
+    # extra searchable fields: same presence rule as the phrase sidecar
+    prev_fmeta = _read_fields_meta(spark, path, {prev_snapshot, *by_version})
+    fdefs: dict[str, str] = {}
+    if prev_fmeta and by_version and all(
+        _fs.isdir(f"{path}/v{v}/fields/{n}/postings")
+        for v in by_version for n in prev_fmeta
+    ):
+        fdefs = {n: an for n, (an, _t) in sorted(prev_fmeta.items())}
 
     caches: list = []
     has_seq = "_seq" in upserts.columns
@@ -858,8 +971,14 @@ def update_index_delta(
         cand_ds = _read_parts(
             spark, path, _restrict_versions(by_version, cand_parts), "doc_stats"
         )
+        fld_cols = [
+            f"dl_{n}" for n in fdefs if f"dl_{n}" in cand_ds.columns
+        ]
+        if len(fld_cols) < len(fdefs):
+            fdefs = {}  # doc_stats predates the field columns: degrade
+            fld_cols = []
         existing = cand_ds.join(F.broadcast(ids), "id").select(
-            "id", "doc_idx", "doc_part", "oid", "dl"
+            "id", "doc_idx", "doc_part", "oid", "dl", *fld_cols
         ).persist()
         caches.append(existing)
 
@@ -892,12 +1011,18 @@ def update_index_delta(
         live_ups = ups
         dead = spark.createDataFrame(
             [], "id string, doc_idx long, doc_part long, oid string, dl int"
+            + "".join(f", dl_{n} int" for n in fdefs)
         )
 
     dead_agg = dead.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+        *[
+            F.coalesce(F.sum(f"dl_{n}"), F.lit(0)).alias(f"dl_{n}")
+            for n in fdefs
+        ],
     ).collect()[0]
     n_dead, dl_dead = int(dead_agg["n"]), int(dead_agg["dl"])
+    fld_dead = {n: int(dead_agg[f"dl_{n}"]) for n in fdefs}
     affected = {
         int(r["doc_part"]) for r in dead.select("doc_part").distinct().collect()
     }
@@ -912,6 +1037,7 @@ def update_index_delta(
     # 1) repack affected partitions from their stored postings
     new_postings = new_doc_stats = None
     old_pos = new_pos = None
+    new_fld: dict[str, DataFrame] = {}
     if affected:
         aff_versions = _restrict_versions(by_version, affected)
         old_post = _read_parts(spark, path, aff_versions, "postings")
@@ -937,6 +1063,17 @@ def update_index_delta(
                 .cogroup(dead.select("doc_part", "doc_idx").groupBy("doc_part"))
                 .applyInPandas(_make_pos_repack_kernel(), schema=old_pos.schema)
             )
+        for name in fdefs:
+            # field postings share the tf layout — the same repack
+            # kernel drops dead docs from the affected parts' streams
+            old_f = _read_parts(
+                spark, path, aff_versions, f"fields/{name}/postings"
+            )
+            new_fld[name] = (
+                old_f.groupBy("doc_part")
+                .cogroup(dead.select("doc_part", "doc_idx").groupBy("doc_part"))
+                .applyInPandas(_make_repack_kernel(), schema=old_f.schema)
+            )
 
     # 2) append new/modified docs into FRESH partitions
     app_parts: set[int] = set()
@@ -949,8 +1086,13 @@ def update_index_delta(
                 caches=caches,
             ).withColumn("doc_idx", F.col("doc_idx") + F.lit(base_idx))
         )
+        if fdefs:
+            from .index_build import with_field_columns
+
+            appended = with_field_columns(appended, fdefs)
         app_post = postings_from_docs(appended, analyzer, dpp)
-        app_ds = doc_stats_from_docs(appended, analyzer, dpp)
+        app_ds = doc_stats_from_docs(appended, analyzer, dpp,
+                                     field_dls=fdefs or None)
         new_postings = (
             app_post if new_postings is None
             else new_postings.unionByName(app_post)
@@ -965,6 +1107,12 @@ def update_index_delta(
 
             app_pos = positions_from_docs(appended, pos_an, dpp)
             new_pos = app_pos if new_pos is None else new_pos.unionByName(app_pos)
+        for name, an in fdefs.items():
+            app_f = postings_from_docs(appended, an, dpp, content_col=name)
+            new_fld[name] = (
+                app_f if name not in new_fld
+                else new_fld[name].unionByName(app_f)
+            )
 
     new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(
         "overwrite"
@@ -984,6 +1132,8 @@ def update_index_delta(
             )
         except Exception:  # batch emptied every touched partition
             pos_cf_written = 0
+    for name, fpost in new_fld.items():
+        _write_field_postings(fpost, vdir, name)
     try:  # a batch that empties every touched partition writes no rows
         vds = spark.read.parquet(f"{vdir}/doc_stats")
         written_parts = {
@@ -1101,10 +1251,30 @@ def update_index_delta(
             ]
         _write_term_manifest(spark, vdir, tm_rows)
         if n_app and vds is not None:
-            dl_added = int(
+            app_row = (
                 vds.filter(F.col("doc_part").isin([int(p) for p in app_parts]))
-                .agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
+                .agg(
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+                    *[
+                        F.coalesce(F.sum(f"dl_{n}"), F.lit(0)).alias(f"dl_{n}")
+                        for n in fdefs
+                    ],
+                ).collect()[0]
             )
+            dl_added = int(app_row["dl"])
+            fld_added = {n: int(app_row[f"dl_{n}"]) for n in fdefs}
+        else:
+            fld_added = {n: 0 for n in fdefs}
+    else:
+        fld_added = {n: 0 for n in fdefs}
+    if fdefs:
+        # exact integer per-field totals: prev − dead + appended (the
+        # same drift-free arithmetic as the checkpointed total_dl)
+        _write_fields_meta(spark, vdir, [
+            (n, an,
+             prev_fmeta[n][1] - fld_dead.get(n, 0) + fld_added.get(n, 0))
+            for n, an in fdefs.items()
+        ])
 
     # exact integer arithmetic on the checkpointed total_dl — NOT the
     # float (old_avgdl·old_n − dead + added)/n reconstruction, which
@@ -1406,6 +1576,8 @@ def compact_index(
     new_ds = remapped.select(
         (F.col("doc_idx") / dpp).cast("long").alias("doc_part"),
         "doc_idx", "id", "repo", "path", "lang", "oid", "dl",
+        # per-field lengths (dl_<field>) ride the remap untouched
+        *[c for c in remapped.columns if c.startswith("dl_")],
     )
 
     old_post = _read_parts(spark, path, small_versions, "postings")
@@ -1475,6 +1647,41 @@ def compact_index(
             spark, path, {prev_snapshot, *by_version}
         )
         _write_pos_meta(spark, vdir, pos_an, prev_total, int(last["n_docs"]))
+    # extra searchable fields ride the same remap (field postings share
+    # the tf layout); per-field totals are renumbering-invariant
+    c_fmeta = _read_fields_meta(spark, path, {prev_snapshot, *by_version})
+    if c_fmeta and by_version and all(
+        _fs.isdir(f"{path}/v{v}/fields/{n}/postings")
+        for v in by_version for n in c_fmeta
+    ):
+        for name in sorted(c_fmeta):
+            old_f = _read_parts(
+                spark, path, small_versions, f"fields/{name}/postings"
+            )
+            f_rows = (
+                old_f.groupBy("doc_part")
+                .cogroup(remapped.select("old_part", "old_idx", "doc_idx")
+                         .groupBy("old_part"))
+                .applyInPandas(
+                    _make_remap_kernel(),
+                    schema="term string, doc_idx long, tf int, dl int",
+                )
+            )
+            f_bucketed = f_rows.select(
+                (F.col("doc_idx") / dpp).cast("long").alias("doc_part"),
+                F.pmod(F.xxhash64(F.substring("term", 1, 2)),
+                       F.lit(32)).alias("bucket"),
+                "term", "doc_idx", "tf", "dl",
+            )
+            _write_field_postings(
+                f_bucketed.groupBy("doc_part", "bucket").applyInPandas(
+                    make_pack_group_kernel(None), schema=out_schema
+                ),
+                vdir, name,
+            )
+        _write_fields_meta(spark, vdir, [
+            (n, an, t) for n, (an, t) in sorted(c_fmeta.items())
+        ])
     written_parts = {
         int(r["doc_part"]) for r in vds.select("doc_part").distinct().collect()
     }
@@ -1597,7 +1804,11 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
         if v not in retained and not lp and not lb and v not in legacy_ts:
             _rm(vd)
             continue
-        for table in ("postings", "doc_stats", "filters", "pos_postings"):
+        fld_tables = tuple(
+            f"fields/{n}/postings" for n in _fs.listdir(f"{vd}/fields")
+        ) if _fs.isdir(f"{vd}/fields") else ()
+        for table in ("postings", "doc_stats", "filters", "pos_postings",
+                      *fld_tables):
             tdir = f"{vd}/{table}"
             if not _fs.isdir(tdir):
                 continue
@@ -1607,6 +1818,8 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
                         _rm(f"{tdir}/{sub}")
             if not lp:
                 _rm(tdir)
+        if not lp and _fs.isdir(f"{vd}/fields"):
+            _rm(f"{vd}/fields")
         tdir = f"{vd}/term_stats"
         if _fs.isdir(tdir):
             subs = [s for s in _fs.listdir(tdir) if s.startswith("term_bucket=")]
@@ -1626,6 +1839,8 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
                 _rm(f"{vd}/part_meta")
             if not lp and _fs.isdir(f"{vd}/pos_meta"):
                 _rm(f"{vd}/pos_meta")
+            if not lp and _fs.isdir(f"{vd}/fields_meta"):
+                _rm(f"{vd}/fields_meta")
         # a version directory that ended up owning nothing disappears
         if _fs.isdir(vd) and not any(
             _fs.isdir(f"{vd}/{s}") for s in _fs.listdir(vd)

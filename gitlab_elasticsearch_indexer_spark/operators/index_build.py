@@ -715,14 +715,27 @@ def part_meta_from_doc_stats(doc_stats: DataFrame) -> DataFrame:
 def doc_stats_from_docs(
     with_idx: DataFrame, analyzer: str, docs_per_part: int,
     id_col: str = "id", content_col: str = "content",
+    field_dls: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Light pass: per-doc metadata + oid + dl (no gram expansion)."""
+    """Light pass: per-doc metadata + oid + dl (no gram expansion).
+
+    ``field_dls`` ({field: analyzer}) adds a ``dl_<field>`` column per
+    extra searchable field — the per-doc length under THAT field's
+    chain.  Riding in doc_stats means the delta path's dead-doc join,
+    the survivor anti-join, and compaction's remap all carry field
+    lengths for free, so per-field total_dl stays exact integers across
+    the whole update lifecycle (the same arithmetic as ``dl``)."""
     dl_udf = make_dl_udf(analyzer)
+    extra = [
+        make_dl_udf(an)(F.col(f)).alias(f"dl_{f}")
+        for f, an in (field_dls or {}).items()
+    ]
     return with_idx.select(
         (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
         "doc_idx", id_col, "repo", "path", "lang",
         F.sha2(F.col(content_col), 256).alias("oid"),
         dl_udf(F.col(content_col)).alias("dl"),
+        *extra,
     )
 
 
@@ -909,7 +922,8 @@ def build_index(
         docs_per_part = max(1024, math.ceil(n_docs / target_parts))
 
     doc_stats = doc_stats_from_docs(
-        with_idx, analyzer, docs_per_part, id_col, content_col
+        with_idx, analyzer, docs_per_part, id_col, content_col,
+        field_dls=fdefs or None,
     ).persist()
     avgdl = float(doc_stats.agg(F.avg("dl")).collect()[0][0] or 0.0)
 
@@ -935,12 +949,13 @@ def build_index(
 
     field_handles: dict[str, FieldIndex] | None = None
     if fdefs:
-        # ONE stats job covers every field's exact integer Σ dl (the
-        # same arithmetic the delta path uses for avgdl)
-        dl_row = with_idx.agg(
+        # ONE stats job covers every field's exact integer Σ dl, read
+        # off the cached doc_stats' dl_<field> columns (the delta path
+        # maintains the same integers incrementally)
+        dl_row = doc_stats.agg(
             *[
-                F.coalesce(F.sum(make_dl_udf(an)(F.col(f))), F.lit(0)).alias(f)
-                for f, an in fdefs.items()
+                F.coalesce(F.sum(f"dl_{f}"), F.lit(0)).alias(f)
+                for f in fdefs
             ]
         ).collect()[0]
         field_handles = {}

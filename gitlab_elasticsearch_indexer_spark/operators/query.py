@@ -350,6 +350,25 @@ def multi_search(
     fetch: str = "auto",
     offset: int = 0,
 ) -> DataFrame:
+    """Multi-field search — see :func:`multi_score_plan` for the lazy
+    scoring phase this consumes (split out so plan tests can assert the
+    scan shape, exactly like ``score_plan``/``search``)."""
+    spark = index.postings.sparkSession
+    scored = multi_score_plan(index, query, k=k + offset, fields=fields,
+                              lang=lang, repo=repo)
+    if scored is None:
+        return _local_result(spark, [], _HITS_FIELDS)
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def multi_score_plan(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    fields: tuple[str, ...] | None = None,
+    lang: str | None = None,
+    repo: str | None = None,
+) -> DataFrame | None:
     """Multi-field search — the ES bool-should shape GitLab issues over
     blobs (content + file_name + path, elastic/index.go:137-168): each
     field analyzes the query with ITS search chain, scores BM25 with
@@ -365,7 +384,6 @@ def multi_search(
     keyword filters/routing ride the same sidecar bitmaps and part_meta
     pruning.
     """
-    spark = index.postings.sparkSession
     built = index.fields or {}
     if fields is None:
         fields = ("content", *sorted(built))
@@ -405,7 +423,7 @@ def multi_search(
             )
         )
     if not srcs:
-        return _local_result(spark, [], _HITS_FIELDS)
+        return None
     cand = srcs[0]
     for s in srcs[1:]:
         cand = cand.unionByName(s)
@@ -424,7 +442,7 @@ def multi_search(
             ).select("doc_part").collect()
         ]
         if not parts:
-            return _local_result(spark, [], _HITS_FIELDS)
+            return None
         cand = cand.filter(F.col("doc_part").isin(parts))
     if predicates and index.filters is None:
         raise ValueError(
@@ -432,7 +450,7 @@ def multi_search(
         )
 
     kernel = _make_multifield_kernel(
-        widf_by_fld, avgdl_by_fld, k + offset, index.docs_per_part,
+        widf_by_fld, avgdl_by_fld, k, index.docs_per_part,
         len(predicates),
     )
     if predicates:
@@ -454,7 +472,7 @@ def multi_search(
         scored = cand.groupBy("doc_part").applyInPandas(
             _wrap_single(kernel), schema=TOPK_SCHEMA
         )
-    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+    return scored
 
 
 def _make_multifield_kernel(

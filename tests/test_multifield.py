@@ -269,3 +269,118 @@ def test_field_derivations(spark):
         assert [i for i, _ in hits] == ["a"]
     finally:
         idx.unpersist()
+
+
+def test_fields_full_versioned_lifecycle(spark, tmp_path):
+    """Field postings + exact per-field totals survive the whole store
+    lifecycle: save_versioned → load_versioned → delta (delete +
+    append) → snapshot update → compact → vacuum — and the delta-
+    maintained totals are INTEGER-IDENTICAL to a from-scratch rebuild
+    of the same corpus (the drift-free arithmetic the content index's
+    total_dl uses)."""
+    from gitlab_elasticsearch_indexer_spark.operators import (
+        incremental as inc,
+    )
+
+    path = str(tmp_path / "mfidx")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta w{i}", f"r{i % 3}",
+          f"src/dir{i % 5}/name_{i}.py", "Python") for i in range(40)],
+        "id string, content string, repo string, path string, lang string",
+    )
+    fdefs = {"file_name": "simple", "path": "path", "oid": "sha"}
+    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=16,
+                         fields=fdefs)
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+
+    l0 = inc.load_versioned(spark, path)
+    assert sorted(l0.fields) == ["file_name", "oid", "path"]
+    assert [r["id"] for r in
+            q.multi_search(l0, "name_7.py", k=3,
+                           fields=("file_name",)).collect()] == ["d7"]
+
+    # delta: delete d7, append d99 (fresh file name)
+    batch = spark.createDataFrame(
+        [("d99", "gamma delta", "r0", "src/dir0/zzz_99.py", "Python")],
+        "id string, content string, repo string, path string, lang string",
+    )
+    dels = spark.createDataFrame([("d7",)], "id string")
+    l1 = inc.update_index_delta(spark, path, batch, dels, snapshot_id=1)
+    assert q.multi_search(l1, "name_7.py", k=3,
+                          fields=("file_name",)).count() == 0
+    assert [r["id"] for r in
+            q.multi_search(l1, "zzz_99.py", k=3,
+                           fields=("file_name",)).collect()] == ["d99"]
+    # path-field and sha-prefix search over the delta'd store
+    assert any(r["id"] == "d99" for r in
+               q.multi_search(l1, "src/dir0/zzz_99.py", k=5,
+                              fields=("path",)).collect())
+    import hashlib
+
+    pfx = hashlib.sha256(b"gamma delta").hexdigest()[:7]
+    assert [r["id"] for r in
+            q.multi_search(l1, pfx, k=3, fields=("oid",)).collect()] == ["d99"]
+
+    # exact-totals parity vs a from-scratch rebuild of the same corpus
+    src2 = docs.filter(F.col("id") != "d7").unionByName(batch)
+    ref = ib.build_index(spark, src2, analyzer="simple", docs_per_part=16,
+                         fields=fdefs)
+    try:
+        for n in fdefs:
+            assert l1.fields[n].total_dl == ref.fields[n].total_dl, n
+            assert l1.fields[n].analyzer == ref.fields[n].analyzer, n
+    finally:
+        ref.unpersist()
+
+    # snapshot-path update appends d100
+    src3 = src2.unionByName(spark.createDataFrame(
+        [("d100", "epsilon", "r1", "lib/q_100.go", "Go")],
+        "id string, content string, repo string, path string, lang string",
+    ))
+    l2 = inc.update_index(spark, path, src3, snapshot_id=2)
+    assert [r["id"] for r in
+            q.multi_search(l2, "q_100.go", k=3,
+                           fields=("file_name",)).collect()] == ["d100"]
+
+    # compact merges the small accreted parts; fields ride the remap
+    l3 = inc.compact_index(spark, path, snapshot_id=3, min_fill=0.9)
+    assert [r["id"] for r in
+            q.multi_search(l3, "zzz_99.py", k=3,
+                           fields=("file_name",)).collect()] == ["d99"]
+
+    # vacuum drops superseded versions; the retained snapshot reloads
+    inc.vacuum(spark, path, keep_last=1)
+    l4 = inc.load_versioned(spark, path)
+    assert sorted(l4.fields) == ["file_name", "oid", "path"]
+    assert [r["id"] for r in
+            q.multi_search(l4, "zzz_99.py", k=3,
+                           fields=("file_name",)).collect()] == ["d99"]
+
+
+def test_fields_degrade_when_a_version_lacks_them(spark, tmp_path):
+    """A version written without field postings degrades the LOADED
+    index to fields=None (all-or-nothing, like the phrase sidecar) —
+    never a stale/fresh partition mix."""
+    import shutil
+
+    from gitlab_elasticsearch_indexer_spark.operators import (
+        incremental as inc,
+    )
+
+    path = str(tmp_path / "mfdeg")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha w{i}", "r0", f"p/{i}.py", "Python")
+         for i in range(8)],
+        "id string, content string, repo string, path string, lang string",
+    )
+    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=4,
+                         fields={"file_name": "simple"})
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+    assert inc.load_versioned(spark, path).fields is not None
+    shutil.rmtree(f"{path}/v0/fields")
+    l = inc.load_versioned(spark, path)
+    assert l.fields is None  # degraded, consistently
+    # content search still works
+    assert q.search(l, "alpha", k=3).count() == 3

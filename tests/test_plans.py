@@ -458,3 +458,57 @@ def test_phrase_scan_pushes_terms_and_matches_meta(spark, tmp_path_factory):
     apf(cand, "In(term")
     hits = phrase_search(loaded, "alpha beta", k=5)
     assert hits.count() == 5  # every doc contains the phrase; top-5 kept
+
+
+def test_multifield_scan_pushes_terms_and_prunes_columns(spark, tmp_path_factory):
+    """Multi-field scoring: every field's postings scan must receive its
+    analyzed query terms as an In() pushdown and read only the scoring
+    columns (no block-max sidecars on the exhaustive path)."""
+    from gitlab_elasticsearch_indexer_spark.operators import (
+        incremental as inc,
+    )
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        multi_score_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"if return tok{i % 5}", "r0", f"p/q/name_{i}.py", "py")
+         for i in range(60)],
+        "id string, content string, repo string, path string, lang string",
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=32,
+                      fields={"file_name": "simple"})
+    path = str(tmp_path_factory.mktemp("mfplan"))
+    inc.save_versioned(idx, path, snapshot_id=0)
+    idx.unpersist()
+    loaded = inc.load_versioned(spark, path)
+
+    scored = multi_score_plan(loaded, "name_3.py name_4.py if return",
+                              fields=("content", "file_name"), k=5)
+    plan = formatted_plan(scored)
+    # each field's scan gets ITS analyzed terms pushed down
+    assert plan.count("In(term") >= 2, plan
+    assert "name_3.py" in plan, plan
+    # no scan reads the block-max columns on this path
+    import re
+
+    for m in re.findall(r"ReadSchema: [^\n]*", plan):
+        assert "block_last" not in m, m
+
+    # and the result matches the in-memory index's (same corpus)
+    mem = build_index(spark, docs, analyzer="simple", docs_per_part=32,
+                      fields={"file_name": "simple"})
+    try:
+        from gitlab_elasticsearch_indexer_spark.operators.query import (
+            multi_search,
+        )
+
+        a = [(r["id"], round(r["score"], 9)) for r in
+             multi_search(loaded, "name_3.py if", k=5,
+                          fields=("content", "file_name")).collect()]
+        b = [(r["id"], round(r["score"], 9)) for r in
+             multi_search(mem, "name_3.py if", k=5,
+                          fields=("content", "file_name")).collect()]
+        assert a == b and a
+    finally:
+        mem.unpersist()
