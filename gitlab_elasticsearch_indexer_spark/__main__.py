@@ -173,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--queries", required=True,
                    help="JSON file mapping query_id -> query string or "
                         '{"q": ..., "lang": ..., "repo": ..., "from": ..., '
-                        '"phrase": true, "slop": ...}')
+                        '"phrase": true, "slop": ..., '
+                        '"fields": ["content", "file_name", ...]}')
     m.add_argument("--k", type=int, default=10)
     m.add_argument("--from", dest="offset", type=int, default=0,
                    help="default result offset (ES from) for entries "
@@ -234,9 +235,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 cdocs.select("id", F.col("message").alias("content"),
                              F.col("rid").alias("repo"),
-                             F.lit("").alias("path"), F.lit("").alias("lang")),
+                             F.lit("").alias("path"), F.lit("").alias("lang"),
+                             "sha"),
                 analyzer="default",  # commit.message uses the default chain
                 positions=args.positions,
+                # commit.sha maps through sha_analyzer (edgeNGram 5..40,
+                # elastic/index.go:96-104) so `search --doc-type commit
+                # --sha PREFIX` finds commits by prefix
+                fields={"sha": "sha"},
             )
             inc.save_versioned(cidx, f"{args.index}/commit_index", snapshot_id=0)
             save_documents(cdocs, f"{args.index}/commit_index")
@@ -284,7 +290,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark, croot,
                 cdocs.select("id", F.col("message").alias("content"),
                              F.col("rid").alias("repo"),
-                             F.lit("").alias("path"), F.lit("").alias("lang")),
+                             F.lit("").alias("path"), F.lit("").alias("lang"),
+                             "sha"),  # sha field maintained through update
                 snapshot_id=args.snapshot,
                 store_docs=cdocs,
             )
@@ -391,8 +398,11 @@ def main(argv: list[str] | None = None) -> int:
             if len(args.sha) < 5:
                 ap.error("--sha needs >= 5 characters (sha_analyzer "
                          "emits edgeNGrams 5..40)")
+            # blob indexes carry the blob sha as `oid`; commit indexes
+            # carry the commit sha as `sha` (elastic/index.go:96-104)
+            sha_field = "oid" if args.doc_type == "blob" else "sha"
             hits = q.multi_search(idx, args.sha, k=args.k,
-                                  fields=("oid",), lang=args.lang,
+                                  fields=(sha_field,), lang=args.lang,
                                   repo=args.repo, offset=args.offset)
             args.query = args.sha  # facet/highlight reuse below
         elif args.phrase:

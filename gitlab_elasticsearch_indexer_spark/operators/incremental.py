@@ -534,10 +534,25 @@ def update_index(
     for c in ("repo", "path", "lang"):
         if c not in curr_docs.columns:
             curr_docs = curr_docs.withColumn(c, F.lit(""))
+    # extra searchable fields: maintained when the previous snapshot's
+    # doc_stats carries their dl_<field> columns (all-or-nothing, like
+    # the sidecars).  Field source columns present in curr_docs ride
+    # the whole rebuild (e.g. a commit index's `sha`); the rest derive
+    # via FIELD_DERIVATIONS.
+    fdefs = {
+        name: fh.analyzer for name, fh in sorted((prev.fields or {}).items())
+        if f"dl_{name}" in prev.doc_stats.columns
+    }
+    extra_src = [
+        f for f in fdefs
+        if f in curr_docs.columns
+        and f not in (id_col, content_col, "repo", "path", "lang")
+    ]
     caches: list = []  # update-scoped persists, released before return
     curr = curr_docs.select(
         F.col(id_col).alias("id"), F.col(content_col).alias("content"),
-        "repo", "path", "lang", F.sha2(content_col, 256).alias("oid"),
+        "repo", "path", "lang", *extra_src,
+        F.sha2(content_col, 256).alias("oid"),
     ).persist()
     caches.append(curr)
 
@@ -573,12 +588,14 @@ def update_index(
         prev.doc_stats.filter(F.col("doc_part").isin([int(p) for p in affected]))
         .join(gone_ids, "id", "left_anti")
         .select("id", "doc_idx")
-        .join(curr.select("id", "content", "repo", "path", "lang"), "id")
+        .join(curr.select("id", "content", "repo", "path", "lang",
+                          *extra_src), "id")
     )
     # new/modified docs get appended doc_idx (deterministic rank among batch)
     appended = (
         assign_doc_ids(
-            curr.join(new_ids, "id").select("id", "content", "repo", "path", "lang"),
+            curr.join(new_ids, "id").select("id", "content", "repo", "path",
+                                            "lang", *extra_src),
             caches=caches,
         )
         .withColumn("doc_idx", F.col("doc_idx") + F.lit(old_max + 1))
@@ -586,13 +603,6 @@ def update_index(
     rebuilt_src = surviving.unionByName(appended).persist()
     caches.append(rebuilt_src)
 
-    # extra searchable fields ride the rebuild: maintained only when the
-    # previous snapshot's doc_stats carries their dl_<field> columns
-    # (all-or-nothing, like the sidecars)
-    fdefs = {
-        name: fh.analyzer for name, fh in sorted((prev.fields or {}).items())
-        if f"dl_{name}" in prev.doc_stats.columns
-    }
     if fdefs:
         from .index_build import with_field_columns
 
@@ -877,8 +887,15 @@ def update_index_delta(
 
     caches: list = []
     has_seq = "_seq" in upserts.columns
+    # field source columns present in the batch (e.g. a commit index's
+    # `sha`) ride through to the append path; absent ones derive via
+    # FIELD_DERIVATIONS at append time
+    extra_src = [
+        c for c in upserts.columns
+        if c not in ("id", "content", "repo", "path", "lang", "_seq", "oid")
+    ]
     ups = upserts.select(
-        "id", "content", "repo", "path", "lang",
+        "id", "content", "repo", "path", "lang", *extra_src,
         *(["_seq"] if has_seq else []),
         F.sha2("content", 256).alias("oid"),
     )
@@ -1082,7 +1099,8 @@ def update_index_delta(
         base_idx = next_part * dpp
         appended = (
             assign_doc_ids(
-                live_ups.select("id", "content", "repo", "path", "lang"),
+                live_ups.select("id", "content", "repo", "path", "lang",
+                                *extra_src),
                 caches=caches,
             ).withColumn("doc_idx", F.col("doc_idx") + F.lit(base_idx))
         )

@@ -749,7 +749,8 @@ def search_many(
     Full feature parity with :func:`search` and :func:`phrase_search`:
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
-    "phrase": bool, "slop": int}``.  Keyword predicates ride the same
+    "phrase": bool, "slop": int, "fields": [str, ...]}``.  Keyword
+    predicates ride the same
     per-part packed bitmaps (B16), repo-scoped entries prune their
     scoring to the doc_parts whose ``part_meta`` range covers the repo
     (B17) — and when EVERY entry is repo-scoped the postings scan itself
@@ -760,8 +761,11 @@ def search_many(
     part and the driver slices [offset, offset+k).  Phrase entries
     (``"phrase": True``) score over the positional sidecar in ONE
     additional job shared by every phrase entry of the batch (the ES
-    ``_msearch`` mixed-body analog); their candidates join the same
-    fetch phase.
+    ``_msearch`` mixed-body analog); multi-field entries
+    (``"fields": [...]``) likewise share ONE job over the involved
+    fields' postings, each (field, term) decoded once with the field's
+    avgdl (bool-should sums identical to :func:`multi_search`); all
+    candidates join the same fetch phase.
     """
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
@@ -771,6 +775,7 @@ def search_many(
     specs: dict[str, tuple[str, str | None, str | None]] = {}
     off_by_query: dict[str, int] = {}
     phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
+    mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     for qid, spec in queries.items():
         if isinstance(spec, str):
             specs[qid] = (spec, None, None)
@@ -778,8 +783,12 @@ def search_many(
         else:
             specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
             off_by_query[qid] = int(spec.get("from", offset))
+            if spec.get("phrase") and spec.get("fields"):
+                raise ValueError("an entry is phrase OR multi-field, not both")
             if spec.get("phrase"):
                 phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
+            elif spec.get("fields"):
+                mf_specs[qid] = tuple(spec["fields"])
     if any(v < 0 for v in off_by_query.values()):
         raise ValueError("from/offset must be >= 0")
     n_by_query = {qid: k + off_by_query[qid] for qid in specs}
@@ -787,7 +796,7 @@ def search_many(
     weights = {
         qid: Counter(analyze_query(qs))
         for qid, (qs, _, _) in specs.items()
-        if qid not in phrase_specs
+        if qid not in phrase_specs and qid not in mf_specs
     }
     all_terms = sorted({t for w in weights.values() for t in w})
     idf = index.idf_map(all_terms)
@@ -844,7 +853,38 @@ def search_many(
                     "slop": phrase_specs[qid][1],
                 }
 
-    live = set(widf_by_query) | set(phrase_q)
+    # multi-field entries: analyze per (entry, field) with the field's
+    # chain; idf via the shared memoized maps (content idf + per-field
+    # term-pruned aggregations, each field aggregated ONCE for all
+    # entries using it)
+    mf_q: dict[str, dict[str, dict[str, float]]] = {}  # qid -> fld -> w·idf
+    if mf_specs:
+        built = index.fields or {}
+        for qid, flds in mf_specs.items():
+            qs = specs[qid][0]
+            unknown = [f for f in flds if f != "content" and f not in built]
+            if unknown:
+                raise ValueError(
+                    f"batch entry {qid!r}: index has no field(s) {unknown!r}"
+                )
+            per_fld: dict[str, dict[str, float]] = {}
+            for f in flds:
+                if f == "content":
+                    w = Counter(analyze_query(qs))
+                    fidf = index.idf_map(list(w))
+                else:
+                    chain = FIELD_QUERY_ANALYZERS.get(
+                        built[f].analyzer, code_search_analyze
+                    )
+                    w = Counter(chain(qs))
+                    fidf = index.field_idf(f, list(w))
+                widf = {t: fidf[t] * n for t, n in w.items() if t in fidf}
+                if widf:
+                    per_fld[f] = widf
+            if per_fld:
+                mf_q[qid] = per_fld
+
+    live = set(widf_by_query) | set(phrase_q) | set(mf_q)
     if not live:
         return empty
 
@@ -894,7 +934,8 @@ def search_many(
             qid: w for qid, w in widf_by_query.items() if qid not in dead
         }
         phrase_q = {qid: s for qid, s in phrase_q.items() if qid not in dead}
-        if not widf_by_query and not phrase_q:
+        mf_q = {qid: s for qid, s in mf_q.items() if qid not in dead}
+        if not widf_by_query and not phrase_q and not mf_q:
             return empty
 
     out_schema = "query_id string, doc_idx long, score double"
@@ -982,6 +1023,50 @@ def search_many(
                 _wrap_single(p_kernel), schema=out_schema
             )
         rows.extend(p_scored.collect())
+
+    if mf_q:
+        # one additional job scores EVERY multi-field entry: each
+        # involved field's postings are scanned once, pruned to the
+        # union of that field's terms across entries; the kernel
+        # decodes each (field, term) once with the FIELD's avgdl and
+        # every entry sums its bool-should scores over the shared
+        # decodes
+        built = index.fields or {}
+        terms_by_fld: dict[str, set] = {}
+        for per_fld in mf_q.values():
+            for f, widf in per_fld.items():
+                terms_by_fld.setdefault(f, set()).update(widf)
+        mf_scan = _scan_parts_for(set(mf_q))
+        mf_cand = None
+        avgdl_by_fld: dict[str, float] = {}
+        for f, ts in sorted(terms_by_fld.items()):
+            post = index.postings if f == "content" else built[f].postings
+            avgdl_by_fld[f] = (
+                index.avgdl if f == "content" else built[f].avgdl
+            )
+            src = post.filter(F.col("term").isin(sorted(ts))).select(
+                "doc_part", F.lit(f).alias("fld"), "term",
+                "docs_bin", "tfs_bin", "dls_bin",
+            )
+            if mf_scan is not None:
+                src = src.filter(F.col("doc_part").isin(mf_scan))
+            mf_cand = src if mf_cand is None else mf_cand.unionByName(src)
+        mf_kernel = _make_batch_mf_kernel(
+            mf_q, preds_by_query, parts_by_query, avgdl_by_fld,
+            n_by_query, index.docs_per_part,
+        )
+        mf_fsel = _filters_for(set(mf_q), mf_scan)
+        if mf_fsel is not None:
+            mf_scored = (
+                mf_cand.groupBy("doc_part")
+                .cogroup(mf_fsel.groupBy("doc_part"))
+                .applyInPandas(mf_kernel, schema=out_schema)
+            )
+        else:
+            mf_scored = mf_cand.groupBy("doc_part").applyInPandas(
+                _wrap_single(mf_kernel), schema=out_schema
+            )
+        rows.extend(mf_scored.collect())
 
     # fetch phase, batched: per-query winners resolve driver-side from
     # the bounded candidate set; metadata comes from the hit doc_parts
@@ -1148,6 +1233,89 @@ def _make_batch_kernel(
         if not qids:
             return empty
         return pd.DataFrame({"query_id": qids, "doc_idx": didx, "score": scores})
+
+    return kernel
+
+
+def _make_batch_mf_kernel(
+    mf_q: dict[str, dict[str, dict[str, float]]],
+    preds_by_query: dict[str, list[tuple[str, str]]],
+    parts_by_query: dict[str, set[int]],
+    avgdl_by_fld: dict[str, float],
+    n_by_query: dict[str, int],
+    docs_per_part: int,
+):
+    """Per-doc_part BATCHED multi-field kernel (ES ``_msearch`` with
+    bool-should bodies): each (field, term) posting row decodes ONCE
+    with its FIELD's avgdl; every entry sums w·idf·tfn over its
+    (field, term) clauses — the same bool-should sum as
+    :func:`multi_search`, amortized across the batch.  Entry-level
+    predicates/routing mask exactly like the term batch kernel."""
+    from ..functions.codecs import unpack_doc_set
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_idx": [], "score": []})
+        if len(post_pdf) == 0:
+            return empty
+        part = int(post_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        bitmaps: dict[tuple[str, str], np.ndarray] = {}
+        if filter_pdf is not None and len(filter_pdf):
+            for row in filter_pdf.itertuples(index=False):
+                bitmaps[(row.field, row.value)] = unpack_doc_set(
+                    bytes(row.bits), docs_per_part
+                )
+
+        decoded: dict[tuple[str, str], dict] = {}
+        for row in post_pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            decoded[(row.fld, row.term)] = {
+                "docs": docs.astype(np.int64),
+                "tfn": _tfn(tfs, dls, avgdl_by_fld[row.fld]),
+            }
+
+        qids: list[str] = []
+        didx: list[int] = []
+        scores: list[float] = []
+        for qid, per_fld in mf_q.items():
+            pq = parts_by_query.get(qid)
+            if pq is not None and part not in pq:
+                continue
+            bits = None
+            missing_pred = False
+            for p in preds_by_query.get(qid) or []:
+                b = bitmaps.get(p)
+                if b is None:
+                    missing_pred = True
+                    break
+                bits = b if bits is None else (bits & b)
+            if missing_pred or (bits is not None and not bits.any()):
+                continue
+            terms = []
+            for f, widf in per_fld.items():
+                for t, w in widf.items():
+                    ent = decoded.get((f, t))
+                    if ent is None:
+                        continue
+                    docs, tfn = ent["docs"], ent["tfn"]
+                    if bits is not None:
+                        keep = bits[docs - base]
+                        if not keep.any():
+                            continue
+                        docs, tfn = docs[keep], tfn[keep]
+                    terms.append({"w": w, "docs": docs, "tfn": tfn})
+            if not terms:
+                continue
+            d, s = _exhaustive_topk(terms, n_by_query[qid])
+            qids.extend([qid] * len(d))
+            didx.extend(d.tolist())
+            scores.extend(s.tolist())
+        if not qids:
+            return empty
+        return pd.DataFrame({"query_id": qids, "doc_idx": didx,
+                             "score": scores})
 
     return kernel
 

@@ -384,3 +384,54 @@ def test_fields_degrade_when_a_version_lacks_them(spark, tmp_path):
     assert l.fields is None  # degraded, consistently
     # content search still works
     assert q.search(l, "alpha", k=3).count() == 3
+
+
+def test_search_many_multifield_entries_match_single(mf_index):
+    """Multi-field entries in search_many reproduce multi_search exactly
+    — mixed with a plain term entry, per-entry filters, and 'from'."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        multi_search,
+        search,
+        search_many,
+    )
+
+    qs = {
+        "m0": {"q": "user_controller.rb handler",
+               "fields": ["content", "file_name"]},
+        "m1": {"q": "user_controller.rb", "fields": ["file_name"],
+               "lang": "Ruby"},
+        "m2": {"q": "app/controllers/user_controller.rb",
+               "fields": ["path"], "repo": "r1"},
+        "m3": {"q": "handler", "fields": ["content"], "from": 1},
+        "m4": {"q": "zzznope", "fields": ["file_name"]},
+        "t0": "handler",
+    }
+    batched = search_many(mf_index, qs, k=4).collect()
+    by_q: dict = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], round(r["score"], 9))
+        )
+    for qid, spec in qs.items():
+        if isinstance(spec, str):
+            single = search(mf_index, spec, k=4).collect()
+            off = 0
+        else:
+            off = spec.get("from", 0)
+            single = multi_search(
+                mf_index, spec["q"], k=4, fields=tuple(spec["fields"]),
+                lang=spec.get("lang"), repo=spec.get("repo"), offset=off,
+            ).collect()
+        exp = [(off + i + 1, r["id"], round(r["score"], 9))
+               for i, r in enumerate(single)]
+        assert sorted(by_q.get(qid, [])) == exp, (qid, by_q.get(qid), exp)
+
+
+def test_search_many_rejects_phrase_plus_fields(mf_index):
+    import pytest as _pt
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    with _pt.raises(ValueError):
+        search_many(mf_index, {"x": {"q": "a b", "phrase": True,
+                                     "fields": ["content"]}}, k=2)
