@@ -353,8 +353,7 @@ def main(argv: list[str] | None = None) -> int:
                           "compacted_parts": len(st["compacted_parts"]),
                           "written_parts": len(st["written_parts"])}))
     elif args.cmd == "status":
-        import glob
-        import os
+        from .sources import fs as _sfs
 
         cp = inc._checkpoint_df(spark, args.index)
         hist = [r.asDict() for r in cp.orderBy(F.col("snapshot_id").desc())
@@ -368,7 +367,7 @@ def main(argv: list[str] | None = None) -> int:
                 str(r["version"]): int(r["n"]) for r in
                 man.groupBy("version").agg(F.count("*").alias("n")).collect()
             }
-            if os.path.isdir(f"{args.index}/v{sid}/term_manifest"):
+            if _sfs.isdir(f"{args.index}/v{sid}/term_manifest"):
                 tm = spark.read.parquet(f"{args.index}/v{sid}/term_manifest")
                 tm_buckets = {
                     str(r["version"]): int(r["n"]) for r in
@@ -379,9 +378,16 @@ def main(argv: list[str] | None = None) -> int:
             "history": hist,
             "manifest_parts_by_version": man_parts,
             "term_buckets_by_version": tm_buckets,
-            "has_doc_store": os.path.isdir(f"{args.index}/documents"),
-            "has_commit_index": os.path.isdir(f"{args.index}/commit_index"),
-            "has_positions": bool(glob.glob(f"{args.index}/v*/pos_postings")),
+            "has_doc_store": _sfs.isdir(f"{args.index}/documents"),
+            "has_commit_index": _sfs.isdir(f"{args.index}/commit_index"),
+            "has_positions": any(
+                _sfs.isdir(f"{args.index}/{d}/pos_postings")
+                for d in _sfs.listdir(args.index) if d.startswith("v")
+            ),
+            "has_fields": any(
+                _sfs.isdir(f"{args.index}/{d}/fields")
+                for d in _sfs.listdir(args.index) if d.startswith("v")
+            ),
             "blob_type": _read_index_meta(spark, args.index).get("blob_type", "blob"),
         }, default=str))
     elif args.cmd == "count":

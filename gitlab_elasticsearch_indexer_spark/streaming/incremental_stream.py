@@ -69,10 +69,10 @@ def init_source_state(docs: DataFrame, index_dir: str) -> None:
 def _stream_base_snapshot(spark: SparkSession, index_dir: str) -> int:
     """Pin the stream's base snapshot id once; reuse across restarts so
     a replayed batch_id maps to the same snapshot_id as its first run."""
-    import os
+    from ..sources import fs as _fs
 
     meta_path = f"{index_dir}/_stream_meta"
-    if os.path.isdir(meta_path):
+    if _fs.isdir(meta_path):
         return int(spark.read.parquet(meta_path).collect()[0]["base_snapshot"])
     base = int(latest_checkpoint(spark, index_dir)["snapshot_id"])
     spark.createDataFrame([(base,)], "base_snapshot long").write.mode(
@@ -133,7 +133,9 @@ def start_incremental_stream(
         # optional source-state mirror (snapshot reconstruction/tooling):
         # fold into touched state partitions only; skipped when
         # init_source_state was never called
-        if os.path.isdir(src_path):
+        from ..sources import fs as _fs
+
+        if _fs.isdir(src_path):
             _fold_source_state(spark, src_path, batch_docs)
         batch_docs.unpersist()
 
@@ -191,10 +193,10 @@ def start_incremental_stream(
         # a partition whose every row was deleted writes no data under
         # dynamic overwrite — drop its directory explicitly (under a
         # real table format this is the DELETE's metadata operation)
-        import shutil
+        from ..sources import fs as _fs
 
         for p in set(touched) - surviving:
-            shutil.rmtree(f"{src_path}/state_part={p}", ignore_errors=True)
+            _fs.rmtree(f"{src_path}/state_part={p}")
 
     reader = (
         spark.readStream.schema(SOURCE_SCHEMA)
