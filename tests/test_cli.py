@@ -430,3 +430,73 @@ def test_cli_build_positions_and_phrase_search(spark, dirs, capsys):
 
     assert main(["status", "--index", idx]) == 0
     assert _lines(capsys)[-1]["has_positions"] is True
+
+
+def test_cli_fields_sha_and_msearch_fields(spark, dirs, capsys, tmp_path):
+    """build --field / search --fields / search --sha (blob oid AND
+    commit sha) / msearch fields entries — the multi-field surface end
+    to end through the CLI, including the update path maintaining the
+    commit index's sha field."""
+    import hashlib
+
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--commits", commits, "--field", "file_name",
+                 "--field", "oid"]) == 0
+    _lines(capsys)
+
+    # filename query hits the file whose name never appears in content
+    assert main(["search", "--index", idx, "--query", "util.rb",
+                 "--fields", "file_name", "--k", "2"]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["id"] == "repo2_lib/util.rb"
+
+    # blob oid prefix lookup
+    pfx = hashlib.sha256(b"table scan merge index").hexdigest()[:7]
+    assert main(["search", "--index", idx, "--sha", pfx, "--k", "2"]) == 0
+    rows = _lines(capsys)
+    assert [r["id"] for r in rows] == ["repo1_src/db.py"]
+
+    # commit sha prefix lookup (sha field on the commit index)
+    assert main(["search", "--index", idx, "--doc-type", "commit",
+                 "--sha", "e" * 7, "--k", "2"]) == 0
+    rows = _lines(capsys)
+    assert [r["id"] for r in rows] == ["repo1_" + "e" * 40]
+
+    # msearch with a fields entry mixed with a plain term entry
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps({
+        "f1": {"q": "app.py", "fields": ["file_name"]},
+        "t1": "merge index",
+    }))
+    assert main(["msearch", "--index", idx, "--queries", str(qf),
+                 "--k", "2"]) == 0
+    rows = _lines(capsys)
+    got = {r["query_id"]: r["id"] for r in rows if r["rank"] == 1}
+    assert got["f1"] == "repo1_src/app.py"
+    assert got["t1"] == "repo1_src/db.py"
+
+    # the update path maintains the commit sha field: a fresh commit's
+    # prefix resolves after update
+    from datetime import datetime as _dt
+
+    commits2 = str(tmp_path / "commits2")
+    spark.read.parquet(commits).unionByName(spark.createDataFrame(
+        [("repo1", "9" * 40, "zoe", "z@x.io", _dt(2024, 4, 1, 0, 0, 0),
+          "zoe", "z@x.io", _dt(2024, 4, 1, 0, 0, 1), "New thing")],
+        COMMIT_SCHEMA,
+    )).write.parquet(commits2)
+    assert main(["update", "--source", src, "--index", idx,
+                 "--snapshot", "1", "--commits", commits2]) == 0
+    _lines(capsys)
+    assert main(["search", "--index", idx, "--doc-type", "commit",
+                 "--sha", "9" * 8, "--k", "2"]) == 0
+    rows = _lines(capsys)
+    assert [r["id"] for r in rows] == ["repo1_" + "9" * 40]
+
+    # argument validation: --query and --sha are mutually exclusive,
+    # and a <5-char prefix can't match any sha gram
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "x", "--sha", "abcde"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--sha", "abcd"])
