@@ -399,6 +399,11 @@ def main(argv: list[str] | None = None) -> int:
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         if (args.query is None) == (args.sha is None):
             ap.error("search needs exactly one of --query / --sha")
+        if sum(map(bool, (args.sha, args.phrase, args.fields))) > 1:
+            ap.error("--sha, --phrase, and --fields are mutually "
+                     "exclusive query types")
+        if args.slop and not args.phrase:
+            ap.error("--slop requires --phrase")
         idx = inc.load_versioned(spark, root)
         if args.sha is not None:
             if len(args.sha) < 5:

@@ -889,10 +889,13 @@ def update_index_delta(
     has_seq = "_seq" in upserts.columns
     # field source columns present in the batch (e.g. a commit index's
     # `sha`) ride through to the append path; absent ones derive via
-    # FIELD_DERIVATIONS at append time
+    # FIELD_DERIVATIONS at append time.  Whitelisted to the index's own
+    # field sources — a stray column (doc_idx from a recycled join, a
+    # leftover _rn) must not leak into assign_doc_ids' schema
     extra_src = [
-        c for c in upserts.columns
-        if c not in ("id", "content", "repo", "path", "lang", "_seq", "oid")
+        f for f in fdefs
+        if f in upserts.columns
+        and f not in ("id", "content", "repo", "path", "lang")
     ]
     ups = upserts.select(
         "id", "content", "repo", "path", "lang", *extra_src,

@@ -422,6 +422,13 @@ def normalize_fields(fields) -> dict[str, str]:
         return {}
     if isinstance(fields, dict):
         return dict(fields)
+    unknown = [f for f in fields if f not in FIELD_ANALYZERS]
+    if unknown:
+        raise ValueError(
+            f"field(s) {unknown!r} have no reference-mapping analyzer "
+            f"(known: {sorted(FIELD_ANALYZERS)}); pass a "
+            "{field: analyzer} dict to choose one explicitly"
+        )
     return {f: FIELD_ANALYZERS[f] for f in fields}
 
 
@@ -629,9 +636,12 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
             pos_analyzer, pos_avgdl = pm["pos_analyzer"], pm["pos_avgdl"]
     fields = None
     if fs.isdir(f"{path}/fields_meta"):
+        # explicit schema: a field whose analyzer emitted no tokens
+        # corpus-wide saves a row-less postings dir, which must load as
+        # empty, not fail inference (same guard as _read_parts)
         fields = {
             r["field"]: FieldIndex(
-                postings=spark.read.parquet(
+                postings=spark.read.schema(POSTINGS_TABLE_SCHEMA).parquet(
                     f"{path}/fields/{r['field']}/postings"
                 ),
                 analyzer=r["analyzer"],

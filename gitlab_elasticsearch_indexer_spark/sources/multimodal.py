@@ -625,6 +625,8 @@ def _walk_avi(raw: bytes) -> tuple[int, int, int, list[bytes]]:
                 ltype = raw[body_lo:body_lo + 4]
                 scan(body_lo + 4, body_hi, ltype == b"movi")
             elif fourcc == b"avih":
+                if body_hi - body_lo < 56:
+                    raise NotImplementedError("truncated avih header")
                 hdr = struct.unpack("<14I", raw[body_lo:body_lo + 56])
                 n_frames, w, h = hdr[4], hdr[8], hdr[9]
             elif in_movi and fourcc[2:4] in (b"dc", b"db"):
@@ -816,6 +818,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                     out["n_samples"].append(None)
                 elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                     w, h, nf, px = _decode_avi_mjpeg(raw)
+                    if nf == 0:  # frameless container: nothing to report
+                        continue
                     v = px.astype(np.float64)
                     out["width"].append(w)
                     out["height"].append(h)

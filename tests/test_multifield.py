@@ -435,3 +435,37 @@ def test_search_many_rejects_phrase_plus_fields(mf_index):
     with _pt.raises(ValueError):
         search_many(mf_index, {"x": {"q": "a b", "phrase": True,
                                      "fields": ["content"]}}, k=2)
+
+
+def test_empty_field_postings_save_load(spark, tmp_path):
+    """A field whose analyzer emits no tokens corpus-wide saves a
+    row-less postings dir; both loaders must read it as empty (explicit
+    schema), and searching it returns no rows rather than raising."""
+    docs = spark.createDataFrame(
+        [("a", "hello", "r", "x.py", "en"), ("b", "world", "r", "y.py", "en")],
+        "id string, content string, repo string, path string, lang string",
+    )
+    # sha analyzer needs >=5 chars; 2-char values emit zero grams
+    docs = docs.withColumn("tag", F.substring("id", 1, 2))
+    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=2,
+                         fields={"tag": "sha"})
+    p1 = str(tmp_path / "flat")
+    idx.save(p1)
+    l1 = ib.load_index(spark, p1)
+    assert "tag" in l1.fields and l1.fields["tag"].postings.count() == 0
+    assert q.multi_search(l1, "abcdef", k=3, fields=("tag",)).count() == 0
+
+    from gitlab_elasticsearch_indexer_spark.operators import incremental as inc
+
+    p2 = str(tmp_path / "versioned")
+    inc.save_versioned(idx, p2, snapshot_id=0)
+    l2 = inc.load_versioned(spark, p2)
+    assert "tag" in l2.fields and l2.fields["tag"].postings.count() == 0
+    idx.unpersist()
+
+
+def test_normalize_fields_unknown_name_raises():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ib.normalize_fields(["filename"])  # typo for file_name
