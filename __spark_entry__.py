@@ -79,11 +79,22 @@ scored AS (
 
 
 def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
-              repo: str | None = None, offset: int = 0) -> str:
+              repo: str | None = None, offset: int = 0,
+              operator: str = "or", neg: list[str] | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     flt = (f"AND meta.lang = '{lang}' " if lang else "") + (
         f"AND meta.repo = '{repo}' " if repo else ""
     )
+    if operator == "and":
+        # conjunctive (simple_query_string default_operator AND): a hit
+        # must contain every distinct query term
+        nd = len(set(terms))
+        flt += (f"AND (SELECT count(DISTINCT term) FROM tok "
+                f"WHERE tok.id = scored.id AND term IN ({tlist})) = {nd} ")
+    if neg:
+        nlist = ", ".join(f"'{t}'" for t in neg)
+        flt += (f"AND scored.id NOT IN "
+                f"(SELECT DISTINCT id FROM tok WHERE term IN ({nlist})) ")
     return f"""
 WITH q AS (SELECT unnest([{tlist}]) AS term),
 {_BM25_CTES.removeprefix("WITH ")}
@@ -95,12 +106,32 @@ LIMIT {k} OFFSET {offset}
 """
 
 
+_INDEX_CACHE: dict = {}
+
+
+def _shared_index(spark, sf_dir, analyzer="simple", positions=False):
+    """The plain search gates all query the SAME immutable
+    (analyzer, docs_per_part=128) index over `documents` — build it once
+    per (session, sf_dir, analyzer, positions) and share it.  Gates only
+    READ the shared object (the lifecycle gates that save/update/compact
+    write to their own scratch copies), so sharing is safe; it trims the
+    driver's correctness-artifact wall time (the round-4 artifact
+    truncated its last 3 rows on a time budget)."""
+    key = (id(spark), sf_dir, analyzer, positions)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer=analyzer,
+                             docs_per_part=128, positions=positions)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
 def _bm25_spark(spark, sf_dir, query, k, lang=None, repo=None,
-                mode="exhaustive", offset=0) -> DataFrame:
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+                mode="exhaustive", offset=0, operator="or",
+                must_not=None) -> DataFrame:
+    idx = _shared_index(spark, sf_dir)
     hits = q.search(idx, query, k=k, lang=lang, repo=repo, mode=mode,
-                    offset=offset)
+                    offset=offset, operator=operator, must_not=must_not)
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
@@ -110,6 +141,26 @@ def q_bm25_paged(spark, sf_dir):
     global order — deep-paging cost grows with from+size, as in ES)."""
     return _bm25_spark(spark, sf_dir, "table scan merge", k=10, offset=20,
                        mode="bmw")
+
+
+def q_conjunctive_search(spark, sf_dir):
+    """Bool must / simple_query_string default_operator AND (the shape
+    GitLab issues for advanced search): a hit must contain EVERY
+    analyzed query term; scores are the same summed BM25.  Evaluation
+    is intersection-first per doc_part (sorted-merge over the smallest
+    surviving posting list), so cost tracks the rarest term, not the
+    union — the conjunctive analog of WAND skipping."""
+    return _bm25_spark(spark, sf_dir, "table scan merge", k=15,
+                       operator="and")
+
+
+def q_must_not_search(spark, sf_dir):
+    """ES bool must_not (`-term` in simple_query_string): docs
+    containing any excluded term are masked out of every scoring list
+    before evaluation — exclusion terms ride the same term-pruned
+    postings scan and never cross a shuffle."""
+    return _bm25_spark(spark, sf_dir, "table scan", k=15,
+                       must_not="merge")
 
 
 # --------------------------------------------------------------------------
@@ -404,7 +455,7 @@ def q_delete_by_id(spark, sf_dir):
     shutil.rmtree(scratch, ignore_errors=True)
 
     docs = _docs(spark, sf_dir)
-    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)  # seed copy; writes go to scratch
     inc.save_versioned(idx, scratch, snapshot_id=0)
 
     doc_num = F.substring("id", 5, 6).cast("long")
@@ -447,9 +498,10 @@ def q_compacted_search(spark, sf_dir):
     shutil.rmtree(scratch, ignore_errors=True)
 
     docs = _docs(spark, sf_dir)
-    idx = ib.build_index(spark, docs, analyzer="simple", docs_per_part=128)
+    # seed copy from the shared build (stays persisted for later gates);
+    # all writes go to this gate's scratch store
+    idx = _shared_index(spark, sf_dir)
     inc.save_versioned(idx, scratch, snapshot_id=0)
-    idx.unpersist()
 
     def batch(rows):
         return spark.createDataFrame(
@@ -682,8 +734,7 @@ SELECT term, count(*)::BIGINT AS cnt FROM grams GROUP BY term
 
 def q_doc_stats(spark, sf_dir):
     """B13: per-doc length + collection stats inputs."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     return idx.doc_stats.select("id", F.col("dl").cast("long").alias("dl"))
 
 
@@ -694,8 +745,7 @@ SQL_DOC_STATS = (
 
 def q_term_stats(spark, sf_dir):
     """B12+B13: salted two-stage df/cf merge → global term statistics."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     return idx.term_stats.select(
         "term",
         F.col("df").cast("long").alias("df"),
@@ -752,8 +802,7 @@ def q_phrase_search(spark, sf_dir):
     constituent terms' idfs) over the positional-postings sidecar.  The
     oracle reconstructs token positions with a window over the split
     list and replays the adjacency join + scoring in SQL."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128, positions=True)
+    idx = _shared_index(spark, sf_dir, positions=True)
     hits = q.phrase_search(idx, "table hash", k=15)
     return hits.select("id", F.round("score", 4).alias("score"))
 
@@ -795,8 +844,7 @@ def q_facet_lang(spark, sf_dir):
     per-(field, value) counts of ALL docs matching the analyzed query,
     computed from partition-local popcounts over the filters sidecar —
     no per-doc row ever leaves its doc_part."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     return q.facet_counts(idx, "table scan", fields=("lang",)).select(
         "field", "value", F.col("n").cast("long").alias("n")
     )
@@ -805,8 +853,7 @@ def q_facet_lang(spark, sf_dir):
 def q_match_count(spark, sf_dir):
     """ES _count analog: total matching docs (any analyzed term, with a
     repo keyword filter riding the same bitmap path)."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     n = q.match_count(idx, "table scan merge", repo="src3")
     return spark.createDataFrame([(n,)], "n long")
 
@@ -846,8 +893,7 @@ _BATCH_QUERIES = {
 
 def q_bm25_search_many(spark, sf_dir):
     """Batched multi-query top-k: one job, shared posting decodes."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     out = q.search_many(idx, {k: " ".join(v) for k, v in _BATCH_QUERIES.items()}, k=10)
     return out.select("query_id", "rank", "id", F.round("score", 4).alias("score"))
 
@@ -889,8 +935,7 @@ def q_search_many_filtered(spark, sf_dir):
     predicates ride the same per-part bitmap sidecars, repo-scoped
     entries prune their doc_parts, and the per-query kernel is block-max
     WAND — one Spark job for the whole filtered batch."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     out = q.search_many(idx, _BATCH_FILTERED, k=10, mode="bmw")
     return out.select("query_id", "rank", "id", F.round("score", 4).alias("score"))
 
@@ -935,8 +980,7 @@ def q_bm25_default_analyzer(spark, sf_dir):
     """B6: default analyzer (standard tokenizer + lowercase +
     light_english stem) end-to-end — a plural query form matches
     singular occurrences via shared stems."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="default",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir, analyzer="default")
     hits = q.search(idx, "tables queries", k=15)
     return hits.select("id", F.round("score", 4).alias("score"))
 
@@ -1043,8 +1087,7 @@ ORDER BY raw DESC, id ASC LIMIT 15
 
 def q_get_by_id(spark, sf_dir):
     """B19: point lookup by doc id."""
-    idx = ib.build_index(spark, _docs(spark, sf_dir), analyzer="simple",
-                         docs_per_part=128)
+    idx = _shared_index(spark, sf_dir)
     return q.get_by_id(idx, "doc_000042").select(
         "id", "lang", "repo", F.col("dl").cast("long").alias("dl")
     )
@@ -1766,10 +1809,16 @@ def _docs_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mf_index(spark, sf_dir):
-    return ib.build_index(
-        spark, _docs_mf(spark, sf_dir), analyzer="simple", docs_per_part=128,
-        fields={"file_name": "simple", "path": "path"},
-    )
+    key = (id(spark), sf_dir, "mf")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = ib.build_index(
+            spark, _docs_mf(spark, sf_dir), analyzer="simple",
+            docs_per_part=128,
+            fields={"file_name": "simple", "path": "path"},
+        )
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 def q_multifield_search(spark, sf_dir):
@@ -1991,6 +2040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_path_field_search": q_path_field_search,
         "b21_fields_delta_search": q_fields_delta_search,
         "b22_sha_prefix_search": q_sha_prefix_search,
+        "b23_conjunctive_search": q_conjunctive_search,
+        "b24_must_not_search": q_must_not_search,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2056,6 +2107,10 @@ def oracle_sql() -> dict[str, str]:
         "b21_path_field_search": SQL_PATH_FIELD,
         "b21_fields_delta_search": SQL_FIELDS_DELTA,
         "b22_sha_prefix_search": SQL_SHA_PREFIX_SEARCH,
+        "b23_conjunctive_search": _bm25_sql(["table", "scan", "merge"], 15,
+                                            operator="and"),
+        "b24_must_not_search": _bm25_sql(["table", "scan"], 15,
+                                         neg=["merge"]),
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
                         "needs an index built with --field")
+    s.add_argument("--operator", choices=["or", "and"], default="or",
+                   help="'and' requires every analyzed query term (the "
+                        "simple_query_string default_operator AND shape "
+                        "GitLab issues)")
+    s.add_argument("--not", dest="must_not", action="append", default=None,
+                   metavar="TERM", help="exclude docs containing TERM "
+                   "(ES bool must_not; repeatable)")
     s.add_argument("--sha", default=None, metavar="PREFIX",
                    help="SHA-prefix lookup (>=5 hex chars) over the oid "
                         "field's edgeNGram 5..40 grams; needs `build "
@@ -404,6 +411,11 @@ def main(argv: list[str] | None = None) -> int:
                      "exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
+        if (args.operator == "and" or args.must_not) and (
+            args.sha or args.phrase or args.fields
+        ):
+            ap.error("--operator and / --not apply to plain term queries "
+                     "(not --sha/--phrase/--fields)")
         idx = inc.load_versioned(spark, root)
         if args.sha is not None:
             if len(args.sha) < 5:
@@ -428,7 +440,9 @@ def main(argv: list[str] | None = None) -> int:
             hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                             repo=args.repo,
                             mode="bmw" if args.bmw else "exhaustive",
-                            offset=args.offset)
+                            offset=args.offset, operator=args.operator,
+                            must_not=(" ".join(args.must_not)
+                                      if args.must_not else None))
         if args.facet:
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
                                 lang=args.lang, repo=args.repo)

@@ -112,13 +112,26 @@ def score_plan(
     lang: str | None = None,
     repo: str | None = None,
     mode: str = "exhaustive",
+    operator: str = "or",
+    must_not: str | None = None,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`search`: per-doc_part top-k
     candidate rows (doc_idx, score).  ``None`` means the query can match
     nothing (no live term / repo routed to zero parts).  Split out so
     the scoring plan (term pushdown, sidecar reads, doc_part pruning)
     stays inspectable — ``search`` consumes it eagerly for the fetch
-    phase."""
+    phase.
+
+    ``operator="and"`` requires every distinct analyzed query term
+    (GitLab issues simple_query_string with default_operator AND); a
+    query term with zero corpus df then matches nothing.  ``must_not``
+    is analyzed with the same chain and its terms' docs are excluded
+    (ES bool must_not); under AND a term both required and excluded
+    matches nothing, under OR an excluded term just stops being a
+    should clause — both mirroring Lucene's bool query.
+    """
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     weights = Counter(analyze_query(query))
@@ -128,8 +141,24 @@ def score_plan(
 
     if not widf:
         return None
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    n_required = 0
+    if operator == "and":
+        if neg & set(weights):
+            return None  # a term required AND excluded: nothing can match
+        if len(widf) < len(weights):
+            return None  # a required term has df=0: nothing matches all
+        n_required = len(widf)
+    elif neg:
+        # OR: an excluded term can never contribute to a surviving doc
+        # (any doc containing it is excluded) — drop it from the should
+        # clauses, keep it as exclusion; Lucene's `foo -foo` ⇒ empty
+        widf = {t: w for t, w in widf.items() if t not in neg}
+        if not widf:
+            return None
 
-    cand = index.postings.filter(F.col("term").isin(list(widf))).select(
+    scan_terms = list(widf) + sorted(neg)
+    cand = index.postings.filter(F.col("term").isin(scan_terms)).select(
         "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
         "block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl",
     )
@@ -159,7 +188,8 @@ def score_plan(
         cand = cand.filter(F.col("doc_part").isin(parts))
 
     kernel = _make_part_kernel(
-        widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates)
+        widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates),
+        neg_terms=neg, n_required=n_required,
     )
     if predicates:
         if index.filters is None:
@@ -237,11 +267,21 @@ def search(
     fetch: str = "auto",
     offset: int = 0,
     fields: tuple[str, ...] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
     Duplicate analyzed query tokens add their scores (one term clause
     per occurrence, like a match query).
+
+    ``operator="and"`` requires a hit to contain EVERY distinct
+    analyzed query term (the simple_query_string default_operator AND
+    shape GitLab issues); scores are the same summed BM25.  ``must_not``
+    excludes docs containing any of its analyzed terms (bool must_not /
+    ``-term``).  Both compose with lang/repo filters and offset; with
+    ``operator="and"`` the evaluation is intersection-first, so
+    ``mode`` is ignored.
 
     ``fields`` switches to the multi-field bool-should shape (see
     :func:`multi_search`); ``mode`` is then ignored (exhaustive).
@@ -257,11 +297,17 @@ def search(
     (the distributed fallback, also used by plan tests).
     """
     if fields is not None:
+        if operator != "or" or must_not is not None:
+            raise ValueError(
+                "operator='and' / must_not are single-field features; "
+                "multi-field bool-should search scores each field's OR "
+                "clauses (the ES multi_match shape)"
+            )
         return multi_search(index, query, k=k, fields=fields, lang=lang,
                             repo=repo, fetch=fetch, offset=offset)
     spark = index.postings.sparkSession
     scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
-                        mode=mode)
+                        mode=mode, operator=operator, must_not=must_not)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
 
@@ -539,6 +585,8 @@ def _make_part_kernel(
     use_bmw: bool,
     docs_per_part: int = 0,
     n_predicates: int = 0,
+    neg_terms: frozenset[str] = frozenset(),
+    n_required: int = 0,
 ):
     """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
@@ -548,6 +596,17 @@ def _make_part_kernel(
     metadata computed over the unfiltered lists remains a valid (looser)
     upper bound for the masked lists, so BMW stays exact under filters.
     A part lacking a row for some predicate has no qualifying docs.
+
+    ``neg_terms`` (ES bool must_not / simple_query_string ``-term``)
+    arrive as extra postings rows in the same term-pruned scan; their
+    decoded doc lists are unioned into a sorted exclusion array and
+    masked out of every scoring term BEFORE evaluation, so excluded
+    docs are never scored and BMW's bounds stay valid (removing docs
+    only loosens block maxima).  ``n_required > 0`` switches to
+    conjunctive (ES ``operator: and``) evaluation: a doc must match all
+    ``n_required`` distinct query terms — a part carrying fewer
+    surviving term lists can have no hits, and survivors are found by
+    sorted-merge intersection before any scoring work.
     """
     from ..functions.codecs import unpack_doc_set
 
@@ -567,14 +626,33 @@ def _make_part_kernel(
             if not bits.any():
                 return empty
 
+        excl = None
+        if neg_terms:
+            neg_docs = [
+                unpack_postings(
+                    bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+                )[0].astype(np.int64)
+                for row in postings_pdf.itertuples(index=False)
+                if row.term in neg_terms
+            ]
+            if neg_docs:
+                excl = np.unique(np.concatenate(neg_docs))
+
         terms = []
         for row in postings_pdf.itertuples(index=False):
+            if row.term in neg_terms:
+                continue
             docs, tfs, dls = unpack_postings(
                 bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
             )
             docs = docs.astype(np.int64)
             if bits is not None:
                 keep = bits[docs - base]
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if excl is not None:
+                keep = ~_sorted_member(docs, excl)
                 if not keep.any():
                     continue
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -600,7 +678,9 @@ def _make_part_kernel(
         if not terms:
             return empty
 
-        if use_bmw:
+        if n_required:
+            doc_idx, score = _conjunctive_topk(terms, k, n_required)
+        elif use_bmw:
             doc_idx, score = _bmw_topk(terms, k)
         else:
             doc_idx, score = _exhaustive_topk(terms, k)
@@ -622,6 +702,43 @@ def _exhaustive_topk(terms, k):
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_contrib)
     return _topk_arrays(uniq, acc, k)
+
+
+def _sorted_member(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
+    """Boolean mask: a[i] in sorted_b — searchsorted membership probe,
+    O((|a|+|b|) log |b|) with no hashing (both sides are int64 doc ids)."""
+    if len(sorted_b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(sorted_b, a)
+    idx[idx == len(sorted_b)] = len(sorted_b) - 1
+    return sorted_b[idx] == a
+
+
+def _conjunctive_topk(terms, k, n_required):
+    """ES ``operator: and`` evaluation: docs matching ALL ``n_required``
+    distinct query terms, scored by the same summed BM25 as the OR path.
+
+    Intersection-first (the standard conjunctive DAAT strategy, and why
+    ``mode="bmw"`` is moot here): the smallest surviving list seeds the
+    candidate set and every further list shrinks it by a sorted-merge
+    membership probe, so per-doc scores are only computed for docs
+    already known to contain every term.  Cost is bounded by the
+    smallest term's posting length, not the union.
+    """
+    if len(terms) < n_required:
+        # a distinct query term has no surviving docs in this part
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    order = sorted(terms, key=lambda t: len(t["docs"]))
+    inter = order[0]["docs"]
+    for t in order[1:]:
+        inter = inter[_sorted_member(inter, t["docs"])]
+        if len(inter) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    acc = np.zeros(len(inter), dtype=np.float64)
+    for t in terms:
+        pos = np.searchsorted(t["docs"], inter)
+        acc += t["w"] * t["tfn"][pos]
+    return _topk_arrays(inter, acc, k)
 
 
 def _topk_arrays(doc_idx: np.ndarray, score: np.ndarray, k: int):
@@ -749,7 +866,8 @@ def search_many(
     Full feature parity with :func:`search` and :func:`phrase_search`:
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
-    "phrase": bool, "slop": int, "fields": [str, ...]}``.  Keyword
+    "phrase": bool, "slop": int, "fields": [str, ...],
+    "operator": "or"|"and", "must_not": str}``.  Keyword
     predicates ride the same
     per-part packed bitmaps (B16), repo-scoped entries prune their
     scoring to the doc_parts whose ``part_meta`` range covers the repo
@@ -776,6 +894,8 @@ def search_many(
     off_by_query: dict[str, int] = {}
     phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
+    op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
+    negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
     for qid, spec in queries.items():
         if isinstance(spec, str):
             specs[qid] = (spec, None, None)
@@ -785,6 +905,22 @@ def search_many(
             off_by_query[qid] = int(spec.get("from", offset))
             if spec.get("phrase") and spec.get("fields"):
                 raise ValueError("an entry is phrase OR multi-field, not both")
+            op = spec.get("operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError(
+                    f"batch entry {qid!r}: operator must be 'or' or 'and'"
+                )
+            if (op == "and" or spec.get("must_not")) and (
+                spec.get("phrase") or spec.get("fields")
+            ):
+                raise ValueError(
+                    f"batch entry {qid!r}: operator='and'/must_not apply to "
+                    "plain term entries, not phrase or multi-field ones"
+                )
+            if op == "and":
+                op_by_query[qid] = op
+            if spec.get("must_not"):
+                negq_by_query[qid] = str(spec["must_not"])
             if spec.get("phrase"):
                 phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
             elif spec.get("fields"):
@@ -805,6 +941,31 @@ def search_many(
         for qid, w in weights.items()
     }
     widf_by_query = {qid: w for qid, w in widf_by_query.items() if w}
+    neg_by_query = {
+        qid: frozenset(analyze_query(raw))
+        for qid, raw in negq_by_query.items()
+    }
+    neg_by_query = {qid: n for qid, n in neg_by_query.items() if n}
+    nreq_by_query: dict[str, int] = {}
+    for qid in list(widf_by_query):
+        # same dead/drop rules as score_plan: AND dies on a term both
+        # required and excluded or on a required df=0 term; OR drops
+        # excluded terms from the should clauses (they can never
+        # contribute to a surviving doc)
+        neg = neg_by_query.get(qid, frozenset())
+        if qid in op_by_query:  # operator="and"
+            if neg & set(weights[qid]):
+                del widf_by_query[qid]
+            elif len(widf_by_query[qid]) < len(weights[qid]):
+                del widf_by_query[qid]
+            else:
+                nreq_by_query[qid] = len(widf_by_query[qid])
+        elif neg:
+            w = {t: v for t, v in widf_by_query[qid].items() if t not in neg}
+            if w:
+                widf_by_query[qid] = w
+            else:
+                del widf_by_query[qid]
 
     # phrase entries: analyze with the sidecar's chain, idf from ITS dfs
     # (one term-pruned aggregation shared by every phrase entry), exactly
@@ -969,7 +1130,11 @@ def search_many(
         if use_bmw:
             cols += ["block_last", "block_max_tf", "block_min_dl",
                      "max_tf", "min_dl"]
-        live_terms = sorted({t for w in widf_by_query.values() for t in w})
+        live_terms = sorted(
+            {t for w in widf_by_query.values() for t in w}
+            | {t for qid in widf_by_query
+               for t in neg_by_query.get(qid, frozenset())}
+        )
         cand = index.postings.filter(
             F.col("term").isin(live_terms)
         ).select(*cols)
@@ -980,6 +1145,7 @@ def search_many(
         kernel = _make_batch_kernel(
             widf_by_query, preds_by_query, parts_by_query,
             index.avgdl, n_by_query, use_bmw, index.docs_per_part,
+            neg_by_query=neg_by_query, nreq_by_query=nreq_by_query,
         )
         fsel = _filters_for(set(widf_by_query), scan_parts)
         if fsel is not None:
@@ -1146,13 +1312,20 @@ def _make_batch_kernel(
     n_by_query: dict[str, int],
     use_bmw: bool,
     docs_per_part: int,
+    neg_by_query: dict[str, frozenset[str]] | None = None,
+    nreq_by_query: dict[str, int] | None = None,
 ):
     """Per-doc_part batched kernel: decode each term ONCE, score every
     query against the shared decodes (masked per query by its predicate
     bitmaps; skipped entirely when the query's repo routing excludes this
     part).  Block metadata stays a valid looser bound under masks, so the
     per-query BMW kernel remains exact (same argument as the single-query
-    path)."""
+    path).  ``neg_by_query`` / ``nreq_by_query`` carry per-entry
+    must_not exclusion sets and operator="and" required-term counts —
+    exclusion terms share the same decodes, and conjunctive entries use
+    the intersection-first evaluation (see :func:`_conjunctive_topk`)."""
+    neg_by_query = neg_by_query or {}
+    nreq_by_query = nreq_by_query or {}
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -1203,6 +1376,15 @@ def _make_batch_kernel(
                 bits = b if bits is None else (bits & b)
             if missing_pred or (bits is not None and not bits.any()):
                 continue
+            excl = None
+            neg = neg_by_query.get(qid)
+            if neg:
+                neg_docs = [
+                    decoded[t]["docs"] for t in sorted(neg) if t in decoded
+                ]
+                if neg_docs:
+                    excl = (neg_docs[0] if len(neg_docs) == 1
+                            else np.unique(np.concatenate(neg_docs)))
             terms = []
             for t, w in widf.items():
                 ent = decoded.get(t)
@@ -1211,6 +1393,11 @@ def _make_batch_kernel(
                 docs, tfn = ent["docs"], ent["tfn"]
                 if bits is not None:
                     keep = bits[docs - base]
+                    if not keep.any():
+                        continue
+                    docs, tfn = docs[keep], tfn[keep]
+                if excl is not None:
+                    keep = ~_sorted_member(docs, excl)
                     if not keep.any():
                         continue
                     docs, tfn = docs[keep], tfn[keep]
@@ -1223,8 +1410,10 @@ def _make_batch_kernel(
             if not terms:
                 continue
             n_q = n_by_query[qid]
+            nreq = nreq_by_query.get(qid, 0)
             d, s = (
-                _bmw_topk(terms, n_q) if use_bmw
+                _conjunctive_topk(terms, n_q, nreq) if nreq
+                else _bmw_topk(terms, n_q) if use_bmw
                 else _exhaustive_topk(terms, n_q)
             )
             qids.extend([qid] * len(d))

@@ -62,12 +62,20 @@ class OracleIndex:
         k: int = 10,
         lang: str | None = None,
         repo: str | None = None,
+        operator: str = "or",
+        must_not: str | None = None,
     ) -> list[tuple[str, float]]:
-        """Top-k (doc_id, BM25 score), tie-break score desc then doc_id asc."""
+        """Top-k (doc_id, BM25 score), tie-break score desc then doc_id asc.
+
+        ``operator="and"`` keeps only docs containing every distinct
+        analyzed query term; ``must_not`` drops docs containing any of
+        its analyzed terms — brute-force referee for the engine's bool
+        must/must_not paths."""
         analyze_query = (
             default_analyze if self.analyzer == "default" else code_search_analyze
         )
         terms = analyze_query(query)
+        neg = set(analyze_query(must_not)) if must_not else set()
         avgdl = self.avgdl
         scores: dict[str, float] = {}
         for t in terms:
@@ -79,6 +87,19 @@ class OracleIndex:
                 dl = self.dls[doc_id]
                 tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
                 scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+        if operator == "and":
+            req = set(terms)
+            scores = {
+                d: s for d, s in scores.items()
+                if all(d in self.postings.get(t, {}) for t in req)
+            }
+        if neg:
+            # a surviving doc contains no excluded term, so its summed
+            # score never included one — filtering alone is exact
+            scores = {
+                d: s for d, s in scores.items()
+                if not any(d in self.postings.get(t, {}) for t in neg)
+            }
         hits = [
             (d, s)
             for d, s in scores.items()

@@ -187,6 +187,48 @@ def test_cli_msearch_batch(spark, dirs, capsys, tmp_path):
     assert [h["id"] for h in single] == [i for _, i in by_q["flt"]]
 
 
+def test_cli_bool_operator_and_must_not(spark, dirs, capsys, tmp_path):
+    """--operator and (simple_query_string default_operator AND) and
+    --not (bool must_not) on the search CLI, plus the same spec keys
+    through msearch; conflicting flags are rejected."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    # "def" appears in app.py and util.rb; only app.py also has "return"
+    assert main(["search", "--index", idx, "--query", "def return",
+                 "--operator", "and"]) == 0
+    hits = _lines(capsys)
+    assert [h["id"] for h in hits] == ["repo1_src/app.py"]
+
+    # exclusion: "def" minus docs containing "helper" leaves app.py
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--not", "helper"]) == 0
+    hits = _lines(capsys)
+    assert [h["id"] for h in hits] == ["repo1_src/app.py"]
+
+    # batched parity through the msearch JSON spec
+    qfile = str(tmp_path / "bool_queries.json")
+    with open(qfile, "w") as fh:
+        json.dump({
+            "conj": {"q": "def return", "operator": "and"},
+            "excl": {"q": "def", "must_not": "helper"},
+        }, fh)
+    assert main(["msearch", "--index", idx, "--queries", qfile]) == 0
+    rows = _lines(capsys)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    assert by_q == {"conj": ["repo1_src/app.py"],
+                    "excl": ["repo1_src/app.py"]}
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--operator", "and", "--phrase"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--sha", "abcdef1", "--not", "x"])
+
+
 def test_cli_update_delta_applies_change_set(spark, dirs, capsys, tmp_path):
     """update-delta: the reference's FROM→TO contract (main.go:46-47) on
     the CLI — a pre-classified change set (NULL content = delete) runs

@@ -145,6 +145,78 @@ def test_rank_identity_vs_oracle(spark, index, oracle, mode):
                            rtol=1e-9, atol=1e-12), (query, got_rows, exp)
 
 
+BOOL_QUERIES = [
+    # (query, operator, must_not, lang) — ES bool must / must_not shapes
+    ("get user if", "and", None, None),
+    ("return self", "and", None, None),
+    ("getUser scoreIndex", "and", None, None),   # code-analyzer capture
+    ("def return", "and", "user", None),         # AND + exclusion
+    ("get user", "or", "if", None),              # OR + exclusion
+    ("get user", "or", "if return", None),       # multi-term exclusion
+    ("if", "or", "if", None),                    # `foo -foo` ⇒ empty
+    ("if user", "or", "if", None),               # OR drops excluded clause
+    ("if return", "and", "return", None),        # required AND excluded ⇒ ∅
+    ("get zzz_no_such_term", "and", None, None),  # dead required term ⇒ ∅
+    ("get user if", "and", None, "Python"),      # AND + keyword filter
+]
+
+
+def test_bool_rank_identity_vs_oracle(spark, index, oracle):
+    """operator='and' / must_not match the brute-force oracle rank- and
+    score-identically (the bool must / must_not ES shapes)."""
+    for query, op, neg, lang in BOOL_QUERIES:
+        got = [(r["id"], r["score"]) for r in
+               search(index, query, k=12, operator=op, must_not=neg,
+                      lang=lang).collect()]
+        exp = oracle.search(query, k=12, operator=op, must_not=neg, lang=lang)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, op, neg)
+        assert np.allclose([g[1] for g in got], [e[1] for e in exp],
+                           rtol=1e-9, atol=1e-12), (query, op, neg)
+
+
+def test_bool_search_many_matches_single(index, oracle):
+    """Batched operator/must_not entries return exactly the single-query
+    results (shared-decode kernel parity)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    batch = {
+        f"q{i}": {"q": q, "operator": op, **({"must_not": neg} if neg else {}),
+                  **({"lang": lang} if lang else {})}
+        for i, (q, op, neg, lang) in enumerate(BOOL_QUERIES)
+    }
+    rows = search_many(index, batch, k=12).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for i, (q, op, neg, lang) in enumerate(BOOL_QUERIES):
+        exp = [(j + 1, d, s) for j, (d, s) in enumerate(
+            oracle.search(q, k=12, operator=op, must_not=neg, lang=lang))]
+        got = sorted(by_q.get(f"q{i}", []))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp], (
+            q, op, neg)
+        assert np.allclose([s for *_, s in got], [s for *_, s in exp],
+                           rtol=1e-9, atol=1e-12)
+
+
+def test_bool_validation_errors(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    with pytest.raises(ValueError, match="operator"):
+        search(index, "if", operator="xor")
+    with pytest.raises(ValueError, match="single-field"):
+        search(index, "if", operator="and", fields=("file_name",))
+    with pytest.raises(ValueError, match="operator"):
+        search_many(index, {"a": {"q": "if", "operator": "nand"}})
+    with pytest.raises(ValueError, match="plain term"):
+        search_many(index, {"a": {"q": "if", "operator": "and",
+                                  "phrase": True}})
+    with pytest.raises(ValueError, match="plain term"):
+        search_many(index, {"a": {"q": "if", "must_not": "x",
+                                  "fields": ["file_name"]}})
+
+
 def test_term_stats_consistency(index, oracle):
     n = index.n_docs
     assert n == oracle.n_docs

@@ -38,6 +38,18 @@ def test_term_filter_pushed_to_postings_scan(saved_index):
     assert_pushed_filter(scored, "In(term")
 
 
+def test_bool_query_keeps_term_pushdown(saved_index):
+    """operator='and' and must_not ride the SAME term-pruned postings
+    scan: positive and exclusion terms together form one In() pushdown
+    — exclusion never becomes a second scan or an anti-join shuffle."""
+    scored = score_plan(saved_index, "if getuser1", k=5, operator="and")
+    assert_pushed_filter(scored, "In(term")
+    scored = score_plan(saved_index, "if", k=5, must_not="return")
+    plan = assert_pushed_filter(scored, "In(term")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("return" in l for l in pushed)  # neg term rides the scan
+
+
 def test_topk_join_is_broadcast(saved_index):
     """Distributed fetch fallback: per-partition top-k candidates
     (≤ k·n_parts rows) must broadcast against doc_stats, never shuffle
