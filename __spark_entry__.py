@@ -154,6 +154,20 @@ def q_conjunctive_search(spark, sf_dir):
                        operator="and")
 
 
+def q_search_after(spark, sf_dir):
+    """ES search_after: the SCALABLE deep-paging cursor.  Page 1's last
+    hit (score, id) seeds page 2; kernels emit only docs strictly after
+    the cursor in (score desc, id asc) order, so every page costs O(k)
+    regardless of depth — unlike from/size, whose per-part cost grows
+    with offset+k (why ES caps from+size at 10k and recommends
+    search_after past it).  The oracle replays page 2 as OFFSET k."""
+    idx = _shared_index(spark, sf_dir)
+    p1 = q.search(idx, "table scan merge", k=10).collect()
+    cur = (float(p1[-1]["score"]), p1[-1]["id"])
+    hits = q.search(idx, "table scan merge", k=10, search_after=cur)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
 def q_must_not_search(spark, sf_dir):
     """ES bool must_not (`-term` in simple_query_string): docs
     containing any excluded term are masked out of every scoring list
@@ -2042,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_sha_prefix_search": q_sha_prefix_search,
         "b23_conjunctive_search": q_conjunctive_search,
         "b24_must_not_search": q_must_not_search,
+        "b25_search_after": q_search_after,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2111,6 +2126,8 @@ def oracle_sql() -> dict[str, str]:
                                             operator="and"),
         "b24_must_not_search": _bm25_sql(["table", "scan"], 15,
                                          neg=["merge"]),
+        "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
+                                      offset=10),
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

@@ -142,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
                         "needs an index built with --field")
+    s.add_argument("--after", nargs=2, default=None,
+                   metavar=("SCORE", "ID"),
+                   help="ES search_after cursor: the last hit of the "
+                        "previous page; O(k) deep paging at any depth "
+                        "(mutually exclusive with --from)")
     s.add_argument("--operator", choices=["or", "and"], default="or",
                    help="'and' requires every analyzed query term (the "
                         "simple_query_string default_operator AND shape "
@@ -411,11 +416,13 @@ def main(argv: list[str] | None = None) -> int:
                      "exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
-        if (args.operator == "and" or args.must_not) and (
+        if (args.operator == "and" or args.must_not or args.after) and (
             args.sha or args.phrase or args.fields
         ):
-            ap.error("--operator and / --not apply to plain term queries "
-                     "(not --sha/--phrase/--fields)")
+            ap.error("--operator and / --not / --after apply to plain term "
+                     "queries (not --sha/--phrase/--fields)")
+        if args.after and args.offset:
+            ap.error("--after and --from are mutually exclusive")
         idx = inc.load_versioned(spark, root)
         if args.sha is not None:
             if len(args.sha) < 5:
@@ -442,7 +449,10 @@ def main(argv: list[str] | None = None) -> int:
                             mode="bmw" if args.bmw else "exhaustive",
                             offset=args.offset, operator=args.operator,
                             must_not=(" ".join(args.must_not)
-                                      if args.must_not else None))
+                                      if args.must_not else None),
+                            search_after=((float(args.after[0]),
+                                           args.after[1])
+                                          if args.after else None))
         if args.facet:
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
                                 lang=args.lang, repo=args.repo)
@@ -461,8 +471,12 @@ def main(argv: list[str] | None = None) -> int:
                 content_col="content" if args.doc_type == "blob" else "message",
             )
         for r in rows:
+            # "sort" carries the FULL-precision cursor values (the ES
+            # hit.sort array) — feed them back via --after; the rounded
+            # score is for display only
             d = {"id": r["id"], "score": round(r["score"], 6),
-                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"],
+                 "sort": [r["score"], r["id"]]}
             if args.highlight:
                 d["highlight"] = frags.get(r["id"], [])
             print(json.dumps(d))

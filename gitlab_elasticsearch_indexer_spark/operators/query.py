@@ -114,6 +114,7 @@ def score_plan(
     mode: str = "exhaustive",
     operator: str = "or",
     must_not: str | None = None,
+    after_cursor: tuple[float, int] | None = None,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`search`: per-doc_part top-k
     candidate rows (doc_idx, score).  ``None`` means the query can match
@@ -129,6 +130,11 @@ def score_plan(
     (ES bool must_not); under AND a term both required and excluded
     matches nothing, under OR an excluded term just stops being a
     should clause — both mirroring Lucene's bool query.
+
+    ``after_cursor`` is a resolved (score, doc_idx) ES search_after
+    cursor: kernels emit only docs strictly after it in the (score
+    desc, doc_idx asc) total order, so deep paging costs O(k) per page
+    at any depth (:func:`search` resolves the public (score, id) form).
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
@@ -189,7 +195,7 @@ def score_plan(
 
     kernel = _make_part_kernel(
         widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates),
-        neg_terms=neg, n_required=n_required,
+        neg_terms=neg, n_required=n_required, after=after_cursor,
     )
     if predicates:
         if index.filters is None:
@@ -257,6 +263,27 @@ def _fetch_doc_meta(
     return out
 
 
+def _resolve_cursors(
+    index: InvertedIndex, cursors: dict
+) -> dict:
+    """Resolve public search_after cursors (score, id) → kernel cursors
+    (score, doc_idx) in ONE bounded point lookup: the id filter pushes
+    to the doc_stats parquet scan, and ids sort identically to doc_idx
+    (doc_idx IS the rank of the string id), so row-group min/max stats
+    prune to the hit partitions."""
+    ids = sorted({sid for _, sid in cursors.values()})
+    rows = index.doc_stats.filter(F.col("id").isin(ids)).select(
+        "id", "doc_idx"
+    ).collect()
+    by_id = {r["id"]: int(r["doc_idx"]) for r in rows}
+    out = {}
+    for key, (score, sid) in cursors.items():
+        if sid not in by_id:
+            raise ValueError(f"search_after id {sid!r} not found in the index")
+        out[key] = (float(score), by_id[sid])
+    return out
+
+
 def search(
     index: InvertedIndex,
     query: str,
@@ -269,6 +296,7 @@ def search(
     fields: tuple[str, ...] | None = None,
     operator: str = "or",
     must_not: str | None = None,
+    search_after: tuple[float, str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
@@ -291,23 +319,40 @@ def search(
     standard deep-paging cost model (cost grows with offset+k, which
     is why ES caps from+size at 10 000).
 
+    ``search_after=(score, id)`` is the SCALABLE deep-paging cursor
+    (the ES search_after analog): pass the last hit of the previous
+    page and kernels keep only docs strictly after it in the (score
+    desc, id asc) order — each page costs O(k) regardless of depth,
+    which is why ES recommends it past the from+size cap.  Mutually
+    exclusive with ``offset``; the id must exist in the index.  Cursor
+    scores compare exactly (float64): reuse a cursor with the same
+    query surface that produced it — the single and batched kernels
+    can differ in the last ULP of a score (accumulation order), the
+    same caveat ES has for cursors across shard-routing changes.
+
     ``fetch``: "auto" resolves hit metadata via driver-side point reads
     of the hit doc_parts when the index is file-backed (one Spark job
     per query total); "spark" forces the doc_part-pruned broadcast join
     (the distributed fallback, also used by plan tests).
     """
     if fields is not None:
-        if operator != "or" or must_not is not None:
+        if operator != "or" or must_not is not None or search_after:
             raise ValueError(
-                "operator='and' / must_not are single-field features; "
-                "multi-field bool-should search scores each field's OR "
-                "clauses (the ES multi_match shape)"
+                "operator='and' / must_not / search_after are single-field "
+                "features; multi-field bool-should search scores each "
+                "field's OR clauses (the ES multi_match shape)"
             )
         return multi_search(index, query, k=k, fields=fields, lang=lang,
                             repo=repo, fetch=fetch, offset=offset)
     spark = index.postings.sparkSession
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
     scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
-                        mode=mode, operator=operator, must_not=must_not)
+                        mode=mode, operator=operator, must_not=must_not,
+                        after_cursor=cursor)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
 
@@ -587,6 +632,7 @@ def _make_part_kernel(
     n_predicates: int = 0,
     neg_terms: frozenset[str] = frozenset(),
     n_required: int = 0,
+    after: tuple[float, int] | None = None,
 ):
     """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
@@ -679,11 +725,11 @@ def _make_part_kernel(
             return empty
 
         if n_required:
-            doc_idx, score = _conjunctive_topk(terms, k, n_required)
+            doc_idx, score = _conjunctive_topk(terms, k, n_required, after)
         elif use_bmw:
-            doc_idx, score = _bmw_topk(terms, k)
+            doc_idx, score = _bmw_topk(terms, k, after)
         else:
-            doc_idx, score = _exhaustive_topk(terms, k)
+            doc_idx, score = _exhaustive_topk(terms, k, after)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 
     return kernel
@@ -695,13 +741,13 @@ def _tfn(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return t / denom
 
 
-def _exhaustive_topk(terms, k):
+def _exhaustive_topk(terms, k, after=None):
     all_docs = np.concatenate([t["docs"] for t in terms])
     all_contrib = np.concatenate([t["w"] * t["tfn"] for t in terms])
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_contrib)
-    return _topk_arrays(uniq, acc, k)
+    return _topk_arrays(uniq, acc, k, after=after)
 
 
 def _sorted_member(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
@@ -714,7 +760,7 @@ def _sorted_member(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
     return sorted_b[idx] == a
 
 
-def _conjunctive_topk(terms, k, n_required):
+def _conjunctive_topk(terms, k, n_required, after=None):
     """ES ``operator: and`` evaluation: docs matching ALL ``n_required``
     distinct query terms, scored by the same summed BM25 as the OR path.
 
@@ -738,10 +784,17 @@ def _conjunctive_topk(terms, k, n_required):
     for t in terms:
         pos = np.searchsorted(t["docs"], inter)
         acc += t["w"] * t["tfn"][pos]
-    return _topk_arrays(inter, acc, k)
+    return _topk_arrays(inter, acc, k, after=after)
 
 
-def _topk_arrays(doc_idx: np.ndarray, score: np.ndarray, k: int):
+def _topk_arrays(doc_idx: np.ndarray, score: np.ndarray, k: int, after=None):
+    if after is not None:
+        # ES search_after: keep only docs strictly after the cursor in
+        # the (score desc, doc_idx asc) total order — page cost is O(k)
+        # at ANY depth, unlike from/size whose cost grows with offset
+        a_s, a_d = after
+        keep = (score < a_s) | ((score == a_s) & (doc_idx > a_d))
+        doc_idx, score = doc_idx[keep], score[keep]
     n = len(doc_idx)
     if n == 0:
         return doc_idx, score
@@ -755,13 +808,20 @@ def _topk_arrays(doc_idx: np.ndarray, score: np.ndarray, k: int):
     return doc_idx[order], score[order]
 
 
-def _bmw_topk(terms, k):
+def _bmw_topk(terms, k, after=None):
     """Exact block-max WAND over decoded+block metadata.
 
     Pruning uses a strict bound (< θ): any doc whose upper bound ties θ
     is still evaluated, so results — including the (score desc, doc_idx
     asc) tie-break — are identical to the exhaustive kernel.
+
+    ``after`` (ES search_after cursor, (score, doc_idx)) filters at
+    candidate-insert time: docs at-or-before the cursor are evaluated
+    but never enter the heap, so θ only reflects after-cursor docs and
+    pruning stays exact.  Unlike from/size, cost does not grow with
+    page depth — only the cursor-superior docs are scored once each.
     """
+    a_key = (after[0], -after[1]) if after is not None else None
     cur = []  # per term: position pointer
     n_t = len(terms)
     ptr = [0] * n_t
@@ -815,7 +875,9 @@ def _bmw_topk(terms, k):
                         s += terms[i]["w"] * terms[i]["tfn"][ptr[i]]
                         ptr[i] += 1
                 cand = (s, -pivot_doc)
-                if len(heap) < k:
+                if a_key is not None and not cand < a_key:
+                    pass  # at-or-before the cursor: not on this page
+                elif len(heap) < k:
                     heapq.heappush(heap, cand)
                 elif cand > heap[0]:
                     heapq.heapreplace(heap, cand)
@@ -867,7 +929,11 @@ def search_many(
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
     "phrase": bool, "slop": int, "fields": [str, ...],
-    "operator": "or"|"and", "must_not": str}``.  Keyword
+    "operator": "or"|"and", "must_not": str,
+    "search_after": [score, id]}``.  ``search_after`` entries page with
+    the O(k)-per-page cursor exactly like ``search(search_after=)``
+    (cursor ids resolve in ONE shared point lookup; ``rank`` restarts
+    at 1 on each cursor page, as in ES).  Keyword
     predicates ride the same
     per-part packed bitmaps (B16), repo-scoped entries prune their
     scoring to the doc_parts whose ``part_meta`` range covers the repo
@@ -896,6 +962,7 @@ def search_many(
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
+    cursor_specs: dict[str, tuple[float, str]] = {}  # qid -> (score, id)
     for qid, spec in queries.items():
         if isinstance(spec, str):
             specs[qid] = (spec, None, None)
@@ -921,6 +988,19 @@ def search_many(
                 op_by_query[qid] = op
             if spec.get("must_not"):
                 negq_by_query[qid] = str(spec["must_not"])
+            if spec.get("search_after") is not None:
+                if spec.get("phrase") or spec.get("fields"):
+                    raise ValueError(
+                        f"batch entry {qid!r}: search_after applies to "
+                        "plain term entries, not phrase or multi-field ones"
+                    )
+                if spec.get("from"):
+                    raise ValueError(
+                        f"batch entry {qid!r}: from and search_after are "
+                        "mutually exclusive"
+                    )
+                sa = spec["search_after"]
+                cursor_specs[qid] = (float(sa[0]), str(sa[1]))
             if spec.get("phrase"):
                 phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
             elif spec.get("fields"):
@@ -1142,10 +1222,17 @@ def search_many(
         if scan_parts is not None:
             cand = cand.filter(F.col("doc_part").isin(scan_parts))
 
+        live_cursors = {
+            qid: c for qid, c in cursor_specs.items() if qid in widf_by_query
+        }
+        after_by_query = (
+            _resolve_cursors(index, live_cursors) if live_cursors else {}
+        )
         kernel = _make_batch_kernel(
             widf_by_query, preds_by_query, parts_by_query,
             index.avgdl, n_by_query, use_bmw, index.docs_per_part,
             neg_by_query=neg_by_query, nreq_by_query=nreq_by_query,
+            after_by_query=after_by_query,
         )
         fsel = _filters_for(set(widf_by_query), scan_parts)
         if fsel is not None:
@@ -1314,6 +1401,7 @@ def _make_batch_kernel(
     docs_per_part: int,
     neg_by_query: dict[str, frozenset[str]] | None = None,
     nreq_by_query: dict[str, int] | None = None,
+    after_by_query: dict[str, tuple[float, int]] | None = None,
 ):
     """Per-doc_part batched kernel: decode each term ONCE, score every
     query against the shared decodes (masked per query by its predicate
@@ -1326,6 +1414,7 @@ def _make_batch_kernel(
     the intersection-first evaluation (see :func:`_conjunctive_topk`)."""
     neg_by_query = neg_by_query or {}
     nreq_by_query = nreq_by_query or {}
+    after_by_query = after_by_query or {}
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -1411,10 +1500,11 @@ def _make_batch_kernel(
                 continue
             n_q = n_by_query[qid]
             nreq = nreq_by_query.get(qid, 0)
+            aft = after_by_query.get(qid)
             d, s = (
-                _conjunctive_topk(terms, n_q, nreq) if nreq
-                else _bmw_topk(terms, n_q) if use_bmw
-                else _exhaustive_topk(terms, n_q)
+                _conjunctive_topk(terms, n_q, nreq, aft) if nreq
+                else _bmw_topk(terms, n_q, aft) if use_bmw
+                else _exhaustive_topk(terms, n_q, aft)
             )
             qids.extend([qid] * len(d))
             didx.extend(d.tolist())

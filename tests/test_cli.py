@@ -229,6 +229,27 @@ def test_cli_bool_operator_and_must_not(spark, dirs, capsys, tmp_path):
         main(["search", "--index", idx, "--sha", "abcdef1", "--not", "x"])
 
 
+def test_cli_search_after_cursor(spark, dirs, capsys):
+    """--after SCORE ID (ES search_after): page 2 continues exactly
+    where page 1's last hit left off."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "def", "--k", "1"]) == 0
+    p1 = _lines(capsys)
+    assert len(p1) == 1
+    score, hit_id = p1[0]["sort"]  # full-precision ES-style sort values
+    assert main(["search", "--index", idx, "--query", "def", "--k", "1",
+                 "--after", repr(score), hit_id]) == 0
+    p2 = _lines(capsys)
+    assert len(p2) == 1 and p2[0]["id"] != p1[0]["id"]
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--after", "1.0", "x", "--from", "5"])
+
+
 def test_cli_update_delta_applies_change_set(spark, dirs, capsys, tmp_path):
     """update-delta: the reference's FROM→TO contract (main.go:46-47) on
     the CLI — a pre-classified change set (NULL content = delete) runs

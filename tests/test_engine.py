@@ -217,6 +217,73 @@ def test_bool_validation_errors(index):
                                   "fields": ["file_name"]}})
 
 
+@pytest.mark.parametrize("mode,extra", [
+    ("exhaustive", {}),
+    ("bmw", {}),
+    ("exhaustive", {"operator": "and"}),
+    ("bmw", {"must_not": "return"}),
+])
+def test_search_after_pages_match_full_ranking(index, mode, extra):
+    """ES search_after: paging by cursor reproduces the full ranking
+    exactly (ids AND float64 scores) across kernels — each page costs
+    O(k) at any depth, unlike offset paging."""
+    full = [(r["id"], r["score"]) for r in
+            search(index, "get user if", k=30, mode=mode, **extra).collect()]
+    paged: list = []
+    cursor = None
+    while len(paged) < len(full):
+        page = [(r["id"], r["score"]) for r in
+                search(index, "get user if", k=5, mode=mode,
+                       search_after=cursor, **extra).collect()]
+        if not page:
+            break
+        paged.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert paged[:len(full)] == full
+    assert len(paged) >= len(full)
+
+
+def test_search_after_batch_is_self_consistent(index):
+    """Batched search_after entries page the batch ranking exactly
+    (cursor ids resolve in one shared lookup)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    def batch_page(spec, k):
+        out = search_many(index, {"x": spec}, k=k).collect()
+        return [(r["id"], r["score"])
+                for r in sorted(out, key=lambda r: r["rank"])]
+
+    full = batch_page({"q": "get user if"}, 30)
+    paged: list = []
+    cursor = None
+    while len(paged) < len(full):
+        spec = {"q": "get user if"}
+        if cursor:
+            spec["search_after"] = [cursor[1], cursor[0]]
+        page = batch_page(spec, 5)
+        if not page:
+            break
+        paged.extend(page)
+        cursor = page[-1]
+    assert paged[:len(full)] == full
+    assert len(paged) >= len(full)
+
+
+def test_search_after_validation_errors(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search(index, "if", k=5, offset=5, search_after=(1.0, "x"))
+    with pytest.raises(ValueError, match="not found"):
+        search(index, "if", k=5, search_after=(1.0, "zz_missing_id"))
+    with pytest.raises(ValueError, match="plain term"):
+        search_many(index, {"a": {"q": "if", "phrase": True,
+                                  "search_after": [1.0, "x"]}})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search_many(index, {"a": {"q": "if", "from": 5,
+                                  "search_after": [1.0, "x"]}})
+
+
 def test_term_stats_consistency(index, oracle):
     n = index.n_docs
     assert n == oracle.n_docs
