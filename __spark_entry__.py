@@ -168,6 +168,43 @@ def q_search_after(spark, sf_dir):
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
+def q_explain(spark, sf_dir):
+    """ES _explain analog: per-term BM25 breakdown of one (query, doc)
+    pair — occurrences, idf, tf, dl, tfn, contribution per matching
+    term; the contributions sum to the doc's search score.  A point
+    plan: one pushed doc_stats lookup + a postings scan pruned to the
+    query terms AND the doc's single doc_part."""
+    idx = _shared_index(spark, sf_dir)
+    ex = q.explain(idx, "table scan merge", "doc_000042")
+    return ex.select(
+        "term",
+        F.col("occurrences").cast("long").alias("occurrences"),
+        F.round("idf", 4).alias("idf"),
+        "tf", "dl",
+        F.round("tfn", 4).alias("tfn"),
+        F.round("contribution", 4).alias("contribution"),
+    )
+
+
+SQL_EXPLAIN = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_BM25_CTES.removeprefix("WITH ")}
+SELECT q.term AS term,
+       1::BIGINT AS occurrences,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 4) AS idf,
+       tf.tf::BIGINT AS tf,
+       dl.dl::BIGINT AS dl,
+       round(tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 4) AS tfn,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 4)
+           AS contribution
+FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+CROSS JOIN stats s
+WHERE tf.id = 'doc_000042'
+ORDER BY term
+"""
+
+
 def q_must_not_search(spark, sf_dir):
     """ES bool must_not (`-term` in simple_query_string): docs
     containing any excluded term are masked out of every scoring list
@@ -2057,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_conjunctive_search": q_conjunctive_search,
         "b24_must_not_search": q_must_not_search,
         "b25_search_after": q_search_after,
+        "b26_explain": q_explain,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2128,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
                                          neg=["merge"]),
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
+        "b26_explain": SQL_EXPLAIN,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

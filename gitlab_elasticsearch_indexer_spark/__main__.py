@@ -164,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
                         "aggregation analog GitLab renders as per-language "
                         "hit counts)")
 
+    ex = sub.add_parser("explain", help="per-term BM25 score breakdown of "
+                        "one (query, doc) pair (ES _explain analog)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--id", required=True, dest="doc_id")
+    ex.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
+
     c = sub.add_parser("count", help="total matching documents (ES _count "
                                      "analog): partition-local popcounts, "
                                      "no scoring, no fetch")
@@ -402,6 +409,20 @@ def main(argv: list[str] | None = None) -> int:
             ),
             "blob_type": _read_index_meta(spark, args.index).get("blob_type", "blob"),
         }, default=str))
+    elif args.cmd == "explain":
+        root = (args.index if args.doc_type == "blob"
+                else f"{args.index}/commit_index")
+        idx = inc.load_versioned(spark, root)
+        rows = q.explain(idx, args.query, args.doc_id).collect()
+        clauses = [
+            {"term": r["term"], "occurrences": r["occurrences"],
+             "idf": r["idf"], "tf": r["tf"], "dl": r["dl"], "tfn": r["tfn"],
+             "contribution": r["contribution"]}
+            for r in rows
+        ]
+        print(json.dumps({"id": args.doc_id,
+                          "score": sum(c["contribution"] for c in clauses),
+                          "matched": len(clauses), "clauses": clauses}))
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)

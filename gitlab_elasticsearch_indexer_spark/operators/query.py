@@ -1713,6 +1713,53 @@ def match_count(
     return int(rows[0]["n"]) if rows else 0
 
 
+EXPLAIN_FIELDS = [("term", "string"), ("occurrences", "int"),
+                  ("idf", "double"), ("tf", "long"), ("dl", "long"),
+                  ("tfn", "double"), ("contribution", "double")]
+
+
+def explain(index: InvertedIndex, query: str, doc_id: str) -> DataFrame:
+    """ES ``_explain`` analog: the per-term BM25 breakdown of ``doc_id``'s
+    score for ``query`` — one row per matching analyzed term with
+    (occurrences, idf, tf, dl, tfn, contribution); summing
+    ``contribution`` reproduces the doc's :func:`search` score exactly.
+
+    Cost is a point plan, not a search: one pushed doc_stats lookup for
+    the doc's (doc_idx, doc_part), then a postings scan pruned to the
+    query terms AND that single doc_part (both filters reach the
+    parquet scan), decoded driver-side for just this doc."""
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = Counter(analyze_query(query))
+    spark = index.postings.sparkSession
+    if not weights:
+        return _local_result(spark, [], EXPLAIN_FIELDS)
+    drows = index.doc_stats.filter(F.col("id") == doc_id).select(
+        "doc_idx", "doc_part"
+    ).collect()
+    if not drows:
+        raise ValueError(f"doc id {doc_id!r} not found in the index")
+    doc_idx, doc_part = int(drows[0]["doc_idx"]), int(drows[0]["doc_part"])
+    idf = index.idf_map(list(weights))
+    prows = index.postings.filter(
+        (F.col("term").isin(list(weights))) & (F.col("doc_part") == doc_part)
+    ).select("term", "docs_bin", "tfs_bin", "dls_bin").collect()
+    out = []
+    for r in prows:
+        docs, tfs, dls = unpack_postings(
+            bytes(r["docs_bin"]), bytes(r["tfs_bin"]), bytes(r["dls_bin"])
+        )
+        pos = int(np.searchsorted(docs, doc_idx))
+        if pos >= len(docs) or int(docs[pos]) != doc_idx:
+            continue  # term absent from this doc: contributes nothing
+        tf, dl = int(tfs[pos]), int(dls[pos])
+        tfn = float(_tfn(np.array([tf]), np.array([dl]), index.avgdl)[0])
+        occ = int(weights[r["term"]])
+        out.append((r["term"], occ, float(idf[r["term"]]), tf, dl, tfn,
+                    occ * idf[r["term"]] * tfn))
+    out.sort(key=lambda t: t[0])
+    return _local_result(spark, out, EXPLAIN_FIELDS)
+
+
 def _make_facet_kernel(
     fields: tuple[str, ...],
     predicates: list[tuple[str, str]],

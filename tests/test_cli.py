@@ -250,6 +250,24 @@ def test_cli_search_after_cursor(spark, dirs, capsys):
               "--after", "1.0", "x", "--from", "5"])
 
 
+def test_cli_explain(spark, dirs, capsys):
+    """explain (ES _explain analog): per-term clauses sum to the hit's
+    search score."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "def helper"]) == 0
+    hit = _lines(capsys)[0]
+    assert main(["explain", "--index", idx, "--query", "def helper",
+                 "--id", hit["id"]]) == 0
+    ex = _lines(capsys)[0]
+    assert ex["id"] == hit["id"]
+    assert ex["score"] == pytest.approx(hit["sort"][0], rel=1e-12)
+    assert ex["matched"] == len(ex["clauses"]) >= 1
+    assert {c["term"] for c in ex["clauses"]} <= {"def", "helper"}
+
+
 def test_cli_update_delta_applies_change_set(spark, dirs, capsys, tmp_path):
     """update-delta: the reference's FROM→TO contract (main.go:46-47) on
     the CLI — a pre-classified change set (NULL content = delete) runs

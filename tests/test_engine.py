@@ -269,6 +269,31 @@ def test_search_after_batch_is_self_consistent(index):
     assert len(paged) >= len(full)
 
 
+def test_explain_reproduces_search_score(index, oracle):
+    """ES _explain analog: per-term contributions sum EXACTLY to the
+    doc's search score, and per-clause tf/dl/idf match the oracle."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import explain
+
+    hits = [(r["id"], r["score"]) for r in
+            search(index, "get user if", k=3).collect()]
+    for doc_id, score in hits:
+        rows = explain(index, "get user if", doc_id).collect()
+        total = float(np.sum(np.array([r["contribution"] for r in rows])))
+        assert total == pytest.approx(score, rel=1e-12)
+        for r in rows:
+            assert r["tf"] == oracle.postings[r["term"]][doc_id]
+            assert r["dl"] == oracle.dls[doc_id]
+            assert r["idf"] == pytest.approx(oracle.idf(r["term"]), rel=1e-12)
+
+    # a doc matching only some query terms emits only those clauses
+    some = search(index, "get zzz_no_such_term", k=1).collect()
+    rows = explain(index, "get zzz_no_such_term", some[0]["id"]).collect()
+    assert [r["term"] for r in rows] == ["get"]
+
+    with pytest.raises(ValueError, match="not found"):
+        explain(index, "get", "zz_missing_doc")
+
+
 def test_search_after_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
