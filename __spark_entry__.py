@@ -168,6 +168,34 @@ def q_search_after(spark, sf_dir):
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
+def q_match_count_bool(spark, sf_dir):
+    """_count under bool semantics: conjunctive (all terms) and
+    must_not (excluding docs with a term) counts via the same
+    partition-local popcount plan — per-term masks AND/subtract inside
+    each doc_part, only (kind, partial_n) rows shuffle."""
+    idx = _shared_index(spark, sf_dir)
+    n_and = q.match_count(idx, "table scan merge", operator="and")
+    n_not = q.match_count(idx, "table scan", must_not="merge")
+    return spark.createDataFrame(
+        [("and", n_and), ("not", n_not)], "kind string, n long"
+    )
+
+
+SQL_MATCH_COUNT_BOOL = f"""
+WITH {_TOK_CTE.lstrip()}
+SELECT 'and' AS kind, count(*)::BIGINT AS n FROM (
+    SELECT id FROM tok WHERE term IN ('table', 'scan', 'merge')
+    GROUP BY id HAVING count(DISTINCT term) = 3
+)
+UNION ALL
+SELECT 'not' AS kind, count(*)::BIGINT AS n FROM (
+    SELECT DISTINCT id FROM tok WHERE term IN ('table', 'scan')
+    AND id NOT IN (SELECT DISTINCT id FROM tok WHERE term = 'merge')
+)
+ORDER BY kind
+"""
+
+
 def q_explain(spark, sf_dir):
     """ES _explain analog: per-term BM25 breakdown of one (query, doc)
     pair — occurrences, idf, tf, dl, tfn, contribution per matching
@@ -2095,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_must_not_search": q_must_not_search,
         "b25_search_after": q_search_after,
         "b26_explain": q_explain,
+        "b27_count_bool": q_match_count_bool,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2167,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,
+        "b27_count_bool": SQL_MATCH_COUNT_BOOL,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

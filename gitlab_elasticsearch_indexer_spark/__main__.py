@@ -178,6 +178,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--query", required=True)
     c.add_argument("--lang", default=None)
     c.add_argument("--repo", default=None)
+    c.add_argument("--operator", choices=["or", "and"], default="or")
+    c.add_argument("--not", dest="must_not", action="append", default=None,
+                   metavar="TERM")
     c.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
 
     st = sub.add_parser("status", help="index health: checkpoint history, "
@@ -426,7 +429,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         idx = inc.load_versioned(spark, root)
-        n = q.match_count(idx, args.query, lang=args.lang, repo=args.repo)
+        n = q.match_count(idx, args.query, lang=args.lang, repo=args.repo,
+                          operator=args.operator,
+                          must_not=(" ".join(args.must_not)
+                                    if args.must_not else None))
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
@@ -475,8 +481,14 @@ def main(argv: list[str] | None = None) -> int:
                                            args.after[1])
                                           if args.after else None))
         if args.facet:
+            # facets reflect the SAME bool semantics as the hits they
+            # accompany (sha/phrase/fields queries keep the any-term
+            # facet shape — their match sets aren't term-mask unions)
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
-                                lang=args.lang, repo=args.repo)
+                                lang=args.lang, repo=args.repo,
+                                operator=args.operator,
+                                must_not=(" ".join(args.must_not)
+                                          if args.must_not else None))
             facets: dict[str, dict[str, int]] = {}
             for r in fc.collect():
                 facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])

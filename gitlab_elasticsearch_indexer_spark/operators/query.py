@@ -1614,10 +1614,15 @@ def facet_counts(
     lang: str | None = None,
     repo: str | None = None,
     include_total: bool = False,
+    operator: str = "or",
+    must_not: str | None = None,
 ) -> DataFrame:
     """ES terms-aggregation analog: per-(field, value) counts of ALL
-    documents matching the analyzed query (any-term match — the same
-    matched set BM25 scores), under optional lang/repo keyword filters.
+    documents matching the analyzed query (any-term match by default —
+    the same matched set BM25 scores; ``operator="and"`` /
+    ``must_not`` apply the bool must / must_not semantics of
+    :func:`search`, so aggregations stay consistent with the hits they
+    accompany), under optional lang/repo keyword filters.
     GitLab's search UI renders exactly this (per-language hit counts
     beside code results; ES ``aggs.terms`` over the mapping's keyword
     fields, elastic/index.go:157-174).
@@ -1629,12 +1634,15 @@ def facet_counts(
     sidecar (popcounts, ≤ docs_per_part/8 bytes per value) — emitting
     one (field, value, partial_n) row per value present in the part.
     The only shuffle is the final sum over ≤ n_parts·n_values tiny
-    rows.  Postings are read with docs_bin ONLY (no tf/dl/block
-    columns) so the scan is column-pruned.
+    rows.  Postings are read with (term, docs_bin) ONLY (no tf/dl/block
+    payloads) so the scan is column-pruned; the term column drives the
+    per-term masks the bool semantics need.
 
     ``include_total=True`` adds a ``("_total", "", n_matched)`` row —
     the ``_count`` API analog (see :func:`match_count`).
     """
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     terms = sorted(set(analyze_query(query)))
@@ -1645,6 +1653,17 @@ def facet_counts(
     )
     if not live:
         return empty
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    n_required = 0
+    if operator == "and":
+        # same dead rules as score_plan: required+excluded or df=0 ⇒ ∅
+        if (neg & set(terms)) or len(live) < len(terms):
+            return empty
+        n_required = len(live)
+    elif neg:
+        live = [t for t in live if t not in neg]
+        if not live:
+            return empty
 
     predicates = []
     if lang is not None:
@@ -1657,9 +1676,9 @@ def facet_counts(
             "(rebuild or re-save the index with this version)"
         )
 
-    cand = index.postings.filter(F.col("term").isin(live)).select(
-        "doc_part", "docs_bin"
-    )
+    cand = index.postings.filter(
+        F.col("term").isin(live + sorted(neg))
+    ).select("doc_part", "term", "docs_bin")
     parts: list[int] | None = None
     if repo is not None and index.part_meta is not None:
         parts = [
@@ -1673,7 +1692,8 @@ def facet_counts(
         cand = cand.filter(F.col("doc_part").isin(parts))
 
     kernel = _make_facet_kernel(
-        tuple(fields), predicates, index.docs_per_part, include_total
+        tuple(fields), predicates, index.docs_per_part, include_total,
+        neg_terms=neg, n_required=n_required,
     )
     if fields or predicates:
         cond = F.col("field").isin(list(fields)) if fields else F.lit(False)
@@ -1703,12 +1723,17 @@ def match_count(
     query: str,
     lang: str | None = None,
     repo: str | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
 ) -> int:
     """ES ``_count`` analog: how many documents match the analyzed
-    query (any-term, under optional keyword filters) — same partitioned
-    popcount plan as :func:`facet_counts`, no scoring, no fetch."""
+    query (any-term by default; ``operator="and"`` / ``must_not``
+    apply the bool must / must_not semantics, under optional keyword
+    filters) — same partitioned popcount plan as :func:`facet_counts`,
+    no scoring, no fetch."""
     rows = facet_counts(
-        index, query, fields=(), lang=lang, repo=repo, include_total=True
+        index, query, fields=(), lang=lang, repo=repo, include_total=True,
+        operator=operator, must_not=must_not,
     ).collect()
     return int(rows[0]["n"]) if rows else 0
 
@@ -1765,11 +1790,16 @@ def _make_facet_kernel(
     predicates: list[tuple[str, str]],
     docs_per_part: int,
     include_total: bool,
+    neg_terms: frozenset[str] = frozenset(),
+    n_required: int = 0,
 ):
     """Per-doc_part facet kernel (cogroup signature: postings, filters).
 
-    matched = union of the query terms' posting docs, ANDed with the
-    predicate bitmaps; each facet row counts ``popcount(matched & bits)``.
+    matched = union of the query terms' posting docs (OR), or the
+    intersection of the ``n_required`` distinct terms' docs (bool must /
+    ``operator="and"``), minus any ``neg_terms`` doc (bool must_not) —
+    then ANDed with the predicate bitmaps; each facet row counts
+    ``popcount(matched & bits)``.
     Postings carry live docs only (deltas repack dead docs out), so a
     stale set bit for a dead doc in a sidecar bitmap can never count.
     """
@@ -1783,10 +1813,27 @@ def _make_facet_kernel(
             return empty
         part = int(postings_pdf["doc_part"].iloc[0])
         base = part * docs_per_part
-        matched = np.zeros(docs_per_part, dtype=bool)
-        for b in postings_pdf["docs_bin"]:
-            docs = delta_decode(varint_decode(bytes(b)))
-            matched[docs.astype(np.int64) - base] = True
+        matched = None  # lazily seeded: OR starts empty, AND starts full
+        excl = np.zeros(docs_per_part, dtype=bool) if neg_terms else None
+        n_pos_seen = 0
+        for row in postings_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+            mask = np.zeros(docs_per_part, dtype=bool)
+            mask[docs.astype(np.int64) - base] = True
+            if row.term in neg_terms:
+                excl |= mask
+                continue
+            n_pos_seen += 1
+            if matched is None:
+                matched = mask
+            elif n_required:
+                matched &= mask
+            else:
+                matched |= mask
+        if matched is None or (n_required and n_pos_seen < n_required):
+            return empty  # no positive term / a required term absent here
+        if excl is not None:
+            matched &= ~excl
 
         facet_rows: list[tuple[str, str, np.ndarray]] = []
         if filter_pdf is not None and len(filter_pdf):

@@ -504,6 +504,56 @@ def test_facet_counts_match_oracle(index, oracle):
     assert match_count(index, "zzqqxxnotaterm") == 0
 
 
+def test_facet_and_count_bool_semantics(index, oracle):
+    """facet_counts / match_count under operator='and' and must_not
+    equal brute-force set algebra over the oracle's postings — the
+    aggregations stay consistent with the bool hits they accompany."""
+    from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+        code_search_analyze,
+    )
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        facet_counts,
+        match_count,
+    )
+
+    def docs_of(t):
+        return set(oracle.postings.get(t, ()))
+
+    q_terms = code_search_analyze("get user if")
+    conj = set.intersection(*(docs_of(t) for t in q_terms))
+    assert conj, "fixture conjunction must match something"
+    assert match_count(index, "get user if", operator="and") == len(conj)
+
+    def brute_lang(match_set):
+        out: dict = {}
+        for d in match_set:
+            lang = oracle.meta[d]["lang"]
+            out[lang] = out.get(lang, 0) + 1
+        return out
+
+    got = {
+        r["value"]: r["n"]
+        for r in facet_counts(index, "get user if", fields=("lang",),
+                              operator="and").collect()
+    }
+    assert got == brute_lang(conj)
+
+    excl = (docs_of("get") | docs_of("user")) - docs_of("if")
+    assert match_count(index, "get user", must_not="if") == len(excl)
+    got2 = {
+        r["value"]: r["n"]
+        for r in facet_counts(index, "get user", fields=("lang",),
+                              must_not="if").collect()
+    }
+    assert got2 == brute_lang(excl)
+
+    # dead shapes: required df=0 term / required-and-excluded ⇒ zero
+    assert match_count(index, "get zzqqxxnotaterm", operator="and") == 0
+    assert match_count(index, "get if", operator="and", must_not="if") == 0
+    # `foo -foo` under OR ⇒ zero
+    assert match_count(index, "if", must_not="if") == 0
+
+
 def test_search_pagination_slices_global_order(index):
     """offset (ES `from`) returns exactly rows [offset, offset+k) of
     the full ranking, on both fetch paths."""
