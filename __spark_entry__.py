@@ -168,6 +168,60 @@ def q_search_after(spark, sf_dir):
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
+def q_simple_query_string(spark, sf_dir):
+    """ES simple_query_string (GitLab's search-box syntax): a quoted
+    phrase clause AND a term clause in ONE bool query — a hit must
+    contain the adjacent phrase "table hash" AND the term merge; score
+    = Lucene PhraseQuery BM25 + the term's BM25, both computed
+    partition-locally in one combined kernel over a tagged union of the
+    postings and positional scans (exclusions `-tok` gated via b24 and
+    pytest)."""
+    idx = _shared_index(spark, sf_dir, positions=True)
+    hits = q.simple_query_string(idx, '"table hash" merge', k=15,
+                                 default_operator="and")
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_SIMPLE_QUERY_STRING = f"""
+WITH pq(i, term) AS (SELECT * FROM (VALUES (0, 'table'), (1, 'hash')) _p(i, term)),
+toks AS (SELECT {_DOC_ID_SQL} AS id, string_split_regex(text, '\\s+') AS l
+         FROM documents),
+tp0 AS (SELECT id, lower(unnest(l)) AS term, unnest(range(len(l))) AS pos0
+        FROM toks),
+tp AS (SELECT id, term,
+              (row_number() OVER (PARTITION BY id ORDER BY pos0)) - 1 AS pos
+       FROM tp0 WHERE term <> ''),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tp GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM tp
+       WHERE term IN ('table', 'hash', 'merge') GROUP BY 1),
+idfsum AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS v
+           FROM pq JOIN df USING (term) CROSS JOIN stats s),
+m AS (SELECT tp.id, tp.pos - pq.i AS start
+      FROM tp JOIN pq USING (term)
+      GROUP BY 1, 2 HAVING count(*) = (SELECT count(*) FROM pq)),
+phits AS (SELECT id, count(*)::DOUBLE AS pf FROM m GROUP BY 1),
+pscore AS (
+    SELECT h.id,
+           (SELECT v FROM idfsum)
+           * h.pf / (h.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS raw
+    FROM phits h JOIN dl USING (id) CROSS JOIN stats s),
+ttf AS (SELECT id, count(*)::DOUBLE AS tf FROM tp WHERE term = 'merge'
+        GROUP BY 1),
+tscore AS (
+    SELECT t.id,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * t.tf / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS raw
+    FROM ttf t JOIN dl USING (id) CROSS JOIN stats s
+    JOIN df ON df.term = 'merge')
+SELECT p.id AS id, round(p.raw + t.raw, 4) AS score
+FROM pscore p JOIN tscore t USING (id)
+ORDER BY p.raw + t.raw DESC, p.id ASC
+LIMIT 15
+"""
+
+
 def q_match_count_bool(spark, sf_dir):
     """_count under bool semantics: conjunctive (all terms) and
     must_not (excluding docs with a term) counts via the same
@@ -2124,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_search_after": q_search_after,
         "b26_explain": q_explain,
         "b27_count_bool": q_match_count_bool,
+        "b28_simple_query_string": q_simple_query_string,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2197,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,
         "b27_count_bool": SQL_MATCH_COUNT_BOOL,
+        "b28_simple_query_string": SQL_SIMPLE_QUERY_STRING,
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

@@ -142,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
                         "needs an index built with --field")
+    s.add_argument("--qs", action="store_true",
+                   help="parse --query as ES simple_query_string (the "
+                        "GitLab search-box syntax): bare terms, "
+                        '"quoted phrases", -exclusions, combined under '
+                        "--default-operator")
+    s.add_argument("--default-operator", choices=["or", "and"],
+                   default="and", help="clause combinator for --qs "
+                   "(GitLab issues AND)")
     s.add_argument("--after", nargs=2, default=None,
                    metavar=("SCORE", "ID"),
                    help="ES search_after cursor: the last hit of the "
@@ -450,6 +458,13 @@ def main(argv: list[str] | None = None) -> int:
                      "queries (not --sha/--phrase/--fields)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
+        if args.qs and (args.sha or args.phrase or args.fields
+                        or args.operator != "or" or args.must_not
+                        or args.after or args.facet):
+            ap.error("--qs is a self-contained query syntax (quoted "
+                     "phrases, -exclusions, --default-operator); don't "
+                     "combine it with --sha/--phrase/--fields/--operator/"
+                     "--not/--after/--facet")
         idx = inc.load_versioned(spark, root)
         if args.sha is not None:
             if len(args.sha) < 5:
@@ -462,6 +477,12 @@ def main(argv: list[str] | None = None) -> int:
                                   fields=(sha_field,), lang=args.lang,
                                   repo=args.repo, offset=args.offset)
             args.query = args.sha  # facet/highlight reuse below
+        elif args.qs:
+            hits = q.simple_query_string(
+                idx, args.query, k=args.k,
+                default_operator=args.default_operator,
+                lang=args.lang, repo=args.repo, offset=args.offset,
+            )
         elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,

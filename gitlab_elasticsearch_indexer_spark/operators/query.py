@@ -2034,6 +2034,344 @@ def sloppy_freq(arrays: list[np.ndarray], slop: int) -> float:
     return freq
 
 
+def parse_simple_query_string(q: str) -> dict:
+    """Parse the ES ``simple_query_string`` subset GitLab's search box
+    speaks: bare tokens are term clauses, ``"..."`` quoted groups are
+    phrase clauses, ``-token`` excludes (bool must_not), and a trailing
+    ``*`` on a token is stripped (the edgeNGram'd index already
+    prefix-matches bare tokens, so ``tok*`` ≡ ``tok``).  Returns
+    ``{"terms": [...], "phrases": [...], "must_not": [...]}``.
+
+    Unsupported ES extras raise instead of silently mis-matching:
+    ``|`` OR groups, ``( )`` precedence, ``-"..."`` negated phrases,
+    and unbalanced quotes.
+    """
+    import re
+
+    if q.count('"') % 2:
+        raise ValueError("unbalanced quotes in simple_query_string")
+    phrases: list[str] = []
+    terms: list[str] = []
+    neg: list[str] = []
+    for m in re.finditer(r'(-?)"([^"]*)"|(-?)([^\s"]+)', q):
+        if m.group(2) is not None:
+            if m.group(1):
+                raise ValueError("negated phrases are not supported")
+            if m.group(2).strip():
+                phrases.append(m.group(2))
+            continue
+        tok = m.group(4)
+        for bad in "|()":
+            if bad in tok:
+                raise ValueError(
+                    f"simple_query_string operator {bad!r} is not supported"
+                )
+        tok = tok.rstrip("*")
+        if not tok or tok == "-":
+            continue
+        if m.group(3):
+            neg.append(tok)
+        else:
+            terms.append(tok)
+    return {"terms": terms, "phrases": phrases, "must_not": neg}
+
+
+def simple_query_string(
+    index: InvertedIndex,
+    q: str,
+    k: int = 10,
+    default_operator: str = "and",
+    lang: str | None = None,
+    repo: str | None = None,
+    fetch: str = "auto",
+    offset: int = 0,
+) -> DataFrame:
+    """ES ``simple_query_string`` (the query GitLab advanced search
+    issues, with ``default_operator: and``): term clauses, quoted
+    phrase clauses, and ``-token`` exclusions combined under one bool —
+    a hit must match every clause (AND) or any clause (OR), scores are
+    the clause BM25 sums (terms over the content field, phrases the
+    Lucene PhraseQuery way over the positional sub-field).
+
+    Pure-term or pure-phrase queries dispatch to :func:`search` /
+    :func:`phrase_search`; mixed queries run ONE combined kernel per
+    doc_part over a tagged union of the postings and positional scans
+    (each clause evaluated partition-locally, clause doc-sets
+    intersected/unioned and exclusion applied before the local top-k —
+    only ≤ k·n_parts candidates shuffle, same bound as every other
+    query path).  Identical quoted phrases dedupe to one clause.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    parsed = parse_simple_query_string(q)
+    terms_q = " ".join(parsed["terms"])
+    neg_q = " ".join(parsed["must_not"]) or None
+    if not parsed["terms"] and not parsed["phrases"]:
+        raise ValueError(
+            "simple_query_string needs at least one positive clause "
+            "(pure-negation match-all queries are not supported)"
+        )
+    if not parsed["phrases"]:
+        return search(index, terms_q, k=k, lang=lang, repo=repo,
+                      operator=default_operator, must_not=neg_q,
+                      fetch=fetch, offset=offset)
+    if len(parsed["phrases"]) == 1 and not parsed["terms"] and not neg_q:
+        return phrase_search(index, parsed["phrases"][0], k=k, lang=lang,
+                             repo=repo, fetch=fetch, offset=offset)
+    return _bool_search(index, parsed, default_operator, k, lang, repo,
+                        fetch, offset)
+
+
+def _bool_search(
+    index: InvertedIndex,
+    parsed: dict,
+    operator: str,
+    k: int,
+    lang: str | None,
+    repo: str | None,
+    fetch: str,
+    offset: int,
+) -> DataFrame:
+    """Mixed term+phrase bool evaluation (see
+    :func:`simple_query_string`)."""
+    import math
+
+    spark = index.postings.sparkSession
+    empty = _local_result(spark, [], _HITS_FIELDS)
+    if index.pos_postings is None:
+        raise ValueError(
+            "phrase clauses need the positional-postings sidecar "
+            "(build_index(..., positions=True))"
+        )
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
+    analyze_q = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    p_analyze = {"simple": code_search_analyze,
+                 "default": default_analyze}[index.pos_analyzer or "simple"]
+
+    weights = Counter(t for w in parsed["terms"] for t in analyze_q(w))
+    neg = frozenset(t for w in parsed["must_not"] for t in analyze_q(w))
+    idf = index.idf_map(list(weights))
+    widf = {t: idf[t] * n for t, n in weights.items() if t in idf}
+
+    # phrase clauses: analyzed with the sidecar's chain, idf from ITS
+    # dfs (one term-pruned aggregation over every clause's terms)
+    phrase_terms = {p: p_analyze(p) for p in dict.fromkeys(parsed["phrases"])}
+    phrase_terms = {p: ts for p, ts in phrase_terms.items() if ts}
+    all_pterms = sorted({t for ts in phrase_terms.values() for t in ts})
+    dfs: dict[str, int] = {}
+    if all_pterms:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in index.pos_postings.filter(F.col("term").isin(all_pterms))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+    n_docs = float(index.n_docs)
+    p_idf = {t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+             for t, d in dfs.items()}
+
+    if operator == "and":
+        if neg & set(weights):
+            return empty  # a term required AND excluded
+        if len(widf) < len(weights):
+            return empty  # a required term has df=0
+        for ts in phrase_terms.values():
+            if any(t not in dfs for t in ts):
+                return empty  # a required phrase can't match anywhere
+    else:
+        widf = {t: w for t, w in widf.items() if t not in neg}
+        phrase_terms = {
+            p: ts for p, ts in phrase_terms.items()
+            if all(t in dfs for t in ts)
+        }
+    if not widf and not phrase_terms:
+        return empty
+
+    phrase_specs = [
+        (list(ts), float(sum(p_idf[t] for t in ts)))
+        for ts in phrase_terms.values()
+    ]
+
+    predicates = []
+    if lang is not None:
+        predicates.append(("lang", lang))
+    if repo is not None:
+        predicates.append(("repo", repo))
+    if predicates and index.filters is None:
+        raise ValueError(
+            "keyword-filtered simple_query_string needs the index's "
+            "filters sidecar"
+        )
+
+    term_scan = sorted(set(widf) | neg)
+    pos_scan = sorted({t for ts, _ in phrase_specs for t in ts})
+    sides = []
+    if term_scan:
+        sides.append(
+            index.postings.filter(F.col("term").isin(term_scan)).select(
+                "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
+            ).withColumn("src", F.lit("t"))
+        )
+    if pos_scan:
+        sides.append(
+            index.pos_postings.filter(F.col("term").isin(pos_scan)).select(
+                "doc_part", "term", "docs_bin",
+                F.col("dls_bin"), "cnt_bin", "pos_bin",
+            ).withColumn("src", F.lit("p"))
+        )
+    cand = sides[0]
+    for s in sides[1:]:
+        cand = cand.unionByName(s, allowMissingColumns=True)
+
+    parts: list[int] | None = None
+    if repo is not None and index.part_meta is not None:
+        parts = [
+            r["doc_part"]
+            for r in index.part_meta.filter(
+                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
+            ).select("doc_part").collect()
+        ]
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    pos_avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
+    kernel = _make_bool_kernel(
+        widf, neg, phrase_specs, index.avgdl, pos_avgdl, k + offset,
+        index.docs_per_part, len(predicates), operator,
+    )
+    if predicates:
+        cond = None
+        for f, v in predicates:
+            c = (F.col("field") == f) & (F.col("value") == v)
+            cond = c if cond is None else (cond | c)
+        fsel = index.filters.filter(cond).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def _make_bool_kernel(
+    widf: dict[str, float],
+    neg_terms: frozenset[str],
+    phrase_specs: list[tuple[list[str], float]],
+    avgdl: float,
+    pos_avgdl: float,
+    k: int,
+    docs_per_part: int,
+    n_predicates: int,
+    operator: str,
+):
+    """Per-doc_part mixed bool kernel: the input frame carries BOTH
+    scans, tagged ``src='t'`` (postings: docs/tfs/dls) and ``src='p'``
+    (positional sidecar rows for the phrase clauses).  Each clause
+    produces a partition-local (sorted docs, scores) pair — term
+    clauses by the usual decode (+ keyword bitmap mask), phrase clauses
+    through the shared docs-first :func:`_phrase_hits` — then clause
+    doc-sets intersect (AND) or union (OR), exclusion docs are removed,
+    and the local top-k is emitted.  Exactly the ES bool query a
+    simple_query_string compiles to, evaluated shard-locally.
+    """
+    from ..functions.codecs import unpack_doc_set
+
+    n_req = (len(widf) + len(phrase_specs)) if operator == "and" else 0
+
+    def kernel(pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        part = int(pdf["doc_part"].iloc[0])
+        base = np.int64(part) * np.int64(docs_per_part)
+        bits = None
+        if n_predicates:
+            if filter_pdf is None or len(filter_pdf) < n_predicates:
+                return empty
+            for b in filter_pdf["bits"]:
+                arr = unpack_doc_set(bytes(b), docs_per_part)
+                bits = arr if bits is None else (bits & arr)
+            if not bits.any():
+                return empty
+
+        tpdf = pdf[pdf["src"] == "t"]
+        ppdf = pdf[pdf["src"] == "p"]
+
+        clauses: list[tuple[np.ndarray, np.ndarray]] = []
+        excl_parts: list[np.ndarray] = []
+        for row in tpdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            if row.term in neg_terms:
+                excl_parts.append(docs)
+                continue
+            if bits is not None:
+                keep = bits[docs - base]
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if len(docs) == 0:
+                if n_req:
+                    return empty  # a required clause is empty here
+                continue
+            clauses.append((docs, widf[row.term] * _tfn(tfs, dls, avgdl)))
+        if n_req and len(clauses) < len(widf):
+            return empty  # a required term has no row in this part
+
+        if phrase_specs:
+            decoded = _phrase_cheap_decode(ppdf)
+            for terms_list, idf_sum in phrase_specs:
+                hit = _phrase_hits(decoded, terms_list, base, bits, 0)
+                if hit is None:
+                    if n_req:
+                        return empty  # required phrase absent here
+                    continue
+                hit_local, pf, dl = hit
+                clauses.append(
+                    (hit_local + base, idf_sum * _tfn(pf, dl, pos_avgdl))
+                )
+        if not clauses or (n_req and len(clauses) < n_req):
+            return empty
+
+        if n_req:
+            order = sorted(range(len(clauses)),
+                           key=lambda i: len(clauses[i][0]))
+            inter = clauses[order[0]][0]
+            for i in order[1:]:
+                inter = inter[_sorted_member(inter, clauses[i][0])]
+                if len(inter) == 0:
+                    return empty
+            acc = np.zeros(len(inter), dtype=np.float64)
+            for docs, scores in clauses:
+                acc += scores[np.searchsorted(docs, inter)]
+            uniq = inter
+        else:
+            all_docs = np.concatenate([c[0] for c in clauses])
+            all_scores = np.concatenate([c[1] for c in clauses])
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, inv, all_scores)
+
+        if excl_parts:
+            excl = (excl_parts[0] if len(excl_parts) == 1
+                    else np.unique(np.concatenate(excl_parts)))
+            keep = ~_sorted_member(uniq, excl)
+            uniq, acc = uniq[keep], acc[keep]
+        doc_idx, score = _topk_arrays(uniq, acc, k)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
+
+
 def _make_phrase_kernel(
     terms: list[str],
     idf_sum: float,
