@@ -930,7 +930,11 @@ def search_many(
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
     "phrase": bool, "slop": int, "fields": [str, ...],
     "operator": "or"|"and", "must_not": str,
-    "search_after": [score, id]}``.  ``search_after`` entries page with
+    "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
+    a full simple_query_string body (pure-term/pure-phrase forms lower
+    onto the shared batch jobs; a mixed phrase+term body runs the
+    combined bool kernel as one extra job — an ES ``_msearch`` body is
+    a full search either way).  ``search_after`` entries page with
     the O(k)-per-page cursor exactly like ``search(search_after=)``
     (cursor ids resolve in ONE shared point lookup; ``rank`` restarts
     at 1 on each cursor page, as in ES).  Keyword
@@ -963,7 +967,44 @@ def search_many(
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
     cursor_specs: dict[str, tuple[float, str]] = {}  # qid -> (score, id)
+    mixed_qs: dict[str, dict] = {}  # qid -> parsed mixed qs entry
     for qid, spec in queries.items():
+        if isinstance(spec, dict) and spec.get("qs") is not None:
+            # simple_query_string entry: lower pure-term / pure-phrase
+            # forms onto the shared batch jobs; a MIXED (phrase+term)
+            # entry keeps its parse and runs the combined bool kernel
+            # as one extra job below (ES _msearch bodies are full
+            # searches — semantics identical, cost one job per mixed
+            # entry)
+            if "q" in spec:
+                raise ValueError(
+                    f"batch entry {qid!r}: give `q` or `qs`, not both"
+                )
+            parsed = parse_simple_query_string(str(spec["qs"]))
+            op = spec.get("operator", "and")
+            if op not in ("or", "and"):
+                raise ValueError(
+                    f"batch entry {qid!r}: operator must be 'or' or 'and'"
+                )
+            if not parsed["terms"] and not parsed["phrases"]:
+                raise ValueError(
+                    f"batch entry {qid!r}: qs needs a positive clause"
+                )
+            base = {kk: spec[kk] for kk in ("lang", "repo", "from")
+                    if kk in spec}
+            if not parsed["phrases"]:
+                spec = {"q": " ".join(parsed["terms"]), "operator": op,
+                        **({"must_not": " ".join(parsed["must_not"])}
+                           if parsed["must_not"] else {}), **base}
+            elif (len(parsed["phrases"]) == 1 and not parsed["terms"]
+                  and not parsed["must_not"]):
+                spec = {"q": parsed["phrases"][0], "phrase": True, **base}
+            else:
+                mixed_qs[qid] = {"parsed": parsed, "operator": op, **base}
+                specs[qid] = (str(queries[qid]["qs"]),
+                              base.get("lang"), base.get("repo"))
+                off_by_query[qid] = int(base.get("from", offset))
+                continue
         if isinstance(spec, str):
             specs[qid] = (spec, None, None)
             off_by_query[qid] = offset
@@ -1013,6 +1054,7 @@ def search_many(
         qid: Counter(analyze_query(qs))
         for qid, (qs, _, _) in specs.items()
         if qid not in phrase_specs and qid not in mf_specs
+        and qid not in mixed_qs
     }
     all_terms = sorted({t for w in weights.values() for t in w})
     idf = index.idf_map(all_terms)
@@ -1126,7 +1168,7 @@ def search_many(
                 mf_q[qid] = per_fld
 
     live = set(widf_by_query) | set(phrase_q) | set(mf_q)
-    if not live:
+    if not live and not mixed_qs:
         return empty
 
     preds_by_query: dict[str, list[tuple[str, str]]] = {}
@@ -1176,7 +1218,7 @@ def search_many(
         }
         phrase_q = {qid: s for qid, s in phrase_q.items() if qid not in dead}
         mf_q = {qid: s for qid, s in mf_q.items() if qid not in dead}
-        if not widf_by_query and not phrase_q and not mf_q:
+        if not widf_by_query and not phrase_q and not mf_q and not mixed_qs:
             return empty
 
     out_schema = "query_id string, doc_idx long, score double"
@@ -1320,6 +1362,19 @@ def search_many(
                 _wrap_single(mf_kernel), schema=out_schema
             )
         rows.extend(mf_scored.collect())
+
+    # mixed simple_query_string entries: each runs the combined bool
+    # kernel as its own job (an ES _msearch body is a full search), then
+    # joins the same shared fetch phase below
+    for qid, m in mixed_qs.items():
+        sc = _bool_scored(index, m["parsed"], m["operator"],
+                          n_by_query[qid], specs[qid][1], specs[qid][2])
+        if sc is None:
+            continue
+        rows.extend(
+            {"query_id": qid, "doc_idx": r["doc_idx"], "score": r["score"]}
+            for r in sc.collect()
+        )
 
     # fetch phase, batched: per-query winners resolve driver-side from
     # the bounded candidate set; metadata comes from the hit doc_parts
@@ -2134,17 +2189,37 @@ def _bool_search(
 ) -> DataFrame:
     """Mixed term+phrase bool evaluation (see
     :func:`simple_query_string`)."""
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
+    scored = _bool_scored(index, parsed, operator, k + offset, lang, repo)
+    if scored is None:
+        return _local_result(
+            index.postings.sparkSession, [], _HITS_FIELDS
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def _bool_scored(
+    index: InvertedIndex,
+    parsed: dict,
+    operator: str,
+    k: int,
+    lang: str | None,
+    repo: str | None,
+) -> DataFrame | None:
+    """The LAZY scoring phase of :func:`_bool_search`: per-doc_part
+    top-k (doc_idx, score) candidates, or None when nothing can match
+    — also the per-entry evaluator for mixed ``qs`` bodies in
+    :func:`search_many`."""
     import math
 
     spark = index.postings.sparkSession
-    empty = _local_result(spark, [], _HITS_FIELDS)
+    empty = None
     if index.pos_postings is None:
         raise ValueError(
             "phrase clauses need the positional-postings sidecar "
             "(build_index(..., positions=True))"
         )
-    if offset < 0:
-        raise ValueError("offset must be >= 0")
     analyze_q = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     p_analyze = {"simple": code_search_analyze,
                  "default": default_analyze}[index.pos_analyzer or "simple"]
@@ -2237,7 +2312,7 @@ def _bool_search(
 
     pos_avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
     kernel = _make_bool_kernel(
-        widf, neg, phrase_specs, index.avgdl, pos_avgdl, k + offset,
+        widf, neg, phrase_specs, index.avgdl, pos_avgdl, k,
         index.docs_per_part, len(predicates), operator,
     )
     if predicates:
@@ -2259,7 +2334,7 @@ def _bool_search(
         scored = cand.groupBy("doc_part").applyInPandas(
             _wrap_single(kernel), schema=TOPK_SCHEMA
         )
-    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+    return scored
 
 
 def _make_bool_kernel(

@@ -154,6 +154,45 @@ def test_sqs_validation(sidx):
         simple_query_string(sidx, "a b", default_operator="nand")
 
 
+def test_sqs_batch_entries_match_single(sidx):
+    """{"qs": ...} msearch bodies: pure forms lower onto the shared
+    batch jobs, mixed bodies run the combined kernel — all identical to
+    the single-query surface."""
+    import numpy as np
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    batch = {
+        "pure_term": {"qs": "table merge -window"},
+        "pure_phrase": {"qs": '"table hash"'},
+        "mixed": {"qs": '"table hash" merge', "operator": "and"},
+        "mixed_or": {"qs": '"table hash" merge -window', "operator": "or"},
+        "mixed_lang": {"qs": '"table hash" merge', "lang": "Ruby"},
+        "plain": "merge",
+    }
+    out = search_many(sidx, batch, k=5).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qid, spec in batch.items():
+        if isinstance(spec, str):
+            continue
+        single = [(r["id"], r["score"]) for r in
+                  simple_query_string(
+                      sidx, spec["qs"], k=5,
+                      default_operator=spec.get("operator", "and"),
+                      lang=spec.get("lang")).collect()]
+        got = by_q.get(qid, [])
+        assert [g[0] for g in got] == [s[0] for s in single], qid
+        assert np.allclose([g[1] for g in got], [s[1] for s in single],
+                           rtol=1e-12)
+
+    with pytest.raises(ValueError, match="not both"):
+        search_many(sidx, {"a": {"qs": "x", "q": "y"}})
+    with pytest.raises(ValueError, match="positive clause"):
+        search_many(sidx, {"a": {"qs": "-only"}})
+
+
 def test_sqs_cli(spark, sidx, tmp_path, capsys):
     import json
 
