@@ -990,8 +990,14 @@ def search_many(
                 raise ValueError(
                     f"batch entry {qid!r}: qs needs a positive clause"
                 )
-            base = {kk: spec[kk] for kk in ("lang", "repo", "from")
+            base = {kk: spec[kk]
+                    for kk in ("lang", "repo", "from", "search_after")
                     if kk in spec}
+            if parsed["phrases"] and "search_after" in base:
+                raise ValueError(
+                    f"batch entry {qid!r}: search_after applies to "
+                    "pure-term qs bodies only"
+                )
             if not parsed["phrases"]:
                 spec = {"q": " ".join(parsed["terms"]), "operator": op,
                         **({"must_not": " ".join(parsed["must_not"])}
