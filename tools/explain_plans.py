@@ -65,6 +65,15 @@ def main() -> None:
     print("=" * 30, "B14 search over saved postings (term pushdown expected)")
     print(cap(q.search(loaded, "table scan", k=10)))
 
+    print("=" * 30, "B14 scoring phase (lazy plan: In(term) pushdown,")
+    print("pruned ReadSchema, per-part applyInPandas kernel)")
+    print(cap(q.score_plan(loaded, "table scan merge", k=10)))
+
+    print("=" * 30, "B23/B24 bool scoring (operator=and + must_not ride the")
+    print("same single term-pruned scan — exclusion terms in the In() list)")
+    print(cap(q.score_plan(loaded, "table scan merge", k=10,
+                           operator="and", must_not="window")))
+
 
 if __name__ == "__main__":
     main()
