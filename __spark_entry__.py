@@ -940,7 +940,7 @@ def q_phrase_search(spark, sf_dir):
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
-def _sql_phrase(terms: list[str], k: int) -> str:
+def _sql_phrase(terms: list[str], k: int, offset: int = 0) -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
     return f"""
 WITH q(i, term) AS (SELECT * FROM (VALUES {vals}) _q(i, term)),
@@ -968,8 +968,21 @@ scored AS (
            * h.pf / (h.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS raw
     FROM hits h JOIN dl USING (id) CROSS JOIN stats s)
 SELECT id, round(raw, 4) AS score FROM scored
-ORDER BY raw DESC, id ASC LIMIT {k}
+ORDER BY raw DESC, id ASC LIMIT {k} OFFSET {offset}
 """
+
+
+def q_phrase_search_after(spark, sf_dir):
+    """search_after on a PHRASE query (ES supports cursors on any query
+    shape): page 1's last hit (score, id) seeds page 2; the phrase
+    kernel emits only docs strictly after the cursor in (score desc,
+    id asc) order — O(k) per page at any depth.  The oracle replays
+    page 2 of the Lucene-style phrase ranking as OFFSET k."""
+    idx = _shared_index(spark, sf_dir, positions=True)
+    p1 = q.phrase_search(idx, "table hash", k=10).collect()
+    cur = (float(p1[-1]["score"]), p1[-1]["id"])
+    hits = q.phrase_search(idx, "table hash", k=10, search_after=cur)
+    return hits.select("id", F.round("score", 4).alias("score"))
 
 
 def q_facet_lang(spark, sf_dir):
@@ -1965,6 +1978,21 @@ def q_multifield_search(spark, sf_dir):
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
+def q_multifield_search_after(spark, sf_dir):
+    """search_after on a MULTI-FIELD bool-should query: page 1 (k=5) of
+    the summed per-field BM25 ranking seeds a cursor; page 2 (k=10)
+    returns ranks 6..15 exactly.  The oracle replays the same summed
+    ranking with LIMIT 10 OFFSET 5."""
+    idx = _mf_index(spark, sf_dir)
+    flds = ("content", "file_name", "path")
+    p1 = q.multi_search(idx, "merge.txt sort table", k=5,
+                        fields=flds).collect()
+    cur = (float(p1[-1]["score"]), p1[-1]["id"])
+    hits = q.multi_search(idx, "merge.txt sort table", k=10, fields=flds,
+                          search_after=cur)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
 # file_name field: single token (the name), dl = 1 = avgdl, tf = 1 →
 # tfn = 1/(1+k1); df = docs sharing the name; n = all docs
 SQL_MULTIFIELD = f"""
@@ -2179,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_explain": q_explain,
         "b27_count_bool": q_match_count_bool,
         "b28_simple_query_string": q_simple_query_string,
+        "b29_phrase_search_after": q_phrase_search_after,
+        "b30_multifield_search_after": q_multifield_search_after,
         # training-data pipeline operators
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2253,6 +2283,10 @@ def oracle_sql() -> dict[str, str]:
         "b26_explain": SQL_EXPLAIN,
         "b27_count_bool": SQL_MATCH_COUNT_BOOL,
         "b28_simple_query_string": SQL_SIMPLE_QUERY_STRING,
+        "b29_phrase_search_after": _sql_phrase(["table", "hash"], 10,
+                                               offset=10),
+        "b30_multifield_search_after": SQL_MULTIFIELD.replace(
+            "LIMIT 15", "LIMIT 10 OFFSET 5"),
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,

@@ -451,21 +451,24 @@ def main(argv: list[str] | None = None) -> int:
                      "exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
-        if (args.operator == "and" or args.must_not or args.after) and (
+        if (args.operator == "and" or args.must_not) and (
             args.sha or args.phrase or args.fields
         ):
-            ap.error("--operator and / --not / --after apply to plain term "
+            ap.error("--operator and / --not apply to plain term "
                      "queries (not --sha/--phrase/--fields)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
                         or args.operator != "or" or args.must_not
-                        or args.after or args.facet):
+                        or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
                      "combine it with --sha/--phrase/--fields/--operator/"
-                     "--not/--after/--facet")
+                     "--not/--facet")
         idx = inc.load_versioned(spark, root)
+        # --after works on EVERY query shape (ES supports search_after
+        # on any query): the kernels all filter at candidate time
+        after = (float(args.after[0]), args.after[1]) if args.after else None
         if args.sha is not None:
             if len(args.sha) < 5:
                 ap.error("--sha needs >= 5 characters (sha_analyzer "
@@ -475,22 +478,25 @@ def main(argv: list[str] | None = None) -> int:
             sha_field = "oid" if args.doc_type == "blob" else "sha"
             hits = q.multi_search(idx, args.sha, k=args.k,
                                   fields=(sha_field,), lang=args.lang,
-                                  repo=args.repo, offset=args.offset)
+                                  repo=args.repo, offset=args.offset,
+                                  search_after=after)
             args.query = args.sha  # facet/highlight reuse below
         elif args.qs:
             hits = q.simple_query_string(
                 idx, args.query, k=args.k,
                 default_operator=args.default_operator,
                 lang=args.lang, repo=args.repo, offset=args.offset,
+                search_after=after,
             )
         elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,
-                                   offset=args.offset)
+                                   offset=args.offset, search_after=after)
         elif args.fields:
             hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                             repo=args.repo, offset=args.offset,
-                            fields=tuple(args.fields.split(",")))
+                            fields=tuple(args.fields.split(",")),
+                            search_after=after)
         else:
             hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                             repo=args.repo,
@@ -498,9 +504,7 @@ def main(argv: list[str] | None = None) -> int:
                             offset=args.offset, operator=args.operator,
                             must_not=(" ".join(args.must_not)
                                       if args.must_not else None),
-                            search_after=((float(args.after[0]),
-                                           args.after[1])
-                                          if args.after else None))
+                            search_after=after)
         if args.facet:
             # facets reflect the SAME bool semantics as the hits they
             # accompany (sha/phrase/fields queries keep the any-term

@@ -336,14 +336,15 @@ def search(
     (the distributed fallback, also used by plan tests).
     """
     if fields is not None:
-        if operator != "or" or must_not is not None or search_after:
+        if operator != "or" or must_not is not None:
             raise ValueError(
-                "operator='and' / must_not / search_after are single-field "
-                "features; multi-field bool-should search scores each "
-                "field's OR clauses (the ES multi_match shape)"
+                "operator='and' / must_not are single-field features; "
+                "multi-field bool-should search scores each field's OR "
+                "clauses (the ES multi_match shape)"
             )
         return multi_search(index, query, k=k, fields=fields, lang=lang,
-                            repo=repo, fetch=fetch, offset=offset)
+                            repo=repo, fetch=fetch, offset=offset,
+                            search_after=search_after)
     spark = index.postings.sparkSession
     cursor = None
     if search_after is not None:
@@ -440,13 +441,24 @@ def multi_search(
     repo: str | None = None,
     fetch: str = "auto",
     offset: int = 0,
+    search_after: tuple[float, str] | None = None,
 ) -> DataFrame:
     """Multi-field search — see :func:`multi_score_plan` for the lazy
     scoring phase this consumes (split out so plan tests can assert the
-    scan shape, exactly like ``score_plan``/``search``)."""
+    scan shape, exactly like ``score_plan``/``search``).
+
+    ``search_after=(score, id)`` pages the multi-field ranking with the
+    same O(k)-per-page cursor as :func:`search` (ES supports
+    search_after on any query shape); mutually exclusive with
+    ``offset``."""
     spark = index.postings.sparkSession
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
     scored = multi_score_plan(index, query, k=k + offset, fields=fields,
-                              lang=lang, repo=repo)
+                              lang=lang, repo=repo, after_cursor=cursor)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
@@ -459,6 +471,7 @@ def multi_score_plan(
     fields: tuple[str, ...] | None = None,
     lang: str | None = None,
     repo: str | None = None,
+    after_cursor: tuple[float, int] | None = None,
 ) -> DataFrame | None:
     """Multi-field search — the ES bool-should shape GitLab issues over
     blobs (content + file_name + path, elastic/index.go:137-168): each
@@ -542,7 +555,7 @@ def multi_score_plan(
 
     kernel = _make_multifield_kernel(
         widf_by_fld, avgdl_by_fld, k, index.docs_per_part,
-        len(predicates),
+        len(predicates), after=after_cursor,
     )
     if predicates:
         cond = None
@@ -572,11 +585,14 @@ def _make_multifield_kernel(
     k: int,
     docs_per_part: int,
     n_predicates: int,
+    after: tuple[float, int] | None = None,
 ):
     """Per-doc_part multi-field kernel: decode every (field, term)
     posting row, weight by that field's idf and normalize by that
     field's avgdl, accumulate SUMS per doc, local top-k.  Same masking
-    and candidate-bound arguments as the single-field kernel."""
+    and candidate-bound arguments as the single-field kernel; ``after``
+    is the resolved search_after cursor (cursor filtering happens in
+    :func:`_topk_arrays`, identical semantics to every other kernel)."""
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -617,7 +633,7 @@ def _make_multifield_kernel(
         uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inv, np.concatenate(all_contrib))
-        doc_idx, score = _topk_arrays(uniq, acc, k)
+        doc_idx, score = _topk_arrays(uniq, acc, k, after=after)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 
     return kernel
@@ -808,7 +824,39 @@ def _topk_arrays(doc_idx: np.ndarray, score: np.ndarray, k: int, after=None):
     return doc_idx[order], score[order]
 
 
-def _bmw_topk(terms, k, after=None):
+def _bmw_cursor_can_skip(terms, a_s, max_unskippable_frac=0.25):
+    """Decide whether BMW pruning can pay under a search_after cursor.
+
+    With a cursor, θ can never exceed the cursor score ``a_s`` (only
+    after-cursor docs — score < a_s, or tied with a later doc_idx —
+    enter the heap), so any block whose upper bound w·bmax ≥ a_s is
+    UNSKIPPABLE forever.  On a deep cursor over hot terms a_s is tiny,
+    nearly every block is unskippable, and the DAAT loop degenerates to
+    walking every posting at Python speed while the vectorized
+    exhaustive kernel does the same work ~100× faster per element (the
+    BENCH.md deep-cursor caveat: 3.2 s vs 1.2 s at depth 5k).  Estimate
+    the unskippable block fraction from the block metadata already
+    decoded; BMW only runs when most blocks remain skippable (e.g. a
+    page-2 cursor on a single hot term, where a_s sits near the score
+    ceiling).  The per-term threshold is a_s/n_terms: WAND skips a
+    block only when the pivot-set SUM of bounds stays below θ, so on a
+    multi-term query a block whose one term already bounds ≥ its equal
+    share of a_s is (conservatively) counted unskippable — comparing
+    per-term bounds to the full a_s would under-count and leave the
+    measured hot-pair cursor pages on the slow DAAT path.
+    """
+    share = a_s / max(1, len(terms))
+    total = unskippable = 0
+    for t in terms:
+        ub = t["w"] * np.asarray(t["block_max"], dtype=np.float64)
+        total += ub.size
+        unskippable += int(np.count_nonzero(ub >= share))
+    if total == 0:
+        return True
+    return unskippable / total <= max_unskippable_frac
+
+
+def _bmw_topk(terms, k, after=None, force=False):
     """Exact block-max WAND over decoded+block metadata.
 
     Pruning uses a strict bound (< θ): any doc whose upper bound ties θ
@@ -820,7 +868,14 @@ def _bmw_topk(terms, k, after=None):
     but never enter the heap, so θ only reflects after-cursor docs and
     pruning stays exact.  Unlike from/size, cost does not grow with
     page depth — only the cursor-superior docs are scored once each.
+    Because θ is then capped at the cursor score, a deep cursor on hot
+    terms leaves (almost) no block skippable; the dispatch below routes
+    such parts to the vectorized exhaustive kernel (identical results —
+    both are exact; the dynamic-pruning literature's deep-paging WAND
+    worst case).  ``force=True`` pins the DAAT loop for tests.
     """
+    if after is not None and not force and not _bmw_cursor_can_skip(terms, after[0]):
+        return _exhaustive_topk(terms, k, after)
     a_key = (after[0], -after[1]) if after is not None else None
     cur = []  # per term: position pointer
     n_t = len(terms)
@@ -934,10 +989,12 @@ def search_many(
     a full simple_query_string body (pure-term/pure-phrase forms lower
     onto the shared batch jobs; a mixed phrase+term body runs the
     combined bool kernel as one extra job — an ES ``_msearch`` body is
-    a full search either way).  ``search_after`` entries page with
-    the O(k)-per-page cursor exactly like ``search(search_after=)``
-    (cursor ids resolve in ONE shared point lookup; ``rank`` restarts
-    at 1 on each cursor page, as in ES).  Keyword
+    a full search either way).  ``search_after`` composes with EVERY
+    entry shape — plain term, ``operator``/``must_not``, ``phrase``,
+    ``fields``, and ``qs`` bodies (ES supports cursors on any query);
+    all entries' cursor ids resolve in ONE shared point lookup and each
+    page costs O(k) exactly like ``search(search_after=)`` (``rank``
+    restarts at 1 on each cursor page, as in ES).  Keyword
     predicates ride the same
     per-part packed bitmaps (B16), repo-scoped entries prune their
     scoring to the doc_parts whose ``part_meta`` range covers the repo
@@ -993,11 +1050,6 @@ def search_many(
             base = {kk: spec[kk]
                     for kk in ("lang", "repo", "from", "search_after")
                     if kk in spec}
-            if parsed["phrases"] and "search_after" in base:
-                raise ValueError(
-                    f"batch entry {qid!r}: search_after applies to "
-                    "pure-term qs bodies only"
-                )
             if not parsed["phrases"]:
                 spec = {"q": " ".join(parsed["terms"]), "operator": op,
                         **({"must_not": " ".join(parsed["must_not"])}
@@ -1006,6 +1058,14 @@ def search_many(
                   and not parsed["must_not"]):
                 spec = {"q": parsed["phrases"][0], "phrase": True, **base}
             else:
+                if base.get("search_after") is not None:
+                    if base.get("from"):
+                        raise ValueError(
+                            f"batch entry {qid!r}: from and search_after "
+                            "are mutually exclusive"
+                        )
+                    sa = base["search_after"]
+                    cursor_specs[qid] = (float(sa[0]), str(sa[1]))
                 mixed_qs[qid] = {"parsed": parsed, "operator": op, **base}
                 specs[qid] = (str(queries[qid]["qs"]),
                               base.get("lang"), base.get("repo"))
@@ -1036,11 +1096,6 @@ def search_many(
             if spec.get("must_not"):
                 negq_by_query[qid] = str(spec["must_not"])
             if spec.get("search_after") is not None:
-                if spec.get("phrase") or spec.get("fields"):
-                    raise ValueError(
-                        f"batch entry {qid!r}: search_after applies to "
-                        "plain term entries, not phrase or multi-field ones"
-                    )
                 if spec.get("from"):
                     raise ValueError(
                         f"batch entry {qid!r}: from and search_after are "
@@ -1252,6 +1307,19 @@ def search_many(
             return sorted({p for q in qids for p in parts_by_query[q]})
         return None
 
+    # resolve every live entry's search_after cursor (score, id) →
+    # (score, doc_idx) in ONE shared point lookup; each job below
+    # (term, phrase, multi-field, mixed qs) slices out its entries
+    live_cursor_specs = {
+        qid: c for qid, c in cursor_specs.items()
+        if qid in widf_by_query or qid in phrase_q or qid in mf_q
+        or qid in mixed_qs
+    }
+    after_all = (
+        _resolve_cursors(index, live_cursor_specs)
+        if live_cursor_specs else {}
+    )
+
     rows: list = []
     if widf_by_query:
         cols = ["doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"]
@@ -1270,12 +1338,9 @@ def search_many(
         if scan_parts is not None:
             cand = cand.filter(F.col("doc_part").isin(scan_parts))
 
-        live_cursors = {
-            qid: c for qid, c in cursor_specs.items() if qid in widf_by_query
+        after_by_query = {
+            qid: a for qid, a in after_all.items() if qid in widf_by_query
         }
-        after_by_query = (
-            _resolve_cursors(index, live_cursors) if live_cursors else {}
-        )
         kernel = _make_batch_kernel(
             widf_by_query, preds_by_query, parts_by_query,
             index.avgdl, n_by_query, use_bmw, index.docs_per_part,
@@ -1311,6 +1376,9 @@ def search_many(
         p_kernel = _make_batch_phrase_kernel(
             phrase_q, preds_by_query, parts_by_query,
             p_avgdl, n_by_query, index.docs_per_part,
+            after_by_query={
+                qid: a for qid, a in after_all.items() if qid in phrase_q
+            },
         )
         p_fsel = _filters_for(set(phrase_q), p_scan)
         if p_fsel is not None:
@@ -1355,6 +1423,9 @@ def search_many(
         mf_kernel = _make_batch_mf_kernel(
             mf_q, preds_by_query, parts_by_query, avgdl_by_fld,
             n_by_query, index.docs_per_part,
+            after_by_query={
+                qid: a for qid, a in after_all.items() if qid in mf_q
+            },
         )
         mf_fsel = _filters_for(set(mf_q), mf_scan)
         if mf_fsel is not None:
@@ -1374,7 +1445,8 @@ def search_many(
     # joins the same shared fetch phase below
     for qid, m in mixed_qs.items():
         sc = _bool_scored(index, m["parsed"], m["operator"],
-                          n_by_query[qid], specs[qid][1], specs[qid][2])
+                          n_by_query[qid], specs[qid][1], specs[qid][2],
+                          after_cursor=after_all.get(qid))
         if sc is None:
             continue
         rows.extend(
@@ -1584,6 +1656,7 @@ def _make_batch_mf_kernel(
     avgdl_by_fld: dict[str, float],
     n_by_query: dict[str, int],
     docs_per_part: int,
+    after_by_query: dict[str, tuple[float, int]] | None = None,
 ):
     """Per-doc_part BATCHED multi-field kernel (ES ``_msearch`` with
     bool-should bodies): each (field, term) posting row decodes ONCE
@@ -1591,6 +1664,7 @@ def _make_batch_mf_kernel(
     (field, term) clauses — the same bool-should sum as
     :func:`multi_search`, amortized across the batch.  Entry-level
     predicates/routing mask exactly like the term batch kernel."""
+    after_by_query = after_by_query or {}
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -1648,7 +1722,8 @@ def _make_batch_mf_kernel(
                     terms.append({"w": w, "docs": docs, "tfn": tfn})
             if not terms:
                 continue
-            d, s = _exhaustive_topk(terms, n_by_query[qid])
+            d, s = _exhaustive_topk(terms, n_by_query[qid],
+                                    after=after_by_query.get(qid))
             qids.extend([qid] * len(d))
             didx.extend(d.tolist())
             scores.extend(s.tolist())
@@ -1940,6 +2015,7 @@ def phrase_search(
     fetch: str = "auto",
     slop: int = 0,
     offset: int = 0,
+    search_after: tuple[float, str] | None = None,
 ) -> DataFrame:
     """Phrase query (ES ``match_phrase`` analog) over the
     positional-postings sidecar, scored the Lucene PhraseQuery way —
@@ -1977,6 +2053,13 @@ def phrase_search(
         raise ValueError("slop must be >= 0")
     if offset < 0:
         raise ValueError("offset must be >= 0")
+    cursor = None
+    if search_after is not None:
+        # ES supports search_after on any query shape; phrase pages with
+        # the same O(k)-per-page cursor as term search
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
     # the sidecar is its own field (ES sub-field pattern): analyze the
     # phrase with ITS chain and take idf from ITS dfs — one tiny
     # term-pruned aggregation, global like Lucene's PhraseWeight idf
@@ -2029,7 +2112,7 @@ def phrase_search(
     avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
     kernel = _make_phrase_kernel(
         list(terms), idf_sum, avgdl, k + offset, index.docs_per_part,
-        len(predicates), slop,
+        len(predicates), slop, after=cursor,
     )
     if predicates:
         cond = None
@@ -2146,6 +2229,7 @@ def simple_query_string(
     repo: str | None = None,
     fetch: str = "auto",
     offset: int = 0,
+    search_after: tuple[float, str] | None = None,
 ) -> DataFrame:
     """ES ``simple_query_string`` (the query GitLab advanced search
     issues, with ``default_operator: and``): term clauses, quoted
@@ -2175,12 +2259,13 @@ def simple_query_string(
     if not parsed["phrases"]:
         return search(index, terms_q, k=k, lang=lang, repo=repo,
                       operator=default_operator, must_not=neg_q,
-                      fetch=fetch, offset=offset)
+                      fetch=fetch, offset=offset, search_after=search_after)
     if len(parsed["phrases"]) == 1 and not parsed["terms"] and not neg_q:
         return phrase_search(index, parsed["phrases"][0], k=k, lang=lang,
-                             repo=repo, fetch=fetch, offset=offset)
+                             repo=repo, fetch=fetch, offset=offset,
+                             search_after=search_after)
     return _bool_search(index, parsed, default_operator, k, lang, repo,
-                        fetch, offset)
+                        fetch, offset, search_after=search_after)
 
 
 def _bool_search(
@@ -2192,12 +2277,19 @@ def _bool_search(
     repo: str | None,
     fetch: str,
     offset: int,
+    search_after: tuple[float, str] | None = None,
 ) -> DataFrame:
     """Mixed term+phrase bool evaluation (see
     :func:`simple_query_string`)."""
     if offset < 0:
         raise ValueError("offset must be >= 0")
-    scored = _bool_scored(index, parsed, operator, k + offset, lang, repo)
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    scored = _bool_scored(index, parsed, operator, k + offset, lang, repo,
+                          after_cursor=cursor)
     if scored is None:
         return _local_result(
             index.postings.sparkSession, [], _HITS_FIELDS
@@ -2212,6 +2304,7 @@ def _bool_scored(
     k: int,
     lang: str | None,
     repo: str | None,
+    after_cursor: tuple[float, int] | None = None,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`_bool_search`: per-doc_part
     top-k (doc_idx, score) candidates, or None when nothing can match
@@ -2319,7 +2412,7 @@ def _bool_scored(
     pos_avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
     kernel = _make_bool_kernel(
         widf, neg, phrase_specs, index.avgdl, pos_avgdl, k,
-        index.docs_per_part, len(predicates), operator,
+        index.docs_per_part, len(predicates), operator, after=after_cursor,
     )
     if predicates:
         cond = None
@@ -2353,6 +2446,7 @@ def _make_bool_kernel(
     docs_per_part: int,
     n_predicates: int,
     operator: str,
+    after: tuple[float, int] | None = None,
 ):
     """Per-doc_part mixed bool kernel: the input frame carries BOTH
     scans, tagged ``src='t'`` (postings: docs/tfs/dls) and ``src='p'``
@@ -2447,7 +2541,7 @@ def _make_bool_kernel(
                     else np.unique(np.concatenate(excl_parts)))
             keep = ~_sorted_member(uniq, excl)
             uniq, acc = uniq[keep], acc[keep]
-        doc_idx, score = _topk_arrays(uniq, acc, k)
+        doc_idx, score = _topk_arrays(uniq, acc, k, after=after)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 
     return kernel
@@ -2461,6 +2555,7 @@ def _make_phrase_kernel(
     docs_per_part: int,
     n_predicates: int,
     slop: int = 0,
+    after: tuple[float, int] | None = None,
 ):
     """Per-doc_part phrase kernel, docs-first and positions-lazy.
 
@@ -2499,7 +2594,7 @@ def _make_phrase_kernel(
             return empty
         hit_local, pf, dl = hit
         scores = idf_sum * _tfn(pf, dl, avgdl)
-        doc_idx, score = _topk_arrays(hit_local + base, scores, k)
+        doc_idx, score = _topk_arrays(hit_local + base, scores, k, after=after)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 
     return kernel
@@ -2667,6 +2762,7 @@ def _make_batch_phrase_kernel(
     avgdl: float,
     n_by_query: dict[str, int],
     docs_per_part: int,
+    after_by_query: dict[str, tuple[float, int]] | None = None,
 ):
     """Per-doc_part BATCHED phrase kernel (the ES ``_msearch`` mixed-body
     analog): every phrase entry of the batch scores in this one job.
@@ -2675,6 +2771,7 @@ def _make_batch_phrase_kernel(
     entries sharing a hot term amortize its stream walk; per entry the
     docs-first intersection and lazy position slicing are identical to
     the single-query kernel."""
+    after_by_query = after_by_query or {}
     from ..functions.codecs import unpack_doc_set
 
     def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -2714,7 +2811,8 @@ def _make_batch_phrase_kernel(
                 continue
             hit_local, pf, dl = hit
             sc = spec["idf_sum"] * _tfn(pf, dl, avgdl)
-            d, s = _topk_arrays(hit_local + base, sc, n_by_query[qid])
+            d, s = _topk_arrays(hit_local + base, sc, n_by_query[qid],
+                                after=after_by_query.get(qid))
             qids.extend([qid] * len(d))
             didx.extend(d.tolist())
             scores.extend(s.tolist())

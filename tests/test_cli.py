@@ -245,6 +245,13 @@ def test_cli_search_after_cursor(spark, dirs, capsys):
     p2 = _lines(capsys)
     assert len(p2) == 1 and p2[0]["id"] != p1[0]["id"]
 
+    # --after composes with every query shape; a single-term --qs body
+    # dispatches to the same ranking, so the cursor lands on the same doc
+    assert main(["search", "--index", idx, "--query", "def", "--qs",
+                 "--k", "1", "--after", repr(score), hit_id]) == 0
+    p2_qs = _lines(capsys)
+    assert [r["id"] for r in p2_qs] == [p2[0]["id"]]
+
     with pytest.raises(SystemExit):
         main(["search", "--index", idx, "--query", "def",
               "--after", "1.0", "x", "--from", "5"])

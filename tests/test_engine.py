@@ -301,9 +301,6 @@ def test_search_after_validation_errors(index):
         search(index, "if", k=5, offset=5, search_after=(1.0, "x"))
     with pytest.raises(ValueError, match="not found"):
         search(index, "if", k=5, search_after=(1.0, "zz_missing_id"))
-    with pytest.raises(ValueError, match="plain term"):
-        search_many(index, {"a": {"q": "if", "phrase": True,
-                                  "search_after": [1.0, "x"]}})
     with pytest.raises(ValueError, match="mutually exclusive"):
         search_many(index, {"a": {"q": "if", "from": 5,
                                   "search_after": [1.0, "x"]}})

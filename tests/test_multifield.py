@@ -214,6 +214,55 @@ def test_multifield_offset_paging(mf_index):
     assert page2 == full[2:4]
 
 
+def test_multifield_search_after_pages_match_full_ranking(mf_index):
+    """search_after pages the bool-should multi-field ranking exactly —
+    single path and batched ``{"fields": ..., "search_after": ...}``
+    entries."""
+    flds = ("content", "file_name")
+    # cursors need FULL-precision scores (exact float64 comparison) —
+    # collect raw, don't round
+    full = [(r["id"], r["score"])
+            for r in q.multi_search(mf_index, "handler class render", k=10,
+                                    fields=flds).collect()]
+    assert len(full) >= 3
+
+    paged: list = []
+    cursor = None
+    while len(paged) < len(full):
+        page = [(r["id"], r["score"])
+                for r in q.multi_search(mf_index, "handler class render",
+                                        k=2, fields=flds,
+                                        search_after=cursor).collect()]
+        if not page:
+            break
+        paged.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert paged[:len(full)] == full
+
+    # batched entries: page against the BATCH path's own full ranking
+    # (single vs batched scores may differ in the last ULP — the same
+    # cursor-reuse caveat as ES)
+    def batch_page(spec, k):
+        out = q.search_many(mf_index, {"x": spec}, k=k).collect()
+        return [(r["id"], r["score"])
+                for r in sorted(out, key=lambda r: r["rank"])]
+
+    full_b = batch_page({"q": "handler class render",
+                         "fields": list(flds)}, 10)
+    paged_b: list = []
+    cursor = None
+    while len(paged_b) < len(full_b):
+        spec = {"q": "handler class render", "fields": list(flds)}
+        if cursor:
+            spec["search_after"] = [cursor[1], cursor[0]]
+        page = batch_page(spec, 2)
+        if not page:
+            break
+        paged_b.extend(page)
+        cursor = page[-1]
+    assert paged_b[:len(full_b)] == full_b
+
+
 def test_search_fields_kwarg_forwards(mf_index):
     a = _hits(q.search(mf_index, "user_controller.rb", k=5,
                        fields=("content", "file_name", "path")))

@@ -99,6 +99,44 @@ def test_phrase_frequency_scores_higher(pidx):
     assert hits[0]["id"] == "r1_b.py"
 
 
+def test_phrase_search_after_pages_match_full_ranking(pidx):
+    """search_after pages the phrase ranking exactly — single path and
+    batched ``{"phrase": True, "search_after": ...}`` entries (ES
+    supports cursors on any query shape)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    full = [(r["id"], r["score"])
+            for r in phrase_search(pidx, "table hash", k=10).collect()]
+    assert len(full) >= 3
+
+    paged: list = []
+    cursor = None
+    while len(paged) < len(full):
+        page = [(r["id"], r["score"])
+                for r in phrase_search(pidx, "table hash", k=2,
+                                       search_after=cursor).collect()]
+        if not page:
+            break
+        paged.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert paged[:len(full)] == full
+
+    paged_b: list = []
+    cursor = None
+    while len(paged_b) < len(full):
+        spec = {"q": "table hash", "phrase": True}
+        if cursor:
+            spec["search_after"] = [cursor[1], cursor[0]]
+        out = search_many(pidx, {"x": spec}, k=2).collect()
+        page = [(r["id"], r["score"])
+                for r in sorted(out, key=lambda r: r["rank"])]
+        if not page:
+            break
+        paged_b.extend(page)
+        cursor = page[-1]
+    assert paged_b[:len(full)] == full
+
+
 def test_phrase_survives_versioned_roundtrip(spark, pidx, tmp_path):
     from gitlab_elasticsearch_indexer_spark.operators.incremental import (
         load_versioned,

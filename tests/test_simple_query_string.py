@@ -193,6 +193,54 @@ def test_sqs_batch_entries_match_single(sidx):
         search_many(sidx, {"a": {"qs": "-only"}})
 
 
+def test_sqs_search_after_pages_match_full_ranking(sidx):
+    """search_after pages MIXED simple_query_string rankings exactly —
+    single path (combined bool kernel) and {"qs": ..., "search_after"}
+    msearch bodies."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    qs = '"table hash" merge'
+    full = [(r["id"], r["score"]) for r in
+            simple_query_string(sidx, qs, k=10,
+                                default_operator="or").collect()]
+    assert len(full) >= 3
+
+    paged: list = []
+    cursor = None
+    while len(paged) < len(full):
+        page = [(r["id"], r["score"]) for r in
+                simple_query_string(sidx, qs, k=2, default_operator="or",
+                                    search_after=cursor).collect()]
+        if not page:
+            break
+        paged.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert paged[:len(full)] == full
+
+    def batch_page(spec, k):
+        out = search_many(sidx, {"x": spec}, k=k).collect()
+        return [(r["id"], r["score"])
+                for r in sorted(out, key=lambda r: r["rank"])]
+
+    full_b = batch_page({"qs": qs, "operator": "or"}, 10)
+    paged_b: list = []
+    cursor = None
+    while len(paged_b) < len(full_b):
+        spec = {"qs": qs, "operator": "or"}
+        if cursor:
+            spec["search_after"] = [cursor[1], cursor[0]]
+        page = batch_page(spec, 2)
+        if not page:
+            break
+        paged_b.extend(page)
+        cursor = page[-1]
+    assert paged_b[:len(full_b)] == full_b
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search_many(sidx, {"a": {"qs": qs, "from": 3,
+                                 "search_after": [1.0, "x"]}})
+
+
 def test_sqs_cli(spark, sidx, tmp_path, capsys):
     import json
 
