@@ -1372,6 +1372,64 @@ GROUP BY m.a
 """
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """D7: the step a training pipeline runs AFTER dedup_groups — keep
+    ONE canonical representative per duplicate component ("the best
+    copy": longest text, ties to the minimum id) plus every
+    never-paired singleton.  One id join + one group_id-keyed window
+    shuffle; nothing collects.  The oracle replays components via the
+    recursive transitive-closure CTE, then each component's
+    (length desc, id asc) winner over the full corpus."""
+    corpus = _corpus(spark, sf_dir).withColumn("tlen", F.length("text"))
+    sh = dd.with_shingles(corpus, text_col="text", id_col="doc_id")
+    sig = dd.minhash_signatures(sh, num_hashes=8)
+    pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    groups = dd.dedup_groups(pairs)
+    kept = dd.dedup_keep_canonical(corpus, groups, id_col="doc_id",
+                                   order_col="tlen")
+    return kept.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE {_MINHASH_CTES.strip()},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM cand
+    UNION
+    SELECT id_b, id_a FROM cand
+),
+verts AS (SELECT DISTINCT u AS id FROM edges),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+),
+comp AS (
+    SELECT m.a AS id, least(m.a, min(m.b)) AS group_id
+    FROM (
+        SELECT a, b FROM reach
+        UNION ALL
+        SELECT id, id FROM verts
+    ) m
+    GROUP BY m.a
+),
+lab AS (
+    SELECT c.id, coalesce(comp.group_id, c.id) AS group_id,
+           length(c.text) AS tlen
+    FROM corpus c LEFT JOIN comp ON comp.id = c.id
+),
+ranked AS (
+    SELECT id, group_id,
+           row_number() OVER (PARTITION BY group_id
+                              ORDER BY tlen DESC, id ASC) AS rn
+    FROM lab
+)
+SELECT id, group_id FROM ranked WHERE rn = 1
+"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     sh = dd.with_shingles(_corpus(spark, sf_dir), text_col="text", id_col="doc_id")
     return dd.jaccard_pairs(sh, threshold=0.8)
@@ -2213,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_exact_dedup": q_exact_dedup,
         "d2_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "d6_dedup_groups": q_dedup_groups,
+        "d7_dedup_keep_canonical": q_dedup_keep_canonical,
         "d3_ngram_jaccard_pairs": q_jaccard_pairs,
         "d4a_simhash_fingerprints": q_simhash_fingerprints,
         "d4_simhash_near_pairs": q_simhash_near_pairs,
@@ -2290,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "d1_exact_dedup": SQL_EXACT_DEDUP,
         "d2_minhash_lsh_pairs": SQL_MINHASH_LSH,
         "d6_dedup_groups": SQL_DEDUP_GROUPS,
+        "d7_dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
         "d3_ngram_jaccard_pairs": SQL_JACCARD,
         "d4a_simhash_fingerprints": SQL_SIMHASH,
         "d4_simhash_near_pairs": SQL_SIMHASH_PAIRS,

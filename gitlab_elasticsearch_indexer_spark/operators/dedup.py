@@ -453,3 +453,47 @@ def dedup_groups(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("group_id"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """The step AFTER :func:`dedup_groups` in a training pipeline: keep
+    ONE canonical representative per duplicate group plus every
+    never-paired doc, dropping the rest of each cluster.
+
+    ``groups`` is the (id, group_id) output of :func:`dedup_groups`;
+    docs absent from it (singletons that never produced a candidate
+    pair) keep their own id as ``group_id`` and always survive.
+    ``order_col`` ranks docs within a group DESCENDING (a quality
+    score, token count, text length — "keep the best copy"); ties and
+    the default fall back to ascending id, so selection is
+    deterministic under any partitioning.
+
+    Returns the input rows (plus ``group_id``) minus non-canonical
+    duplicates.
+
+    Scale: one equi-join on the id (groups carries only ever-paired
+    docs — typically a few percent of the corpus — so Spark/AQE
+    broadcasts it when small) and ONE window shuffle keyed by group_id;
+    group sizes are duplicate-cluster sizes, so no skewed giant
+    partitions, and nothing collects to the driver.
+    """
+    from pyspark.sql.window import Window
+
+    g = groups.select(F.col("id").alias(id_col), "group_id")
+    joined = docs.join(g, id_col, "left").withColumn(
+        "group_id", F.coalesce("group_id", F.col(id_col))
+    )
+    order = [F.col(id_col).asc()]
+    if order_col is not None:
+        order.insert(0, F.col(order_col).desc())
+    w = Window.partitionBy("group_id").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -345,6 +345,39 @@ def test_dedup_groups_connected_components(spark, docs):
         assert groups[i + 100000] == groups[i] <= i
 
 
+def test_dedup_keep_canonical(spark):
+    """Keep ONE representative per component: order_col desc picks the
+    'best' copy, ties fall to min id; never-paired docs all survive
+    with their own id as group_id."""
+    corpus = spark.createDataFrame(
+        [(1, "short", 5.0), (2, "longer text", 9.0), (3, "longer", 9.0),
+         (10, "solo a", 1.0), (11, "solo b", 2.0), (20, "x", 0.0),
+         (21, "y", 3.0)],
+        "id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21)], "id_a long, id_b long"
+    )
+    groups = dedup.dedup_groups(pairs)
+
+    kept = {r["id"]: r["group_id"]
+            for r in dedup.dedup_keep_canonical(
+                corpus, groups, order_col="quality").collect()}
+    # {1,2,3}: quality ties at 9.0 for ids 2,3 → min id 2; {20,21}: 21
+    assert kept == {2: 1, 10: 10, 11: 11, 21: 20}
+
+    # default order: min id per group
+    kept_min = {r["id"] for r in
+                dedup.dedup_keep_canonical(corpus, groups).collect()}
+    assert kept_min == {1, 10, 11, 20}
+
+    # a non-"id" id column joins correctly
+    corpus2 = corpus.withColumnRenamed("id", "doc_id")
+    kept2 = {r["doc_id"] for r in dedup.dedup_keep_canonical(
+        corpus2, groups, id_col="doc_id", order_col="quality").collect()}
+    assert kept2 == {2, 10, 11, 21}
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [(1, "mail bob.smith+x@ex-a.co.uk now"),
