@@ -1258,6 +1258,7 @@ GROUP BY meta.id, lang, repo
 
 from gitlab_elasticsearch_indexer_spark.functions import textstats as ts
 from gitlab_elasticsearch_indexer_spark.operators import dedup as dd
+from gitlab_elasticsearch_indexer_spark.operators import training as tr
 from gitlab_elasticsearch_indexer_spark.operators import similarity as sim
 from gitlab_elasticsearch_indexer_spark.sources import multimodal as mm
 
@@ -1781,6 +1782,91 @@ FROM d
 """
 
 
+def q_curate_training_set(spark, sf_dir):
+    """P1: the composite curation pipeline — quality gate ≥ 0.5, language
+    gate (drop 'unknown'), canonical near-exact dedup — in ONE plan.
+    The oracle replays the whole chain: the verified t2/t3/t4/t1 SQL
+    fragments feed a fingerprint-partitioned window winner pick."""
+    return tr.curate_training_set(
+        load_table(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        langs=["de", "en", "es", "fr"],
+    )
+
+
+def q_training_token_budget(spark, sf_dir):
+    """P2: per-language token budget over the curated set (docs kept,
+    surviving duplicates removed, total BPE-ish tokens contributed)."""
+    curated = tr.curate_training_set(
+        load_table(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        langs=["de", "en", "es", "fr"],
+    )
+    return tr.training_token_budget(curated)
+
+
+_CURATE_CTES = rf"""
+base AS (
+    SELECT doc_id AS id, text,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+           length(text) AS n_chars
+    FROM documents
+),
+m AS (
+    SELECT id, text, toks, n_chars,
+           (n_chars - (len(toks) - 1)) / greatest(len(toks), 1)::DOUBLE AS mean_word_len,
+           len(regexp_extract_all(text, '[^\w\s]')) / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+           len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE AS distinct_ratio,
+           len(list_filter(toks, x -> list_contains({_sw_sql('de')}, x)))::BIGINT AS h_de,
+           len(list_filter(toks, x -> list_contains({_sw_sql('en')}, x)))::BIGINT AS h_en,
+           len(list_filter(toks, x -> list_contains({_sw_sql('es')}, x)))::BIGINT AS h_es,
+           len(list_filter(toks, x -> list_contains({_sw_sql('fr')}, x)))::BIGINT AS h_fr
+    FROM base
+),
+e AS (
+    SELECT id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0 END), 2) AS quality_score,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+    FROM m
+),
+kept AS (
+    SELECT * FROM e
+    WHERE quality_score >= 0.5 AND pred_lang IN ('de', 'en', 'es', 'fr')
+),
+curated AS (
+    SELECT id, pred_lang, quality_score, fingerprint, bpe_tokens, n_copies
+    FROM (
+        SELECT id, pred_lang, quality_score, fingerprint, bpe_tokens,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY id ASC) AS rn,
+               (count(*) OVER (PARTITION BY fingerprint))::BIGINT AS n_copies
+        FROM kept
+    ) WHERE rn = 1
+)
+"""
+
+SQL_CURATE_TRAINING_SET = f"""
+WITH {_CURATE_CTES.strip()}
+SELECT id, pred_lang, quality_score, fingerprint, bpe_tokens, n_copies FROM curated
+"""
+
+SQL_TRAINING_TOKEN_BUDGET = f"""
+WITH {_CURATE_CTES.strip()}
+SELECT pred_lang, count(*)::BIGINT AS n_docs,
+       sum(n_copies - 1)::BIGINT AS n_dups_removed,
+       sum(bpe_tokens)::BIGINT AS total_bpe_tokens
+FROM curated GROUP BY pred_lang
+"""
+
+
 def q_media_metadata(spark, sf_dir):
     media = mm.synth_media(load_table(spark, sf_dir, "documents"))
     return mm.media_metadata(media)
@@ -2285,6 +2371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprint_md5": q_fingerprint,
         "t5_rolling_fingerprint": q_rolling_fingerprint,
         "t6_redact_pii": q_redact_pii,
+        "p1_curate_training_set": q_curate_training_set,
+        "p2_training_token_budget": q_training_token_budget,
         "m1_media_metadata": q_media_metadata,
         "m2_media_frame_counts": q_media_frame_counts,
         "m3_media_decode": q_media_decode,
@@ -2363,6 +2451,8 @@ def oracle_sql() -> dict[str, str]:
         "t4_fingerprint_md5": SQL_FINGERPRINT,
         "t5_rolling_fingerprint": SQL_ROLLING,
         "t6_redact_pii": SQL_REDACT_PII,
+        "p1_curate_training_set": SQL_CURATE_TRAINING_SET,
+        "p2_training_token_budget": SQL_TRAINING_TOKEN_BUDGET,
         "m1_media_metadata": SQL_MEDIA_METADATA,
         "m2_media_frame_counts": SQL_MEDIA_FRAMES,
         "m3_media_decode": SQL_MEDIA_DECODE,

@@ -26,15 +26,66 @@ STOPWORDS = {
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# -- reusable column-expression builders (shared by the per-signal APIs
+#    below and by operators/training.py's single-scan composite pipeline)
+
+def ws_tokens_expr(text_col: str = "text"):
+    return F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+
+
+def bpe_tokens_expr(text_col: str = "text"):
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
+
+
+def canon_md5_expr(text_col: str = "text"):
+    """md5 of lowercased, whitespace-collapsed text (near-exact dedup key)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+
+
+def quality_score_expr(text_col: str = "text"):
+    """The [0,1] composite quality score as one raw (unrounded) Column.
+
+    Exact multiples of 0.25, so threshold filters are float-safe.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    mean_wlen = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    return (
+        F.when((n_chars >= 100) & (n_chars <= 20000), 0.25).otherwise(0.0)
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 12), 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.3, 0.25).otherwise(0.0)
+    )
+
+
+def pred_lang_expr(text_col: str = "text"):
+    """Stopword-argmax language ID as one Column (ties: lang code asc)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    langs = sorted(STOPWORDS)
+
+    def _hits(lang):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+    hits = {lang: _hits(lang) for lang in langs}
+    best = F.greatest(*hits.values())
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + BPE-ish segment counts per doc."""
-    t = F.col(text_col)
-    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
-    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0))
     return df.select(
         F.col(id_col).alias("id"),
-        ws.cast("long").alias("ws_tokens"),
-        bpe.cast("long").alias("bpe_tokens"),
+        ws_tokens_expr(text_col).cast("long").alias("ws_tokens"),
+        bpe_tokens_expr(text_col).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -97,8 +148,9 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
 
 def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical-form fingerprint: md5 of lowercased, ws-collapsed text."""
-    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return df.select(F.col(id_col).alias("id"), F.md5(canon).alias("fingerprint"))
+    return df.select(
+        F.col(id_col).alias("id"), canon_md5_expr(text_col).alias("fingerprint")
+    )
 
 
 _RH_MOD = np.uint64((1 << 61) - 1)

@@ -524,3 +524,19 @@ def test_multifield_scan_pushes_terms_and_prunes_columns(spark, tmp_path_factory
         assert a == b and a
     finally:
         mem.unpersist()
+
+
+def test_curation_pipeline_single_exchange_pruned_scan(spark):
+    """The composite curation pipeline must stay one scan + ONE shuffle:
+    both fingerprint windows (winner pick, copy count) share the same
+    partitioning, and the corpus scan reads only (id, text)."""
+    from gitlab_elasticsearch_indexer_spark.operators import training as tr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tr.curate_training_set(docs, min_quality=0.5,
+                                 langs=["de", "en", "es", "fr"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "doc_id" in scan[0] and "text" in scan[0]
+    assert "source" not in scan[0] and "n_chars" not in scan[0]

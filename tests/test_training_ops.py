@@ -563,3 +563,72 @@ def test_avi_video_decodes_through_spark(spark, docs):
             v = np.array([(i * 37 + r["frame_no"] * 53 + t * 11) % 256
                           for t in range(bw * bh)], dtype=np.float64)
             assert abs(r["mean"] - v.mean()) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# composite curation pipeline (operators/training.py)
+
+def test_curate_training_set_crafted(spark):
+    from gitlab_elasticsearch_indexer_spark.operators import training as tr
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for running code in the sun with many distinct tokens around here"
+    )
+    rows = [
+        (1, good),                                  # canonical winner (lowest id)
+        (2, "  " + good.upper() + "  "),            # ws/case variant → same fingerprint
+        (3, good + " entirely different tail that changes the fingerprint"),
+        (4, "xx " * 60),                            # repetitive → distinct_ratio ≈ 0
+        (5, "der die das und ist nicht ein mit zu auf " * 5),  # German, decent quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tr.curate_training_set(docs, min_quality=0.5, langs=["de", "en", "es", "fr"])
+    by_id = {r["id"]: r for r in out.collect()}
+
+    assert set(by_id) == {1, 3, 5}          # 2 folded into 1; 4 fails quality
+    assert by_id[1]["n_copies"] == 2
+    assert by_id[3]["n_copies"] == 1
+    assert by_id[1]["pred_lang"] == "en"
+    assert by_id[5]["pred_lang"] == "de"
+    fps = [r["fingerprint"] for r in by_id.values()]
+    assert len(set(fps)) == len(fps)
+
+    budget = {r["pred_lang"]: r for r in tr.training_token_budget(out).collect()}
+    assert budget["en"]["n_docs"] == 2
+    assert budget["en"]["n_dups_removed"] == 1
+    assert budget["de"]["n_docs"] == 1
+    assert budget["en"]["total_bpe_tokens"] == (
+        by_id[1]["bpe_tokens"] + by_id[3]["bpe_tokens"]
+    )
+
+
+def test_curate_training_set_invariants(docs):
+    from gitlab_elasticsearch_indexer_spark.operators import training as tr
+    from gitlab_elasticsearch_indexer_spark.functions import textstats as ts
+
+    out = tr.curate_training_set(docs, min_quality=0.5,
+                                 langs=["de", "en", "es", "fr"]).persist()
+    rows = out.collect()
+    assert rows, "curation must keep something at sf0.001"
+    # unique fingerprints, gates respected
+    assert len({r["fingerprint"] for r in rows}) == len(rows)
+    assert all(r["quality_score"] >= 0.5 for r in rows)
+    assert all(r["pred_lang"] in {"de", "en", "es", "fr"} for r in rows)
+
+    # canonical = min id among SURVIVING members; n_copies = group size
+    surviving = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("id"),
+            F.round(ts.quality_score_expr("text"), 2).alias("q"),
+            ts.pred_lang_expr("text").alias("pl"),
+            ts.canon_md5_expr("text").alias("fp"),
+        )
+        .filter((F.col("q") >= 0.5) & F.col("pl").isin("de", "en", "es", "fr"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("min_id"), F.count("*").alias("n"))
+        .collect()
+    )
+    expect = {r["fp"]: (r["min_id"], r["n"]) for r in surviving}
+    assert {r["fingerprint"]: (r["id"], r["n_copies"]) for r in rows} == expect
+    out.unpersist()
