@@ -1252,6 +1252,36 @@ GROUP BY meta.id, lang, repo
 )
 
 
+_MGET_IDS = ["doc_000042", "doc_000007", "doc_does_not_exist"]
+
+
+def q_mget(spark, sf_dir):
+    """B19 batch: ES ``_mget`` — every requested id in ONE pushed In()
+    doc_stats lookup; a missing id comes back found=false with NULL
+    metadata, exactly as _mget reports unfound docs."""
+    idx = _shared_index(spark, sf_dir)
+    return q.mget(idx, _MGET_IDS).select(
+        "id", "found", "lang", "repo", F.col("dl").cast("long").alias("dl")
+    )
+
+
+SQL_MGET = (
+    "WITH "
+    + _TOK_CTE
+    + f""",
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents),
+stats AS (
+    SELECT meta.id AS id, lang, repo, count(*)::BIGINT AS dl
+    FROM tok JOIN meta USING (id)
+    GROUP BY meta.id, lang, repo
+),
+req AS (SELECT unnest({_MGET_IDS!r}) AS id)
+SELECT req.id AS id, stats.id IS NOT NULL AS found, lang, repo, dl
+FROM req LEFT JOIN stats ON stats.id = req.id
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis /
 # multimodal plumbing) — first-class alongside the reference inventory
@@ -2337,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_bm25_search_many": q_bm25_search_many,
         "b16_b17_search_many_filtered": q_search_many_filtered,
         "b19_get_by_id": q_get_by_id,
+        "b31_mget": q_mget,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
@@ -2412,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "b14_bm25_search_many": _sql_search_many(),
         "b16_b17_search_many_filtered": _sql_search_many_filtered(),
         "b19_get_by_id": SQL_GET_BY_ID,
+        "b31_mget": SQL_MGET,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),

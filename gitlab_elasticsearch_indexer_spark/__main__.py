@@ -222,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--path", default=None, help="blob path (blob types)")
     g.add_argument("--sha", default=None, help="commit sha (commit type)")
 
+    mg = sub.add_parser("mget", help="batch point lookup by raw document id "
+                                     "(ES _mget analog): one JSON line per "
+                                     "requested id with found=true/false")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("ids", nargs="+", help="document ids (e.g. 'repo1_a.py')")
+
     args = ap.parse_args(argv)
 
     from .operators import incremental as inc
@@ -295,6 +301,19 @@ def main(argv: list[str] | None = None) -> int:
                                blob_type=args.doc_type).collect()
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))
+    elif args.cmd == "mget":
+        from .sources import doc_store as ds
+
+        # driver-side point reads of only the ids' store partitions —
+        # no Spark job, O(touched partitions) like the highlighter fetch
+        found = ds.point_read_documents(args.index, args.ids,
+                                        columns=("id", "content"))
+        for i in args.ids:
+            row = found.get(i)
+            if row is None:
+                print(json.dumps({"id": i, "found": False}))
+            else:
+                print(json.dumps({**row, "found": True}, default=str))
     elif args.cmd == "update":
         src = spark.read.parquet(args.source)
         # the reference updates whatever blob type it was launched with

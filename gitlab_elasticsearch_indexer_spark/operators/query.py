@@ -1740,6 +1740,29 @@ def get_by_id(index: InvertedIndex, doc_id: str) -> DataFrame:
     return index.doc_stats.filter(F.col("id") == doc_id)
 
 
+def mget(index: InvertedIndex, doc_ids: list[str]) -> DataFrame:
+    """B19 batch: the ES ``_mget`` analog — every requested id in ONE
+    doc_stats lookup, missing ids reported ``found=false`` (ES returns
+    one entry per requested id, found or not).
+
+    Physical plan: a single pushed ``In()`` filter over the id-sorted
+    doc_stats files (row-group pruning, same path as :func:`get_by_id`),
+    then the ≤ len(ids)-row hit set broadcast-joins back onto the tiny
+    requested-id relation — cost tracks the id list, never the corpus.
+    """
+    spark = index.doc_stats.sparkSession
+    ids = list(dict.fromkeys(doc_ids))
+    if not ids:
+        raise ValueError("mget needs at least one id")
+    req = spark.createDataFrame([(i,) for i in ids], "id string")
+    hits = index.doc_stats.filter(F.col("id").isin(ids)).withColumn(
+        "found", F.lit(True)
+    )
+    return req.join(F.broadcast(hits), "id", "left").withColumn(
+        "found", F.coalesce(F.col("found"), F.lit(False))
+    )
+
+
 FACET_SCHEMA = "field string, value string, n long"
 
 

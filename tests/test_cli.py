@@ -588,3 +588,23 @@ def test_cli_fields_sha_and_msearch_fields(spark, dirs, capsys, tmp_path):
         main(["search", "--index", idx, "--query", "x", "--sha", "abcde"])
     with pytest.raises(SystemExit):
         main(["search", "--index", idx, "--sha", "abcd"])
+
+
+def test_cli_mget_batch_point_lookup(spark, dirs, capsys):
+    """ES _mget analog: one JSON line per requested id in request order,
+    found=false for misses, content via driver-side store point reads."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    assert main(["mget", "--index", idx,
+                 "repo1_src/app.py", "repo9_no/such.file",
+                 "repo2_lib/util.rb"]) == 0
+    rows = _lines(capsys)
+    assert [r["id"] for r in rows] == [
+        "repo1_src/app.py", "repo9_no/such.file", "repo2_lib/util.rb"
+    ]
+    assert [r["found"] for r in rows] == [True, False, True]
+    assert rows[0]["content"] == "def getUserById if return"
+    assert "content" not in rows[1]

@@ -540,3 +540,16 @@ def test_curation_pipeline_single_exchange_pruned_scan(spark):
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "doc_id" in scan[0] and "text" in scan[0]
     assert "source" not in scan[0] and "n_chars" not in scan[0]
+
+
+def test_mget_broadcasts_hits_and_pushes_ids(saved_index):
+    """mget must stay a point plan: the id list reaches the doc_stats
+    scan as a pushed In() filter and the bounded hit set broadcasts."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import mget
+
+    out = mget(saved_index, ["r_001", "r_042", "nope"])
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert_pushed_filter(out, "In(id")
+    rows = {r["id"]: r["found"] for r in out.collect()}
+    assert rows == {"r_001": True, "r_042": True, "nope": False}
