@@ -1252,6 +1252,35 @@ GROUP BY meta.id, lang, repo
 )
 
 
+def q_prefix_search(spark, sf_dir):
+    """B32: ES prefix query (trailing-* analog) — term-dictionary
+    expansion capped at max_expansions by (df desc, term asc) — the
+    Lucene top-terms rewrite — then bool-should BM25 over the
+    expansions.  The cap BITES here ('s' matches 6 vocabulary terms,
+    4 survive), so the oracle certifies the ranked rewrite, not just
+    the scoring."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.prefix_search(idx, "s", k=15, max_expansions=4)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_PREFIX_SEARCH = (
+    "WITH "
+    + _BM25_CTES.removeprefix("WITH ").replace(
+        "meta AS",
+        "q AS (SELECT term FROM df WHERE term LIKE 's%' "
+        "ORDER BY df DESC, term ASC LIMIT 4),\nmeta AS",
+        1,
+    )
+    + """
+SELECT scored.id AS id, round(scored.raw, 4) AS score
+FROM scored
+ORDER BY scored.raw DESC, scored.id ASC
+LIMIT 15
+"""
+)
+
+
 _MGET_IDS = ["doc_000042", "doc_000007", "doc_does_not_exist"]
 
 
@@ -2368,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_b17_search_many_filtered": q_search_many_filtered,
         "b19_get_by_id": q_get_by_id,
         "b31_mget": q_mget,
+        "b32_prefix_search": q_prefix_search,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
@@ -2444,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         "b16_b17_search_many_filtered": _sql_search_many_filtered(),
         "b19_get_by_id": SQL_GET_BY_ID,
         "b31_mget": SQL_MGET,
+        "b32_prefix_search": SQL_PREFIX_SEARCH,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),

@@ -138,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--slop", type=int, default=0,
                    help="with --phrase: ES match_phrase slop (Lucene "
                         "sloppy-phrase matching, tf = sloppy freq)")
+    s.add_argument("--prefix", action="store_true",
+                   help="treat --query as a term PREFIX (ES prefix query / "
+                        "trailing-* analog): expand against the term "
+                        "dictionary (top --max-expansions by df), score "
+                        "bool-should over the expansions")
+    s.add_argument("--max-expansions", type=int, default=50,
+                   help="with --prefix: cap on expanded terms (Lucene "
+                        "top-terms rewrite keeps the most frequent)")
     s.add_argument("--fields", default=None,
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
@@ -465,21 +473,22 @@ def main(argv: list[str] | None = None) -> int:
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         if (args.query is None) == (args.sha is None):
             ap.error("search needs exactly one of --query / --sha")
-        if sum(map(bool, (args.sha, args.phrase, args.fields))) > 1:
-            ap.error("--sha, --phrase, and --fields are mutually "
-                     "exclusive query types")
+        if sum(map(bool, (args.sha, args.phrase, args.fields,
+                          args.prefix))) > 1:
+            ap.error("--sha, --phrase, --fields, and --prefix are "
+                     "mutually exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
         if (args.operator == "and" or args.must_not) and (
-            args.sha or args.phrase or args.fields
+            args.sha or args.phrase or args.fields or args.prefix
         ):
             ap.error("--operator and / --not apply to plain term "
-                     "queries (not --sha/--phrase/--fields)")
+                     "queries (not --sha/--phrase/--fields/--prefix)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
-                        or args.operator != "or" or args.must_not
-                        or args.facet):
+                        or args.prefix or args.operator != "or"
+                        or args.must_not or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
                      "combine it with --sha/--phrase/--fields/--operator/"
@@ -507,6 +516,11 @@ def main(argv: list[str] | None = None) -> int:
                 lang=args.lang, repo=args.repo, offset=args.offset,
                 search_after=after,
             )
+        elif args.prefix:
+            hits = q.prefix_search(idx, args.query, k=args.k, lang=args.lang,
+                                   repo=args.repo,
+                                   max_expansions=args.max_expansions,
+                                   offset=args.offset, search_after=after)
         elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.analyzers import (
     code_search_analyze,
     default_analyze,
+    fold_ascii,
     path_analyze,
     sha_analyze,
 )
@@ -115,6 +116,7 @@ def score_plan(
     operator: str = "or",
     must_not: str | None = None,
     after_cursor: tuple[float, int] | None = None,
+    pre_weights: dict[str, float] | None = None,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`search`: per-doc_part top-k
     candidate rows (doc_idx, score).  ``None`` means the query can match
@@ -135,12 +137,18 @@ def score_plan(
     cursor: kernels emit only docs strictly after it in the (score
     desc, doc_idx asc) total order, so deep paging costs O(k) per page
     at any depth (:func:`search` resolves the public (score, id) form).
+
+    ``pre_weights`` bypasses query analysis with an explicit
+    term → clause-weight map of ALREADY-ANALYZED terms (the multi-term
+    rewrite seam :func:`prefix_search` expands into); ``query`` is then
+    ignored.
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
-    weights = Counter(analyze_query(query))
+    weights = (Counter(analyze_query(query)) if pre_weights is None
+               else dict(pre_weights))
     idf = index.idf_map(list(weights))
     # weighted idf per matched term — the only per-term constant kernels need
     widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
@@ -362,6 +370,76 @@ def search(
     # resolve driver-side, and metadata comes ONLY from the doc_parts
     # that produced hits — point reads (auto) or a doc_part-pruned
     # join (spark) — never a full per-query metadata scan.
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def expand_prefix(
+    index: InvertedIndex, prefix: str, max_expansions: int = 50
+) -> list[str]:
+    """Term-dictionary prefix expansion — the Lucene TopTermsRewrite
+    analog ES prefix queries compile to.  The prefix is normalized like
+    an indexed token (lowercase + asciifold; ES ``prefix`` does not run
+    the full analyzer), then matching vocabulary terms are ranked by
+    (df desc, term asc) and capped at ``max_expansions`` — Lucene's
+    top-terms blended rewrite keeps the highest-frequency terms so the
+    cap drops only the least-matching expansions.
+
+    Physical plan: ONE column-pruned (term, df) scan of term_stats with
+    the ``startswith`` predicate pushed to parquet (StringStartsWith →
+    row-group min/max pruning where files are term-sorted); cost tracks
+    the vocabulary, never the corpus.
+    """
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    p = fold_ascii(prefix.lower())
+    rows = (
+        index.term_stats.filter(F.col("term").startswith(p))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def prefix_search(
+    index: InvertedIndex,
+    prefix: str,
+    k: int = 10,
+    lang: str | None = None,
+    repo: str | None = None,
+    max_expansions: int = 50,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``prefix`` query (trailing-``*`` in query_string): top-k docs
+    containing ANY vocabulary term starting with ``prefix``, scored as
+    the bool-should sum of the expanded terms' BM25 (the top-terms
+    scoring rewrite: each doc scores over the expansions it contains).
+
+    Two bounded phases: :func:`expand_prefix` resolves the prefix to
+    ≤ ``max_expansions`` concrete terms against the term dictionary,
+    then the ordinary multi-term scoring job runs with those terms
+    pushed to the postings scan — identical machinery (filters,
+    routing, pagination, cursors) to :func:`search`.
+    """
+    spark = index.postings.sparkSession
+    terms = expand_prefix(index, prefix, max_expansions=max_expansions)
+    if not terms:
+        return _local_result(spark, [], _HITS_FIELDS)
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    scored = score_plan(index, "", k=k + offset, lang=lang, repo=repo,
+                        after_cursor=cursor,
+                        pre_weights={t: 1.0 for t in terms})
+    if scored is None:
+        return _local_result(spark, [], _HITS_FIELDS)
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 

@@ -608,3 +608,22 @@ def test_cli_mget_batch_point_lookup(spark, dirs, capsys):
     assert [r["found"] for r in rows] == [True, False, True]
     assert rows[0]["content"] == "def getUserById if return"
     assert "content" not in rows[1]
+
+
+def test_cli_prefix_search(spark, dirs, capsys):
+    """--prefix expands the term dictionary (ES prefix / trailing-*
+    analog) so `getuser` finds getUserById without the full term."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "getuser",
+                 "--prefix"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_src/app.py"
+
+    # no vocabulary match → zero hits, clean exit
+    assert main(["search", "--index", idx, "--query", "zzz",
+                 "--prefix"]) == 0
+    assert _lines(capsys) == []

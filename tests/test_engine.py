@@ -599,3 +599,73 @@ def test_search_many_offset_matches_single(index, fetch):
         assert [g[:2] for g in got] == [e[:2] for e in exp], (fetch, qid)
         assert np.allclose([g[2] for g in got], [e[2] for e in exp],
                            rtol=1e-9)
+
+
+# --- prefix queries (ES prefix / trailing-* analog) -------------------------
+
+
+def _oracle_prefix_hits(oracle, prefix, k, max_expansions):
+    """Brute-force referee: LIKE-expand the vocabulary ranked by
+    (df desc, term asc), cap, then sum per-term BM25 like the engine."""
+    from gitlab_elasticsearch_indexer_spark.oracle import B, K1
+
+    cands = sorted(
+        ((len(docs), t) for t, docs in oracle.postings.items()
+         if t.startswith(prefix)),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in cands[:max_expansions]]
+    avgdl = oracle.avgdl
+    scores = {}
+    for t in terms:
+        idf = oracle.idf(t)
+        for doc_id, tf in oracle.postings[t].items():
+            dl = oracle.dls[doc_id]
+            tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+    hits = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return hits[:k], len(cands)
+
+
+@pytest.mark.parametrize("prefix,max_exp", [
+    ("get", 50),       # camelCase captures: getuserbyid → get... terms
+    ("us", 4),         # cap bites: certifies the df-ranked rewrite
+    ("zzzznope", 50),  # no vocabulary match → empty
+])
+def test_prefix_search_rank_identity(index, oracle, prefix, max_exp):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        expand_prefix,
+        prefix_search,
+    )
+
+    exp, n_matching = _oracle_prefix_hits(oracle, prefix, 12, max_exp)
+    got = [(r["id"], r["score"])
+           for r in prefix_search(index, prefix, k=12,
+                                  max_expansions=max_exp).collect()]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
+    # the expansion itself matches the referee's ranked cap
+    cands = sorted(
+        ((len(d), t) for t, d in oracle.postings.items()
+         if t.startswith(prefix)), key=lambda x: (-x[0], x[1]))
+    assert expand_prefix(index, prefix, max_expansions=max_exp) == [
+        t for _, t in cands[:max_exp]
+    ]
+    if prefix == "us":
+        assert n_matching > max_exp  # the cap actually bit
+
+
+def test_prefix_search_normalizes_and_filters(index, oracle):
+    from gitlab_elasticsearch_indexer_spark.operators.query import prefix_search
+
+    # prefix is lowercased like an indexed token (ES prefix queries
+    # normalize, not analyze)
+    a = [(r["id"], r["score"])
+         for r in prefix_search(index, "GET", k=10).collect()]
+    b = [(r["id"], r["score"])
+         for r in prefix_search(index, "get", k=10).collect()]
+    assert a == b and a
+    # lang filter composes through the shared scoring machinery
+    hits = prefix_search(index, "get", k=10, lang="Python").collect()
+    assert hits and all(r["lang"] == "Python" for r in hits)
