@@ -389,19 +389,39 @@ def expand_prefix(
     row-group min/max pruning where files are term-sorted); cost tracks
     the vocabulary, never the corpus.
     """
-    if not prefix:
-        raise ValueError("prefix must be non-empty")
-    if max_expansions < 1:
-        raise ValueError("max_expansions must be >= 1")
-    p = fold_ascii(prefix.lower())
+    return _expand_prefixes(index, {"_": (prefix, max_expansions)})["_"]
+
+
+def _expand_prefixes(
+    index: InvertedIndex, wants: dict[str, tuple[str, int]]
+) -> dict[str, list[str]]:
+    """Batch form of :func:`expand_prefix`: every entry's expansion from
+    ONE (term, df) term_stats scan with the OR'd startswith predicates
+    pushed; ranking/capping resolves driver-side per prefix (rows are
+    bounded by the matching vocabulary, never the corpus)."""
+    from functools import reduce
+
+    norm: dict[str, tuple[str, int]] = {}
+    for key, (prefix, cap) in wants.items():
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        if cap < 1:
+            raise ValueError("max_expansions must be >= 1")
+        norm[key] = (fold_ascii(str(prefix).lower()), int(cap))
+    preds = [F.col("term").startswith(p) for p in {p for p, _ in norm.values()}]
     rows = (
-        index.term_stats.filter(F.col("term").startswith(p))
+        index.term_stats.filter(reduce(lambda a, b: a | b, preds))
         .select("term", "df")
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
         .collect()
     )
-    return [r["term"] for r in rows]
+    out: dict[str, list[str]] = {}
+    for key, (p, cap) in norm.items():
+        m = sorted(
+            ((int(r["df"]), r["term"]) for r in rows if r["term"].startswith(p)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        out[key] = [t for _, t in m[:cap]]
+    return out
 
 
 def prefix_search(
@@ -1062,6 +1082,7 @@ def search_many(
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
     "phrase": bool, "slop": int, "fields": [str, ...],
+    "prefix": bool, "max_expansions": int,
     "operator": "or"|"and", "must_not": str,
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
     a full simple_query_string body (pure-term/pure-phrase forms lower
@@ -1098,6 +1119,7 @@ def search_many(
     specs: dict[str, tuple[str, str | None, str | None]] = {}
     off_by_query: dict[str, int] = {}
     phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
+    prefix_specs: dict[str, tuple[str, int]] = {}  # qid -> (prefix, cap)
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
@@ -1155,19 +1177,22 @@ def search_many(
         else:
             specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
             off_by_query[qid] = int(spec.get("from", offset))
-            if spec.get("phrase") and spec.get("fields"):
-                raise ValueError("an entry is phrase OR multi-field, not both")
+            if sum(map(bool, (spec.get("phrase"), spec.get("fields"),
+                              spec.get("prefix")))) > 1:
+                raise ValueError(
+                    "an entry is phrase OR multi-field OR prefix, not several"
+                )
             op = spec.get("operator", "or")
             if op not in ("or", "and"):
                 raise ValueError(
                     f"batch entry {qid!r}: operator must be 'or' or 'and'"
                 )
             if (op == "and" or spec.get("must_not")) and (
-                spec.get("phrase") or spec.get("fields")
+                spec.get("phrase") or spec.get("fields") or spec.get("prefix")
             ):
                 raise ValueError(
                     f"batch entry {qid!r}: operator='and'/must_not apply to "
-                    "plain term entries, not phrase or multi-field ones"
+                    "plain term entries, not phrase/multi-field/prefix ones"
                 )
             if op == "and":
                 op_by_query[qid] = op
@@ -1185,6 +1210,10 @@ def search_many(
                 phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
             elif spec.get("fields"):
                 mf_specs[qid] = tuple(spec["fields"])
+            elif spec.get("prefix"):
+                prefix_specs[qid] = (
+                    spec["q"], int(spec.get("max_expansions", 50))
+                )
     if any(v < 0 for v in off_by_query.values()):
         raise ValueError("from/offset must be >= 0")
     n_by_query = {qid: k + off_by_query[qid] for qid in specs}
@@ -1193,8 +1222,15 @@ def search_many(
         qid: Counter(analyze_query(qs))
         for qid, (qs, _, _) in specs.items()
         if qid not in phrase_specs and qid not in mf_specs
-        and qid not in mixed_qs
+        and qid not in mixed_qs and qid not in prefix_specs
     }
+    if prefix_specs:
+        # prefix entries expand driver-side (one shared vocab scan) into
+        # already-analyzed term weights, then ride the ordinary shared
+        # term jobs like any other entry — see prefix_search
+        for qid, terms in _expand_prefixes(index, prefix_specs).items():
+            if terms:
+                weights[qid] = Counter(terms)
     all_terms = sorted({t for w in weights.values() for t in w})
     idf = index.idf_map(all_terms)
     widf_by_query = {

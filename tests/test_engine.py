@@ -669,3 +669,45 @@ def test_prefix_search_normalizes_and_filters(index, oracle):
     # lang filter composes through the shared scoring machinery
     hits = prefix_search(index, "get", k=10, lang="Python").collect()
     assert hits and all(r["lang"] == "Python" for r in hits)
+
+
+def test_search_many_prefix_entries_match_single(index):
+    """Prefix entries in search_many reproduce prefix_search exactly —
+    expansion shared across the batch, mixed with plain term entries,
+    keyword filters, offsets, and a no-match prefix."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        prefix_search,
+        search,
+        search_many,
+    )
+
+    qs = {
+        "p0": {"q": "get", "prefix": True},
+        "p1": {"q": "us", "prefix": True, "max_expansions": 4},
+        "p2": {"q": "get", "prefix": True, "lang": "Python"},
+        "p3": {"q": "get", "prefix": True, "from": 3},
+        "p4": {"q": "zzzznope", "prefix": True},
+        "t0": "if return",
+    }
+    by_q = {}
+    for r in search_many(index, qs, k=6).collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if isinstance(spec, str):
+            single = search(index, spec, k=6).collect()
+            base_rank = 0
+        else:
+            single = prefix_search(
+                index, spec["q"], k=6, lang=spec.get("lang"),
+                max_expansions=spec.get("max_expansions", 50),
+                offset=spec.get("from", 0),
+            ).collect()
+            base_rank = spec.get("from", 0)
+        exp = [(base_rank + i + 1, r["id"], r["score"])
+               for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got] or [0.0],
+                           [e[2] for e in exp] or [0.0])
