@@ -711,3 +711,33 @@ def test_search_many_prefix_entries_match_single(index):
         assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
         assert np.allclose([g[2] for g in got] or [0.0],
                            [e[2] for e in exp] or [0.0])
+
+
+def test_prefix_search_after_pages_match_full_ranking(index):
+    """search_after cursors compose with prefix queries on both the
+    single and batched paths: page 2 via the page-1 tail cursor equals
+    rows [3:6] of the full ranking, with exact float parity."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        prefix_search,
+        search_many,
+    )
+
+    full = [(r["id"], r["score"])
+            for r in prefix_search(index, "get", k=6).collect()]
+    assert len(full) == 6
+    cursor = (full[2][1], full[2][0])
+    page2 = [(r["id"], r["score"])
+             for r in prefix_search(index, "get", k=3,
+                                    search_after=cursor).collect()]
+    assert page2 == full[3:6]
+
+    # batched kernels may differ from singles in the last ULP
+    # (accumulation order) — ids exact, scores approx, like the
+    # documented search_after caveat
+    batched = sorted(search_many(index, {
+        "p": {"q": "get", "prefix": True,
+              "search_after": [cursor[0], cursor[1]]},
+    }, k=3).collect(), key=lambda r: r["rank"])
+    assert [r["id"] for r in batched] == [i for i, _ in full[3:6]]
+    assert np.allclose([r["score"] for r in batched],
+                       [s for _, s in full[3:6]], rtol=1e-12)
