@@ -1281,6 +1281,34 @@ LIMIT 15
 )
 
 
+def q_fuzzy_search(spark, sf_dir):
+    """B33: ES fuzzy query (term~N) — vocabulary expansion within a
+    Levenshtein edit budget (pushed length band + JVM-side distance),
+    ranked (df desc, term asc), then bool-should BM25 over the
+    expansions.  'sort'~2 matches both 'sort' and 'part' here, so the
+    oracle certifies multi-expansion scoring, not just self-match."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.fuzzy_search(idx, "sort", k=15, max_edits=2)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_FUZZY_SEARCH = (
+    "WITH "
+    + _BM25_CTES.removeprefix("WITH ").replace(
+        "meta AS",
+        "q AS (SELECT term FROM df WHERE levenshtein(term, 'sort') <= 2 "
+        "ORDER BY df DESC, term ASC LIMIT 50),\nmeta AS",
+        1,
+    )
+    + """
+SELECT scored.id AS id, round(scored.raw, 4) AS score
+FROM scored
+ORDER BY scored.raw DESC, scored.id ASC
+LIMIT 15
+"""
+)
+
+
 _MGET_IDS = ["doc_000042", "doc_000007", "doc_does_not_exist"]
 
 
@@ -2398,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_get_by_id": q_get_by_id,
         "b31_mget": q_mget,
         "b32_prefix_search": q_prefix_search,
+        "b33_fuzzy_search": q_fuzzy_search,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
@@ -2475,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "b19_get_by_id": SQL_GET_BY_ID,
         "b31_mget": SQL_MGET,
         "b32_prefix_search": SQL_PREFIX_SEARCH,
+        "b33_fuzzy_search": SQL_FUZZY_SEARCH,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),

@@ -143,9 +143,20 @@ def main(argv: list[str] | None = None) -> int:
                         "trailing-* analog): expand against the term "
                         "dictionary (top --max-expansions by df), score "
                         "bool-should over the expansions")
+    s.add_argument("--fuzzy", action="store_true",
+                   help="treat --query as a FUZZY term (ES fuzzy / term~N "
+                        "analog): expand to vocabulary terms within "
+                        "--max-edits Levenshtein edits, score bool-should "
+                        "over the expansions")
+    s.add_argument("--max-edits", type=int, default=1,
+                   help="with --fuzzy: Levenshtein edit budget")
+    s.add_argument("--fuzzy-prefix-length", type=int, default=0,
+                   help="with --fuzzy: require this many exact leading "
+                        "chars (the ES prefix_length knob; pushes a "
+                        "startswith predicate to the vocab scan)")
     s.add_argument("--max-expansions", type=int, default=50,
-                   help="with --prefix: cap on expanded terms (Lucene "
-                        "top-terms rewrite keeps the most frequent)")
+                   help="with --prefix/--fuzzy: cap on expanded terms "
+                        "(Lucene top-terms rewrite keeps the most frequent)")
     s.add_argument("--fields", default=None,
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
@@ -474,20 +485,22 @@ def main(argv: list[str] | None = None) -> int:
         if (args.query is None) == (args.sha is None):
             ap.error("search needs exactly one of --query / --sha")
         if sum(map(bool, (args.sha, args.phrase, args.fields,
-                          args.prefix))) > 1:
-            ap.error("--sha, --phrase, --fields, and --prefix are "
-                     "mutually exclusive query types")
+                          args.prefix, args.fuzzy))) > 1:
+            ap.error("--sha, --phrase, --fields, --prefix, and --fuzzy "
+                     "are mutually exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
         if (args.operator == "and" or args.must_not) and (
             args.sha or args.phrase or args.fields or args.prefix
+            or args.fuzzy
         ):
-            ap.error("--operator and / --not apply to plain term "
-                     "queries (not --sha/--phrase/--fields/--prefix)")
+            ap.error("--operator and / --not apply to plain term queries "
+                     "(not --sha/--phrase/--fields/--prefix/--fuzzy)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
-                        or args.prefix or args.operator != "or"
+                        or args.prefix or args.fuzzy
+                        or args.operator != "or"
                         or args.must_not or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
@@ -521,6 +534,13 @@ def main(argv: list[str] | None = None) -> int:
                                    repo=args.repo,
                                    max_expansions=args.max_expansions,
                                    offset=args.offset, search_after=after)
+        elif args.fuzzy:
+            hits = q.fuzzy_search(idx, args.query, k=args.k,
+                                  max_edits=args.max_edits,
+                                  lang=args.lang, repo=args.repo,
+                                  max_expansions=args.max_expansions,
+                                  prefix_length=args.fuzzy_prefix_length,
+                                  offset=args.offset, search_after=after)
         elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,

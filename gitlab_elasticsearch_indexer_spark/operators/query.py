@@ -424,6 +424,83 @@ def _expand_prefixes(
     return out
 
 
+def expand_fuzzy(
+    index: InvertedIndex,
+    term: str,
+    max_edits: int = 1,
+    max_expansions: int = 50,
+    prefix_length: int = 0,
+) -> list[str]:
+    """Fuzzy term expansion — the ES ``fuzzy`` query's multi-term
+    rewrite (Lucene walks a Levenshtein automaton over the FST; the
+    Spark analog is a vocabulary scan with the cheap bounds PUSHED and
+    the exact distance JVM-side).  The term is normalized like an
+    indexed token (lowercase + asciifold), matches rank (df desc, term
+    asc) and cap at ``max_expansions`` — the same top-terms rewrite as
+    :func:`expand_prefix`.  ``prefix_length`` requires that many exact
+    leading characters (the ES knob that keeps the scan cheap): it
+    becomes a pushed ``startswith``; the length band
+    ``len(term) ± max_edits`` always pushes.  The surviving exact
+    Levenshtein predicate is Catalyst's built-in (whole-stage codegen,
+    early-exit threshold form) — no Python in the scan.
+    """
+    if not term:
+        raise ValueError("term must be non-empty")
+    if max_edits < 0 or max_expansions < 1 or prefix_length < 0:
+        raise ValueError("max_edits >= 0, max_expansions >= 1, "
+                         "prefix_length >= 0 required")
+    t = fold_ascii(term.lower())
+    cond = (
+        (F.length("term") >= len(t) - max_edits)
+        & (F.length("term") <= len(t) + max_edits)
+    )
+    if prefix_length:
+        cond = cond & F.col("term").startswith(t[:prefix_length])
+    cond = cond & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+    rows = index.term_stats.filter(cond).select("term", "df").collect()
+    m = sorted(((int(r["df"]), r["term"]) for r in rows),
+               key=lambda x: (-x[0], x[1]))
+    return [tm for _, tm in m[:max_expansions]]
+
+
+def fuzzy_search(
+    index: InvertedIndex,
+    term: str,
+    k: int = 10,
+    max_edits: int = 1,
+    lang: str | None = None,
+    repo: str | None = None,
+    max_expansions: int = 50,
+    prefix_length: int = 0,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``fuzzy`` query (``term~N`` in query_string): top-k docs
+    containing any vocabulary term within ``max_edits`` Levenshtein
+    edits of ``term``, scored as the bool-should sum of the expansions'
+    BM25 — the same top-terms scoring rewrite as :func:`prefix_search`,
+    over the same shared machinery (filters, routing, pagination,
+    cursors all compose)."""
+    spark = index.postings.sparkSession
+    terms = expand_fuzzy(index, term, max_edits=max_edits,
+                         max_expansions=max_expansions,
+                         prefix_length=prefix_length)
+    if not terms:
+        return _local_result(spark, [], _HITS_FIELDS)
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    scored = score_plan(index, "", k=k + offset, lang=lang, repo=repo,
+                        after_cursor=cursor,
+                        pre_weights={t: 1.0 for t in terms})
+    if scored is None:
+        return _local_result(spark, [], _HITS_FIELDS)
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
 def prefix_search(
     index: InvertedIndex,
     prefix: str,

@@ -627,3 +627,22 @@ def test_cli_prefix_search(spark, dirs, capsys):
     assert main(["search", "--index", idx, "--query", "zzz",
                  "--prefix"]) == 0
     assert _lines(capsys) == []
+
+
+def test_cli_fuzzy_search(spark, dirs, capsys):
+    """--fuzzy finds docs through a typo: 'mrege' is 2 edits from the
+    indexed 'merge' capture."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "mrege",
+                 "--fuzzy", "--max-edits", "2"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_src/db.py"
+
+    # budget 1 is not enough for the transposition-as-2-edits typo
+    assert main(["search", "--index", idx, "--query", "mrege",
+                 "--fuzzy", "--max-edits", "1"]) == 0
+    assert all(h["id"] != "repo1_src/db.py" for h in _lines(capsys))

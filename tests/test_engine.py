@@ -741,3 +741,60 @@ def test_prefix_search_after_pages_match_full_ranking(index):
     assert [r["id"] for r in batched] == [i for i, _ in full[3:6]]
     assert np.allclose([r["score"] for r in batched],
                        [s for _, s in full[3:6]], rtol=1e-12)
+
+
+# --- fuzzy queries (ES fuzzy / term~N analog) --------------------------------
+
+
+def _lev(a, b):
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+
+    return d(len(a), len(b))
+
+
+@pytest.mark.parametrize("term,edits,plen", [
+    ("getuser", 2, 0),    # typo-distance matches in the camelCase vocab
+    ("return", 1, 0),
+    ("return", 2, 3),     # prefix_length constrains the neighborhood
+    ("zzzzzzzzzz", 1, 0), # nothing within reach → empty
+])
+def test_fuzzy_search_rank_identity(index, oracle, term, edits, plen):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        expand_fuzzy,
+        fuzzy_search,
+    )
+    from gitlab_elasticsearch_indexer_spark.oracle import B, K1
+
+    cands = sorted(
+        ((len(docs), t) for t, docs in oracle.postings.items()
+         if _lev(term, t) <= edits and t.startswith(term[:plen])),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in cands[:50]]
+    assert expand_fuzzy(index, term, max_edits=edits, max_expansions=50,
+                        prefix_length=plen) == terms
+
+    avgdl = oracle.avgdl
+    scores = {}
+    for t in terms:
+        idf = oracle.idf(t)
+        for doc_id, tf in oracle.postings[t].items():
+            dl = oracle.dls[doc_id]
+            tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:12]
+    got = [(r["id"], r["score"])
+           for r in fuzzy_search(index, term, k=12, max_edits=edits,
+                                 prefix_length=plen).collect()]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
