@@ -444,23 +444,67 @@ def expand_fuzzy(
     Levenshtein predicate is Catalyst's built-in (whole-stage codegen,
     early-exit threshold form) — no Python in the scan.
     """
-    if not term:
-        raise ValueError("term must be non-empty")
-    if max_edits < 0 or max_expansions < 1 or prefix_length < 0:
-        raise ValueError("max_edits >= 0, max_expansions >= 1, "
-                         "prefix_length >= 0 required")
-    t = fold_ascii(term.lower())
-    cond = (
-        (F.length("term") >= len(t) - max_edits)
-        & (F.length("term") <= len(t) + max_edits)
+    return _expand_fuzzies(
+        index, {"_": (term, max_edits, max_expansions, prefix_length)}
+    )["_"]
+
+
+def _lev_dist(a: str, b: str) -> int:
+    """Plain Levenshtein distance (driver-side re-check in the batch
+    expansion; inputs are vocabulary terms, tens of chars)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expand_fuzzies(
+    index: InvertedIndex, wants: dict[str, tuple[str, int, int, int]]
+) -> dict[str, list[str]]:
+    """Batch form of :func:`expand_fuzzy`: every entry's neighborhood
+    from ONE (term, df) term_stats scan with the OR'd (length band +
+    prefix + JVM levenshtein) predicates pushed; per-entry membership
+    re-checks and the ranked cap resolve driver-side over the bounded
+    match set."""
+    from functools import reduce
+
+    norm: dict[str, tuple[str, int, int, int]] = {}
+    conds = []
+    for key, (term, edits, cap, plen) in wants.items():
+        if not term:
+            raise ValueError("term must be non-empty")
+        if edits < 0 or cap < 1 or plen < 0:
+            raise ValueError("max_edits >= 0, max_expansions >= 1, "
+                             "prefix_length >= 0 required")
+        t = fold_ascii(str(term).lower())
+        norm[key] = (t, int(edits), int(cap), int(plen))
+        c = (
+            (F.length("term") >= len(t) - edits)
+            & (F.length("term") <= len(t) + edits)
+        )
+        if plen:
+            c = c & F.col("term").startswith(t[:plen])
+        conds.append(c & (F.levenshtein(F.col("term"), F.lit(t)) <= edits))
+    rows = (
+        index.term_stats.filter(reduce(lambda a, b: a | b, conds))
+        .select("term", "df")
+        .collect()
     )
-    if prefix_length:
-        cond = cond & F.col("term").startswith(t[:prefix_length])
-    cond = cond & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
-    rows = index.term_stats.filter(cond).select("term", "df").collect()
-    m = sorted(((int(r["df"]), r["term"]) for r in rows),
-               key=lambda x: (-x[0], x[1]))
-    return [tm for _, tm in m[:max_expansions]]
+    out: dict[str, list[str]] = {}
+    for key, (t, edits, cap, plen) in norm.items():
+        m = sorted(
+            ((int(r["df"]), r["term"]) for r in rows
+             if r["term"].startswith(t[:plen])
+             and _lev_dist(r["term"], t) <= edits),
+            key=lambda x: (-x[0], x[1]),
+        )
+        out[key] = [tm for _, tm in m[:cap]]
+    return out
 
 
 def fuzzy_search(
@@ -1159,7 +1203,8 @@ def search_many(
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
     "phrase": bool, "slop": int, "fields": [str, ...],
-    "prefix": bool, "max_expansions": int,
+    "prefix": bool, "fuzzy": bool, "max_edits": int,
+    "max_expansions": int, "prefix_length": int,
     "operator": "or"|"and", "must_not": str,
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
     a full simple_query_string body (pure-term/pure-phrase forms lower
@@ -1197,6 +1242,7 @@ def search_many(
     off_by_query: dict[str, int] = {}
     phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
     prefix_specs: dict[str, tuple[str, int]] = {}  # qid -> (prefix, cap)
+    fuzzy_specs: dict[str, tuple[str, int, int, int]] = {}  # (q, edits, cap, plen)
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
@@ -1255,9 +1301,10 @@ def search_many(
             specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
             off_by_query[qid] = int(spec.get("from", offset))
             if sum(map(bool, (spec.get("phrase"), spec.get("fields"),
-                              spec.get("prefix")))) > 1:
+                              spec.get("prefix"), spec.get("fuzzy")))) > 1:
                 raise ValueError(
-                    "an entry is phrase OR multi-field OR prefix, not several"
+                    "an entry is phrase OR multi-field OR prefix OR fuzzy, "
+                    "not several"
                 )
             op = spec.get("operator", "or")
             if op not in ("or", "and"):
@@ -1266,10 +1313,12 @@ def search_many(
                 )
             if (op == "and" or spec.get("must_not")) and (
                 spec.get("phrase") or spec.get("fields") or spec.get("prefix")
+                or spec.get("fuzzy")
             ):
                 raise ValueError(
                     f"batch entry {qid!r}: operator='and'/must_not apply to "
-                    "plain term entries, not phrase/multi-field/prefix ones"
+                    "plain term entries, not phrase/multi-field/prefix/fuzzy "
+                    "ones"
                 )
             if op == "and":
                 op_by_query[qid] = op
@@ -1291,6 +1340,12 @@ def search_many(
                 prefix_specs[qid] = (
                     spec["q"], int(spec.get("max_expansions", 50))
                 )
+            elif spec.get("fuzzy"):
+                fuzzy_specs[qid] = (
+                    spec["q"], int(spec.get("max_edits", 1)),
+                    int(spec.get("max_expansions", 50)),
+                    int(spec.get("prefix_length", 0)),
+                )
     if any(v < 0 for v in off_by_query.values()):
         raise ValueError("from/offset must be >= 0")
     n_by_query = {qid: k + off_by_query[qid] for qid in specs}
@@ -1300,12 +1355,18 @@ def search_many(
         for qid, (qs, _, _) in specs.items()
         if qid not in phrase_specs and qid not in mf_specs
         and qid not in mixed_qs and qid not in prefix_specs
+        and qid not in fuzzy_specs
     }
+    # prefix/fuzzy entries expand driver-side (one shared vocab scan per
+    # kind) into already-analyzed term weights, then ride the ordinary
+    # shared term jobs like any other entry — see prefix_search /
+    # fuzzy_search
     if prefix_specs:
-        # prefix entries expand driver-side (one shared vocab scan) into
-        # already-analyzed term weights, then ride the ordinary shared
-        # term jobs like any other entry — see prefix_search
         for qid, terms in _expand_prefixes(index, prefix_specs).items():
+            if terms:
+                weights[qid] = Counter(terms)
+    if fuzzy_specs:
+        for qid, terms in _expand_fuzzies(index, fuzzy_specs).items():
             if terms:
                 weights[qid] = Counter(terms)
     all_terms = sorted({t for w in weights.values() for t in w})

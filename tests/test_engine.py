@@ -798,3 +798,40 @@ def test_fuzzy_search_rank_identity(index, oracle, term, edits, plen):
     assert [i for i, _ in got] == [i for i, _ in exp]
     for (_, gs), (_, es) in zip(got, exp):
         assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_search_many_fuzzy_entries_match_single(index):
+    """Fuzzy entries in search_many reproduce fuzzy_search exactly —
+    one shared neighborhood scan per batch, mixed with prefix and term
+    entries, edit budgets, prefix_length, and a no-match term."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        fuzzy_search,
+        search_many,
+    )
+
+    qs = {
+        "f0": {"q": "return", "fuzzy": True},
+        "f1": {"q": "getuser", "fuzzy": True, "max_edits": 2},
+        "f2": {"q": "return", "fuzzy": True, "max_edits": 2,
+               "prefix_length": 3},
+        "f3": {"q": "zzzzzzzzzz", "fuzzy": True},
+        "p0": {"q": "get", "prefix": True},
+        "t0": "if return",
+    }
+    by_q = {}
+    for r in search_many(index, qs, k=6).collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if not (isinstance(spec, dict) and spec.get("fuzzy")):
+            continue
+        single = fuzzy_search(
+            index, spec["q"], k=6, max_edits=spec.get("max_edits", 1),
+            prefix_length=spec.get("prefix_length", 0),
+        ).collect()
+        exp = [(i + 1, r["id"], r["score"]) for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got] or [0.0],
+                           [e[2] for e in exp] or [0.0], rtol=1e-12)
