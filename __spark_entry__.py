@@ -1309,6 +1309,34 @@ LIMIT 15
 )
 
 
+def q_wildcard_search(spark, sf_dir):
+    """B34: ES wildcard query — 's?a*' expands against the term
+    dictionary (literal prefix 's' pushed, anchored regex JVM-side) to
+    {scan, small, spark} here, then bool-should BM25 over the
+    expansions; the oracle replays the identical anchored regex with
+    DuckDB's regexp_matches plus the ranked cap."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.wildcard_search(idx, "s?a*", k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_WILDCARD_SEARCH = (
+    "WITH "
+    + _BM25_CTES.removeprefix("WITH ").replace(
+        "meta AS",
+        "q AS (SELECT term FROM df WHERE regexp_matches(term, '^s.a.*$') "
+        "ORDER BY df DESC, term ASC LIMIT 50),\nmeta AS",
+        1,
+    )
+    + """
+SELECT scored.id AS id, round(scored.raw, 4) AS score
+FROM scored
+ORDER BY scored.raw DESC, scored.id ASC
+LIMIT 15
+"""
+)
+
+
 _MGET_IDS = ["doc_000042", "doc_000007", "doc_does_not_exist"]
 
 
@@ -2427,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b31_mget": q_mget,
         "b32_prefix_search": q_prefix_search,
         "b33_fuzzy_search": q_fuzzy_search,
+        "b34_wildcard_search": q_wildcard_search,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
@@ -2505,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "b31_mget": SQL_MGET,
         "b32_prefix_search": SQL_PREFIX_SEARCH,
         "b33_fuzzy_search": SQL_FUZZY_SEARCH,
+        "b34_wildcard_search": SQL_WILDCARD_SEARCH,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),

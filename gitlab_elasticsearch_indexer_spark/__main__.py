@@ -154,9 +154,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --fuzzy: require this many exact leading "
                         "chars (the ES prefix_length knob; pushes a "
                         "startswith predicate to the vocab scan)")
+    s.add_argument("--wildcard", action="store_true",
+                   help="treat --query as a WILDCARD pattern (ES wildcard "
+                        "analog: * = any run, ? = any one char): expand "
+                        "against the term dictionary, score bool-should "
+                        "over the expansions")
     s.add_argument("--max-expansions", type=int, default=50,
-                   help="with --prefix/--fuzzy: cap on expanded terms "
-                        "(Lucene top-terms rewrite keeps the most frequent)")
+                   help="with --prefix/--fuzzy/--wildcard: cap on expanded "
+                        "terms (Lucene top-terms rewrite keeps the most "
+                        "frequent)")
     s.add_argument("--fields", default=None,
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
@@ -485,21 +491,22 @@ def main(argv: list[str] | None = None) -> int:
         if (args.query is None) == (args.sha is None):
             ap.error("search needs exactly one of --query / --sha")
         if sum(map(bool, (args.sha, args.phrase, args.fields,
-                          args.prefix, args.fuzzy))) > 1:
-            ap.error("--sha, --phrase, --fields, --prefix, and --fuzzy "
-                     "are mutually exclusive query types")
+                          args.prefix, args.fuzzy, args.wildcard))) > 1:
+            ap.error("--sha, --phrase, --fields, --prefix, --fuzzy, and "
+                     "--wildcard are mutually exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
         if (args.operator == "and" or args.must_not) and (
             args.sha or args.phrase or args.fields or args.prefix
-            or args.fuzzy
+            or args.fuzzy or args.wildcard
         ):
             ap.error("--operator and / --not apply to plain term queries "
-                     "(not --sha/--phrase/--fields/--prefix/--fuzzy)")
+                     "(not --sha/--phrase/--fields/--prefix/--fuzzy/"
+                     "--wildcard)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
-                        or args.prefix or args.fuzzy
+                        or args.prefix or args.fuzzy or args.wildcard
                         or args.operator != "or"
                         or args.must_not or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
@@ -541,6 +548,11 @@ def main(argv: list[str] | None = None) -> int:
                                   max_expansions=args.max_expansions,
                                   prefix_length=args.fuzzy_prefix_length,
                                   offset=args.offset, search_after=after)
+        elif args.wildcard:
+            hits = q.wildcard_search(idx, args.query, k=args.k,
+                                     lang=args.lang, repo=args.repo,
+                                     max_expansions=args.max_expansions,
+                                     offset=args.offset, search_after=after)
         elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,

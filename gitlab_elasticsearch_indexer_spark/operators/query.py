@@ -545,6 +545,114 @@ def fuzzy_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
+def _wildcard_to_regex(pattern: str) -> str:
+    """Translate an ES wildcard pattern (``*`` = any run, ``?`` = any
+    one char) into an anchored regex using only syntax Java regex and
+    RE2/DuckDB agree on (literal chars escaped one-by-one)."""
+    import re as _re
+
+    out = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    out.append("$")
+    return "".join(out)
+
+
+def expand_wildcard(
+    index: InvertedIndex, pattern: str, max_expansions: int = 50
+) -> list[str]:
+    """Wildcard term expansion — the ES ``wildcard`` query's multi-term
+    rewrite.  The pattern is normalized like an indexed token
+    (lowercase + asciifold; ``*``/``?`` survive), its literal prefix
+    (the chars before the first wildcard) pushes to the term_stats scan
+    as ``startswith`` — the same trick Lucene plays, which is why ES
+    docs warn about leading-``*`` patterns — and the anchored regex
+    match runs JVM-side (``rlike``, whole-stage codegen).  Matches rank
+    (df desc, term asc) and cap at ``max_expansions`` like the other
+    multi-term rewrites."""
+    return _expand_wildcards(index, {"_": (pattern, max_expansions)})["_"]
+
+
+def _expand_wildcards(
+    index: InvertedIndex, wants: dict[str, tuple[str, int]]
+) -> dict[str, list[str]]:
+    """Batch form of :func:`expand_wildcard`: one (term, df) scan with
+    the OR'd (literal-prefix + regex) predicates pushed; per-entry
+    membership re-checks and the ranked cap resolve driver-side."""
+    import re as _re
+    from functools import reduce
+
+    norm: dict[str, tuple[str, int]] = {}
+    conds = []
+    for key, (pattern, cap) in wants.items():
+        p = fold_ascii(str(pattern).lower())
+        if not p.replace("*", "").replace("?", ""):
+            raise ValueError(
+                "wildcard pattern needs at least one literal character"
+            )
+        if cap < 1:
+            raise ValueError("max_expansions must be >= 1")
+        rx = _wildcard_to_regex(p)
+        norm[key] = (rx, int(cap))
+        lit = _re.split(r"[*?]", p, maxsplit=1)[0]
+        c = F.col("term").rlike(rx)
+        if lit:
+            c = F.col("term").startswith(lit) & c
+        conds.append(c)
+    rows = (
+        index.term_stats.filter(reduce(lambda a, b: a | b, conds))
+        .select("term", "df")
+        .collect()
+    )
+    out: dict[str, list[str]] = {}
+    for key, (rx, cap) in norm.items():
+        crx = _re.compile(rx)
+        m = sorted(
+            ((int(r["df"]), r["term"]) for r in rows if crx.match(r["term"])),
+            key=lambda x: (-x[0], x[1]),
+        )
+        out[key] = [t for _, t in m[:cap]]
+    return out
+
+
+def wildcard_search(
+    index: InvertedIndex,
+    pattern: str,
+    k: int = 10,
+    lang: str | None = None,
+    repo: str | None = None,
+    max_expansions: int = 50,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``wildcard`` query: top-k docs containing any vocabulary term
+    matching the ``*``/``?`` pattern, scored as the bool-should sum of
+    the expansions' BM25 — the same top-terms scoring rewrite and
+    shared machinery as :func:`prefix_search` / :func:`fuzzy_search`
+    (filters, routing, pagination, cursors compose)."""
+    spark = index.postings.sparkSession
+    terms = expand_wildcard(index, pattern, max_expansions=max_expansions)
+    if not terms:
+        return _local_result(spark, [], _HITS_FIELDS)
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    scored = score_plan(index, "", k=k + offset, lang=lang, repo=repo,
+                        after_cursor=cursor,
+                        pre_weights={t: 1.0 for t in terms})
+    if scored is None:
+        return _local_result(spark, [], _HITS_FIELDS)
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
 def prefix_search(
     index: InvertedIndex,
     prefix: str,
@@ -1203,7 +1311,7 @@ def search_many(
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
     "phrase": bool, "slop": int, "fields": [str, ...],
-    "prefix": bool, "fuzzy": bool, "max_edits": int,
+    "prefix": bool, "fuzzy": bool, "wildcard": bool, "max_edits": int,
     "max_expansions": int, "prefix_length": int,
     "operator": "or"|"and", "must_not": str,
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
@@ -1243,6 +1351,7 @@ def search_many(
     phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
     prefix_specs: dict[str, tuple[str, int]] = {}  # qid -> (prefix, cap)
     fuzzy_specs: dict[str, tuple[str, int, int, int]] = {}  # (q, edits, cap, plen)
+    wild_specs: dict[str, tuple[str, int]] = {}  # qid -> (pattern, cap)
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
@@ -1301,10 +1410,11 @@ def search_many(
             specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
             off_by_query[qid] = int(spec.get("from", offset))
             if sum(map(bool, (spec.get("phrase"), spec.get("fields"),
-                              spec.get("prefix"), spec.get("fuzzy")))) > 1:
+                              spec.get("prefix"), spec.get("fuzzy"),
+                              spec.get("wildcard")))) > 1:
                 raise ValueError(
-                    "an entry is phrase OR multi-field OR prefix OR fuzzy, "
-                    "not several"
+                    "an entry is phrase OR multi-field OR prefix OR fuzzy "
+                    "OR wildcard, not several"
                 )
             op = spec.get("operator", "or")
             if op not in ("or", "and"):
@@ -1313,12 +1423,12 @@ def search_many(
                 )
             if (op == "and" or spec.get("must_not")) and (
                 spec.get("phrase") or spec.get("fields") or spec.get("prefix")
-                or spec.get("fuzzy")
+                or spec.get("fuzzy") or spec.get("wildcard")
             ):
                 raise ValueError(
                     f"batch entry {qid!r}: operator='and'/must_not apply to "
-                    "plain term entries, not phrase/multi-field/prefix/fuzzy "
-                    "ones"
+                    "plain term entries, not phrase/multi-field/prefix/fuzzy"
+                    "/wildcard ones"
                 )
             if op == "and":
                 op_by_query[qid] = op
@@ -1346,6 +1456,10 @@ def search_many(
                     int(spec.get("max_expansions", 50)),
                     int(spec.get("prefix_length", 0)),
                 )
+            elif spec.get("wildcard"):
+                wild_specs[qid] = (
+                    spec["q"], int(spec.get("max_expansions", 50))
+                )
     if any(v < 0 for v in off_by_query.values()):
         raise ValueError("from/offset must be >= 0")
     n_by_query = {qid: k + off_by_query[qid] for qid in specs}
@@ -1355,20 +1469,19 @@ def search_many(
         for qid, (qs, _, _) in specs.items()
         if qid not in phrase_specs and qid not in mf_specs
         and qid not in mixed_qs and qid not in prefix_specs
-        and qid not in fuzzy_specs
+        and qid not in fuzzy_specs and qid not in wild_specs
     }
-    # prefix/fuzzy entries expand driver-side (one shared vocab scan per
-    # kind) into already-analyzed term weights, then ride the ordinary
-    # shared term jobs like any other entry — see prefix_search /
-    # fuzzy_search
-    if prefix_specs:
-        for qid, terms in _expand_prefixes(index, prefix_specs).items():
-            if terms:
-                weights[qid] = Counter(terms)
-    if fuzzy_specs:
-        for qid, terms in _expand_fuzzies(index, fuzzy_specs).items():
-            if terms:
-                weights[qid] = Counter(terms)
+    # prefix/fuzzy/wildcard entries expand driver-side (one shared vocab
+    # scan per kind) into already-analyzed term weights, then ride the
+    # ordinary shared term jobs like any other entry — see
+    # prefix_search / fuzzy_search / wildcard_search
+    for specs_d, expander in ((prefix_specs, _expand_prefixes),
+                              (fuzzy_specs, _expand_fuzzies),
+                              (wild_specs, _expand_wildcards)):
+        if specs_d:
+            for qid, terms in expander(index, specs_d).items():
+                if terms:
+                    weights[qid] = Counter(terms)
     all_terms = sorted({t for w in weights.values() for t in w})
     idf = index.idf_map(all_terms)
     widf_by_query = {

@@ -646,3 +646,21 @@ def test_cli_fuzzy_search(spark, dirs, capsys):
     assert main(["search", "--index", idx, "--query", "mrege",
                  "--fuzzy", "--max-edits", "1"]) == 0
     assert all(h["id"] != "repo1_src/db.py" for h in _lines(capsys))
+
+
+def test_cli_wildcard_search(spark, dirs, capsys):
+    """--wildcard finds docs through a pattern: 'ge?user*' matches the
+    getuserbyid capture chain."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "ge?user*",
+                 "--wildcard"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_src/app.py"
+
+    assert main(["search", "--index", idx, "--query", "zz*zz",
+                 "--wildcard"]) == 0
+    assert _lines(capsys) == []

@@ -835,3 +835,85 @@ def test_search_many_fuzzy_entries_match_single(index):
         assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
         assert np.allclose([g[2] for g in got] or [0.0],
                            [e[2] for e in exp] or [0.0], rtol=1e-12)
+
+
+# --- wildcard queries (ES wildcard analog) -----------------------------------
+
+
+@pytest.mark.parametrize("pattern", ["get*", "*user*", "g?t*", "zz*zz"])
+def test_wildcard_search_rank_identity(index, oracle, pattern):
+    import re
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        _wildcard_to_regex,
+        expand_wildcard,
+        wildcard_search,
+    )
+    from gitlab_elasticsearch_indexer_spark.oracle import B, K1
+
+    rx = re.compile(_wildcard_to_regex(pattern))
+    cands = sorted(
+        ((len(docs), t) for t, docs in oracle.postings.items() if rx.match(t)),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in cands[:50]]
+    assert expand_wildcard(index, pattern, max_expansions=50) == terms
+
+    avgdl = oracle.avgdl
+    scores = {}
+    for t in terms:
+        idf = oracle.idf(t)
+        for doc_id, tf in oracle.postings[t].items():
+            dl = oracle.dls[doc_id]
+            tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:12]
+    got = [(r["id"], r["score"])
+           for r in wildcard_search(index, pattern, k=12).collect()]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_wildcard_pattern_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        expand_wildcard,
+    )
+
+    with pytest.raises(ValueError):
+        expand_wildcard(index, "*")
+    with pytest.raises(ValueError):
+        expand_wildcard(index, "?*?")
+    # regex metachars in the literal part are escaped, not interpreted
+    assert expand_wildcard(index, "g.t*") == []
+
+
+def test_search_many_wildcard_entries_match_single(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        search_many,
+        wildcard_search,
+    )
+
+    qs = {
+        "w0": {"q": "get*", "wildcard": True},
+        "w1": {"q": "*user*", "wildcard": True, "max_expansions": 5},
+        "w2": {"q": "zz*zz", "wildcard": True},
+        "t0": "if return",
+    }
+    by_q = {}
+    for r in search_many(index, qs, k=6).collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if not (isinstance(spec, dict) and spec.get("wildcard")):
+            continue
+        single = wildcard_search(
+            index, spec["q"], k=6,
+            max_expansions=spec.get("max_expansions", 50),
+        ).collect()
+        exp = [(i + 1, r["id"], r["score"]) for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got] or [0.0],
+                           [e[2] for e in exp] or [0.0], rtol=1e-12)
