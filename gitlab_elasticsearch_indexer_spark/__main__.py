@@ -253,7 +253,43 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--index", required=True)
     mg.add_argument("ids", nargs="+", help="document ids (e.g. 'repo1_a.py')")
 
+    an = sub.add_parser("analyze", help="run text through an analysis chain "
+                                        "and print (term, tf) — the ES "
+                                        "_analyze API analog for debugging "
+                                        "what a query/index will see")
+    an.add_argument("--analyzer", default="code",
+                    choices=["code", "simple", "default", "path", "sha"],
+                    help="index-side chain; add --search for the asymmetric "
+                         "query-side chain")
+    an.add_argument("--search", action="store_true",
+                    help="use the query-side (search_analyzer) chain "
+                         "instead of the index-side one")
+    an.add_argument("--text", required=True)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "analyze":
+        # pure-Python kernels shared with the Spark UDFs — no JVM needed
+        from .functions.analyzers import ANALYZERS_TF
+        from .operators.query import QUERY_ANALYZERS
+
+        if args.search:
+            chain = QUERY_ANALYZERS.get(args.analyzer)
+            if chain is None:
+                ap.error(f"no query-side chain for analyzer {args.analyzer!r}")
+            toks: dict[str, int] = {}
+            for t in chain(args.text):
+                toks[t] = toks.get(t, 0) + 1
+            tfs, dl = toks, sum(toks.values())
+        else:
+            tfs, dl = ANALYZERS_TF[args.analyzer](args.text)
+        print(json.dumps({
+            "analyzer": args.analyzer,
+            "side": "search" if args.search else "index",
+            "dl": dl,
+            "tokens": dict(sorted(tfs.items())),
+        }))
+        return 0
 
     from .operators import incremental as inc
     from .operators import index_build as ib

@@ -664,3 +664,23 @@ def test_cli_wildcard_search(spark, dirs, capsys):
     assert main(["search", "--index", idx, "--query", "zz*zz",
                  "--wildcard"]) == 0
     assert _lines(capsys) == []
+
+
+def test_cli_analyze(capsys):
+    """`analyze` (ES _analyze analog) prints the chain's (term, tf) with
+    no Spark session: index-side code chain edgeNGrams, query-side
+    simple chain lowercases + asciifolds only."""
+    assert main(["analyze", "--text", "getUserById"]) == 0
+    out = _lines(capsys)[0]
+    assert out["analyzer"] == "code" and out["side"] == "index"
+    assert out["tokens"]["getuserbyid"] == 1
+    # edgeNGram floor: 'ge' emitted by both the full token and the
+    # 'get' capture
+    assert out["tokens"]["ge"] == 2
+
+    assert main(["analyze", "--analyzer", "simple", "--search",
+                 "--text", "GetUser Été"]) == 0
+    out = _lines(capsys)[0]
+    assert out["side"] == "search"
+    assert out["tokens"] == {"getuser": 1, "ete": 1}
+    assert out["dl"] == 2
