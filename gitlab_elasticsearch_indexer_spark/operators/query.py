@@ -433,16 +433,17 @@ def expand_fuzzy(
 ) -> list[str]:
     """Fuzzy term expansion — the ES ``fuzzy`` query's multi-term
     rewrite (Lucene walks a Levenshtein automaton over the FST; the
-    Spark analog is a vocabulary scan with the cheap bounds PUSHED and
-    the exact distance JVM-side).  The term is normalized like an
-    indexed token (lowercase + asciifold), matches rank (df desc, term
-    asc) and cap at ``max_expansions`` — the same top-terms rewrite as
-    :func:`expand_prefix`.  ``prefix_length`` requires that many exact
-    leading characters (the ES knob that keeps the scan cheap): it
-    becomes a pushed ``startswith``; the length band
-    ``len(term) ± max_edits`` always pushes.  The surviving exact
-    Levenshtein predicate is Catalyst's built-in (whole-stage codegen,
-    early-exit threshold form) — no Python in the scan.
+    Spark analog is a vocabulary scan with the cheap bounds evaluated
+    first and the exact distance JVM-side).  The term is normalized
+    like an indexed token (lowercase + asciifold), matches rank
+    (df desc, term asc) and cap at ``max_expansions`` — the same
+    top-terms rewrite as :func:`expand_prefix`.  ``prefix_length``
+    requires that many exact leading characters (the ES knob that
+    keeps the scan cheap): it pushes to parquet as ``StartsWith``
+    (row-group pruning); the length band ``len(term) ± max_edits``
+    and the exact Levenshtein predicate evaluate inside the scan's
+    whole-stage-codegen span (Catalyst built-ins — no Python in the
+    scan; length bounds don't map to parquet stats filters).
     """
     return _expand_fuzzies(
         index, {"_": (term, max_edits, max_expansions, prefix_length)}

@@ -74,6 +74,25 @@ def main() -> None:
     print(cap(q.score_plan(loaded, "table scan merge", k=10,
                            operator="and", must_not="window")))
 
+    print("=" * 30, "B32 prefix expansion (StartsWith pushed to the")
+    print("term_stats scan, (term, df)-pruned ReadSchema)")
+    print(cap(loaded.term_stats.filter(F.col("term").startswith("sc"))
+              .select("term", "df")))
+
+    print("=" * 30, "B33 fuzzy expansion (length band pushed; levenshtein")
+    print("evaluated JVM-side inside the codegen span)")
+    print(cap(loaded.term_stats.filter(
+        (F.length("term") >= 3) & (F.length("term") <= 5)
+        & (F.levenshtein(F.col("term"), F.lit("sort")) <= 1)
+    ).select("term", "df")))
+
+    print("=" * 30, "B32/B33/B34 rewritten scoring (expanded terms in the")
+    print("In() pushdown like any multi-term query)")
+    terms = q.expand_prefix(loaded, "s", max_expansions=8)
+    if terms:
+        print(cap(q.score_plan(loaded, "", k=10,
+                               pre_weights={t: 1.0 for t in terms})))
+
 
 if __name__ == "__main__":
     main()
