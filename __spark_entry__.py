@@ -1337,6 +1337,30 @@ LIMIT 15
 )
 
 
+def q_count_prefix(spark, sf_dir):
+    """B35: ES _count over a rewritten (prefix) query — the expansion
+    feeds match_count's pre_terms seam so counts match the hits the
+    rewrite scores; the oracle replays expansion + COUNT(DISTINCT id)."""
+    idx = _shared_index(spark, sf_dir)
+    terms = q.expand_prefix(idx, "s", max_expansions=50)
+    n = q.match_count(idx, "", pre_terms=terms)
+    return spark.createDataFrame([(n,)], "n long")
+
+
+SQL_COUNT_PREFIX = (
+    "WITH "
+    + _TOK_CTE
+    + """,
+tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT term FROM df WHERE term LIKE 's%'
+      ORDER BY df DESC, term ASC LIMIT 50)
+SELECT count(DISTINCT id)::BIGINT AS n
+FROM tok WHERE term IN (SELECT term FROM q)
+"""
+)
+
+
 _MGET_IDS = ["doc_000042", "doc_000007", "doc_does_not_exist"]
 
 
@@ -2456,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b32_prefix_search": q_prefix_search,
         "b33_fuzzy_search": q_fuzzy_search,
         "b34_wildcard_search": q_wildcard_search,
+        "b35_count_prefix": q_count_prefix,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
@@ -2535,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "b32_prefix_search": SQL_PREFIX_SEARCH,
         "b33_fuzzy_search": SQL_FUZZY_SEARCH,
         "b34_wildcard_search": SQL_WILDCARD_SEARCH,
+        "b35_count_prefix": SQL_COUNT_PREFIX,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),

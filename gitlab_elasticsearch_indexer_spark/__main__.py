@@ -215,6 +215,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--not", dest="must_not", action="append", default=None,
                    metavar="TERM")
     c.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
+    c.add_argument("--prefix", action="store_true",
+                   help="count docs matching any term with this prefix "
+                        "(same expansion as search --prefix)")
+    c.add_argument("--fuzzy", action="store_true",
+                   help="count docs matching any term within --max-edits "
+                        "(same expansion as search --fuzzy)")
+    c.add_argument("--wildcard", action="store_true",
+                   help="count docs matching any term matching the "
+                        "*/? pattern (same expansion as search --wildcard)")
+    c.add_argument("--max-edits", type=int, default=1)
+    c.add_argument("--max-expansions", type=int, default=50)
 
     st = sub.add_parser("status", help="index health: checkpoint history, "
                                        "manifest summary, store presence")
@@ -516,11 +527,32 @@ def main(argv: list[str] | None = None) -> int:
                           "matched": len(clauses), "clauses": clauses}))
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
+        if sum(map(bool, (args.prefix, args.fuzzy, args.wildcard))) > 1:
+            ap.error("--prefix, --fuzzy, and --wildcard are mutually "
+                     "exclusive")
+        if (args.prefix or args.fuzzy or args.wildcard) and (
+            args.operator != "or" or args.must_not
+        ):
+            ap.error("--operator and / --not apply to plain term counts")
         idx = inc.load_versioned(spark, root)
-        n = q.match_count(idx, args.query, lang=args.lang, repo=args.repo,
-                          operator=args.operator,
-                          must_not=(" ".join(args.must_not)
-                                    if args.must_not else None))
+        pre = None
+        if args.prefix:
+            pre = q.expand_prefix(idx, args.query,
+                                  max_expansions=args.max_expansions)
+        elif args.fuzzy:
+            pre = q.expand_fuzzy(idx, args.query, max_edits=args.max_edits,
+                                 max_expansions=args.max_expansions)
+        elif args.wildcard:
+            pre = q.expand_wildcard(idx, args.query,
+                                    max_expansions=args.max_expansions)
+        if pre is not None and not pre:
+            n = 0
+        else:
+            n = q.match_count(idx, args.query, lang=args.lang, repo=args.repo,
+                              operator=args.operator,
+                              must_not=(" ".join(args.must_not)
+                                        if args.must_not else None),
+                              pre_terms=pre)
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"

@@ -2141,6 +2141,7 @@ def facet_counts(
     include_total: bool = False,
     operator: str = "or",
     must_not: str | None = None,
+    pre_terms: list[str] | None = None,
 ) -> DataFrame:
     """ES terms-aggregation analog: per-(field, value) counts of ALL
     documents matching the analyzed query (any-term match by default —
@@ -2165,12 +2166,18 @@ def facet_counts(
 
     ``include_total=True`` adds a ``("_total", "", n_matched)`` row —
     the ``_count`` API analog (see :func:`match_count`).
+
+    ``pre_terms`` bypasses query analysis with already-analyzed terms
+    (the multi-term rewrite seam: counts/facets for prefix / fuzzy /
+    wildcard queries pass their expansions here, so aggregations match
+    those hits too); ``query`` is then ignored.
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
-    terms = sorted(set(analyze_query(query)))
+    terms = (sorted(set(analyze_query(query))) if pre_terms is None
+             else sorted(set(pre_terms)))
     idf = index.idf_map(terms)
     live = [t for t in terms if t in idf]
     empty = _local_result(
@@ -2250,15 +2257,18 @@ def match_count(
     repo: str | None = None,
     operator: str = "or",
     must_not: str | None = None,
+    pre_terms: list[str] | None = None,
 ) -> int:
     """ES ``_count`` analog: how many documents match the analyzed
     query (any-term by default; ``operator="and"`` / ``must_not``
     apply the bool must / must_not semantics, under optional keyword
     filters) — same partitioned popcount plan as :func:`facet_counts`,
-    no scoring, no fetch."""
+    no scoring, no fetch.  ``pre_terms`` counts docs matching ANY of
+    the given already-analyzed terms (a prefix/fuzzy/wildcard
+    expansion), ignoring ``query``."""
     rows = facet_counts(
         index, query, fields=(), lang=lang, repo=repo, include_total=True,
-        operator=operator, must_not=must_not,
+        operator=operator, must_not=must_not, pre_terms=pre_terms,
     ).collect()
     return int(rows[0]["n"]) if rows else 0
 

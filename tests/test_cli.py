@@ -684,3 +684,25 @@ def test_cli_analyze(capsys):
     assert out["side"] == "search"
     assert out["tokens"] == {"getuser": 1, "ete": 1}
     assert out["dl"] == 2
+
+
+def test_cli_count_rewrites(spark, dirs, capsys):
+    """count --prefix/--fuzzy/--wildcard counts docs matching ANY
+    expansion — consistent with the corresponding search hits."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    # 'getuser*' expansions live only in repo1_src/app.py
+    assert main(["count", "--index", idx, "--query", "getuser",
+                 "--prefix"]) == 0
+    assert _lines(capsys)[0]["count"] == 1
+
+    assert main(["count", "--index", idx, "--query", "mrege",
+                 "--fuzzy", "--max-edits", "2"]) == 0
+    assert _lines(capsys)[0]["count"] == 1
+
+    assert main(["count", "--index", idx, "--query", "zz*zz",
+                 "--wildcard"]) == 0
+    assert _lines(capsys)[0]["count"] == 0
