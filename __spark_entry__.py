@@ -1337,6 +1337,36 @@ LIMIT 15
 )
 
 
+def q_regexp_search(spark, sf_dir):
+    """B36: ES regexp query — 's[cmp]a(n|ll|rk)' (whole-term anchored,
+    Lucene regexp semantics) expands against the term dictionary (the
+    mandatory literal prefix 's' pushed as startswith, the anchored
+    regex JVM-side via rlike) then bool-should BM25 over the
+    expansions; the oracle replays the identical anchored regex with
+    DuckDB's regexp_matches plus the ranked cap."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.regexp_search(idx, "s[cmp]a(n|ll|rk)", k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_REGEXP_SEARCH = (
+    "WITH "
+    + _BM25_CTES.removeprefix("WITH ").replace(
+        "meta AS",
+        "q AS (SELECT term FROM df WHERE "
+        "regexp_matches(term, '^(?:s[cmp]a(n|ll|rk))$') "
+        "ORDER BY df DESC, term ASC LIMIT 50),\nmeta AS",
+        1,
+    )
+    + """
+SELECT scored.id AS id, round(scored.raw, 4) AS score
+FROM scored
+ORDER BY scored.raw DESC, scored.id ASC
+LIMIT 15
+"""
+)
+
+
 def q_count_prefix(spark, sf_dir):
     """B35: ES _count over a rewritten (prefix) query — the expansion
     feeds match_count's pre_terms seam so counts match the hits the
@@ -2480,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b32_prefix_search": q_prefix_search,
         "b33_fuzzy_search": q_fuzzy_search,
         "b34_wildcard_search": q_wildcard_search,
+        "b36_regexp_search": q_regexp_search,
         "b35_count_prefix": q_count_prefix,
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
@@ -2560,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "b32_prefix_search": SQL_PREFIX_SEARCH,
         "b33_fuzzy_search": SQL_FUZZY_SEARCH,
         "b34_wildcard_search": SQL_WILDCARD_SEARCH,
+        "b36_regexp_search": SQL_REGEXP_SEARCH,
         "b35_count_prefix": SQL_COUNT_PREFIX,
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),

@@ -159,10 +159,15 @@ def main(argv: list[str] | None = None) -> int:
                         "analog: * = any run, ? = any one char): expand "
                         "against the term dictionary, score bool-should "
                         "over the expansions")
+    s.add_argument("--regexp", action="store_true",
+                   help="treat --query as a whole-term-anchored REGEX (ES "
+                        "regexp analog; portable syntax: . [] () | ? * + "
+                        "{m,n}): expand against the term dictionary, score "
+                        "bool-should over the expansions")
     s.add_argument("--max-expansions", type=int, default=50,
-                   help="with --prefix/--fuzzy/--wildcard: cap on expanded "
-                        "terms (Lucene top-terms rewrite keeps the most "
-                        "frequent)")
+                   help="with --prefix/--fuzzy/--wildcard/--regexp: cap on "
+                        "expanded terms (Lucene top-terms rewrite keeps the "
+                        "most frequent)")
     s.add_argument("--fields", default=None,
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
@@ -224,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--wildcard", action="store_true",
                    help="count docs matching any term matching the "
                         "*/? pattern (same expansion as search --wildcard)")
+    c.add_argument("--regexp", action="store_true",
+                   help="count docs matching any term matching the anchored "
+                        "regex (same expansion as search --regexp)")
     c.add_argument("--max-edits", type=int, default=1)
     c.add_argument("--max-expansions", type=int, default=50)
 
@@ -240,7 +248,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="JSON file mapping query_id -> query string or "
                         '{"q": ..., "lang": ..., "repo": ..., "from": ..., '
                         '"phrase": true, "slop": ..., '
-                        '"fields": ["content", "file_name", ...]}')
+                        '"fields": ["content", "file_name", ...], '
+                        '"prefix"/"fuzzy"/"wildcard"/"regexp": true, '
+                        '"max_edits"/"max_expansions"/"prefix_length": N}')
     m.add_argument("--k", type=int, default=10)
     m.add_argument("--from", dest="offset", type=int, default=0,
                    help="default result offset (ES from) for entries "
@@ -527,10 +537,11 @@ def main(argv: list[str] | None = None) -> int:
                           "matched": len(clauses), "clauses": clauses}))
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
-        if sum(map(bool, (args.prefix, args.fuzzy, args.wildcard))) > 1:
-            ap.error("--prefix, --fuzzy, and --wildcard are mutually "
-                     "exclusive")
-        if (args.prefix or args.fuzzy or args.wildcard) and (
+        if sum(map(bool, (args.prefix, args.fuzzy, args.wildcard,
+                          args.regexp))) > 1:
+            ap.error("--prefix, --fuzzy, --wildcard, and --regexp are "
+                     "mutually exclusive")
+        if (args.prefix or args.fuzzy or args.wildcard or args.regexp) and (
             args.operator != "or" or args.must_not
         ):
             ap.error("--operator and / --not apply to plain term counts")
@@ -545,6 +556,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.wildcard:
             pre = q.expand_wildcard(idx, args.query,
                                     max_expansions=args.max_expansions)
+        elif args.regexp:
+            pre = q.expand_regexp(idx, args.query,
+                                  max_expansions=args.max_expansions)
         if pre is not None and not pre:
             n = 0
         else:
@@ -559,23 +573,25 @@ def main(argv: list[str] | None = None) -> int:
         if (args.query is None) == (args.sha is None):
             ap.error("search needs exactly one of --query / --sha")
         if sum(map(bool, (args.sha, args.phrase, args.fields,
-                          args.prefix, args.fuzzy, args.wildcard))) > 1:
-            ap.error("--sha, --phrase, --fields, --prefix, --fuzzy, and "
-                     "--wildcard are mutually exclusive query types")
+                          args.prefix, args.fuzzy, args.wildcard,
+                          args.regexp))) > 1:
+            ap.error("--sha, --phrase, --fields, --prefix, --fuzzy, "
+                     "--wildcard, and --regexp are mutually exclusive "
+                     "query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
         if (args.operator == "and" or args.must_not) and (
             args.sha or args.phrase or args.fields or args.prefix
-            or args.fuzzy or args.wildcard
+            or args.fuzzy or args.wildcard or args.regexp
         ):
             ap.error("--operator and / --not apply to plain term queries "
                      "(not --sha/--phrase/--fields/--prefix/--fuzzy/"
-                     "--wildcard)")
+                     "--wildcard/--regexp)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
                         or args.prefix or args.fuzzy or args.wildcard
-                        or args.operator != "or"
+                        or args.regexp or args.operator != "or"
                         or args.must_not or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
@@ -621,6 +637,11 @@ def main(argv: list[str] | None = None) -> int:
                                      lang=args.lang, repo=args.repo,
                                      max_expansions=args.max_expansions,
                                      offset=args.offset, search_after=after)
+        elif args.regexp:
+            hits = q.regexp_search(idx, args.query, k=args.k,
+                                   lang=args.lang, repo=args.repo,
+                                   max_expansions=args.max_expansions,
+                                   offset=args.offset, search_after=after)
         elif args.phrase:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,
@@ -641,12 +662,30 @@ def main(argv: list[str] | None = None) -> int:
         if args.facet:
             # facets reflect the SAME bool semantics as the hits they
             # accompany (sha/phrase/fields queries keep the any-term
-            # facet shape — their match sets aren't term-mask unions)
+            # facet shape — their match sets aren't term-mask unions);
+            # rewrite queries feed their expansions through pre_terms so
+            # the aggregation counts the docs the rewrite scores
+            pre = None
+            if args.prefix:
+                pre = q.expand_prefix(idx, args.query,
+                                      max_expansions=args.max_expansions)
+            elif args.fuzzy:
+                pre = q.expand_fuzzy(idx, args.query,
+                                     max_edits=args.max_edits,
+                                     max_expansions=args.max_expansions,
+                                     prefix_length=args.fuzzy_prefix_length)
+            elif args.wildcard:
+                pre = q.expand_wildcard(idx, args.query,
+                                        max_expansions=args.max_expansions)
+            elif args.regexp:
+                pre = q.expand_regexp(idx, args.query,
+                                      max_expansions=args.max_expansions)
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
                                 lang=args.lang, repo=args.repo,
                                 operator=args.operator,
                                 must_not=(" ".join(args.must_not)
-                                          if args.must_not else None))
+                                          if args.must_not else None),
+                                pre_terms=pre)
             facets: dict[str, dict[str, int]] = {}
             for r in fc.collect():
                 facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])

@@ -654,6 +654,214 @@ def wildcard_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
+def _validate_regexp(pattern: str) -> str:
+    """Validate an ES ``regexp`` pattern and return its anchored form.
+
+    ES/Lucene regexp queries match the WHOLE term (implicit anchors) in
+    Lucene regex syntax (``elastic`` maps analyzed terms, so patterns
+    match against lowercased+folded vocabulary — the pattern itself is
+    NOT analyzed, per ES).  We accept the portable core on which Java
+    regex (Spark ``rlike``), RE2 (DuckDB's ``regexp_matches``) and
+    Python ``re`` agree — literals, ``.``, classes ``[...]``, groups
+    ``(...)``, alternation ``|``, quantifiers ``? * + {m,n}`` and
+    backslash escapes — and reject constructs the engines disagree on
+    or that Lucene reserves for optional operators: lookaround
+    ``(?...)`` (``(?:`` excepted), backreferences, and unescaped
+    ``~ & < > @ # ^ $``."""
+    import re as _re
+
+    if not pattern:
+        raise ValueError("regexp pattern must be non-empty")
+    i, depth = 0, 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= len(pattern):
+                raise ValueError("regexp pattern ends in a bare backslash")
+            if pattern[i + 1].isdigit():
+                raise ValueError(
+                    "backreferences are not portable regex; not supported"
+                )
+            i += 2
+            continue
+        if ch == "[":  # char class: skip to its close, ] first is literal
+            j = i + 1
+            if j < len(pattern) and pattern[j] == "^":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            while j < len(pattern) and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            if j >= len(pattern):
+                raise ValueError("unclosed character class in regexp")
+            i = j + 1
+            continue
+        if ch in "~&<>@#^$":
+            raise ValueError(
+                f"unescaped {ch!r}: Lucene optional operators / anchors "
+                "are not supported (patterns are whole-term anchored; "
+                "escape the char to match it literally)"
+            )
+        if ch == "(":
+            depth += 1
+            if pattern[i + 1 : i + 2] == "?" and pattern[i + 1 : i + 3] != "?:":
+                raise ValueError(
+                    "lookaround / inline flags are not portable regex; "
+                    "not supported"
+                )
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced ')' in regexp")
+        i += 1
+    if depth:
+        raise ValueError("unbalanced '(' in regexp")
+    anchored = f"^(?:{pattern})$"
+    try:
+        _re.compile(anchored)
+    except _re.error as e:
+        raise ValueError(f"invalid regexp pattern: {e}") from e
+    return anchored
+
+
+def _regexp_literal_prefix(pattern: str) -> str:
+    """Extract the mandatory literal prefix of a regexp — the chars
+    every match must start with — for parquet ``startswith`` pushdown
+    (Lucene extracts the same common prefix from its automaton).
+    Conservative: stops at the first metacharacter, drops a trailing
+    char owned by a ``? * {`` quantifier, and returns '' when a
+    top-level ``|`` makes any prefix unsound."""
+    depth, i = 0, 0
+    while i < len(pattern):  # a top-level alternation voids the prefix
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            j = i + 1
+            if j < len(pattern) and pattern[j] == "^":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            while j < len(pattern) and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d \w \s etc. — a class, not a literal
+                break
+            out.append(nxt)
+            i += 2
+            continue
+        if ch in ".[]()|+?*{":
+            if ch in "?*{" and out:  # quantifier owns the previous char
+                out.pop()
+            elif ch == "+" and out:  # one-or-more: prev char stays, stop
+                pass
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def expand_regexp(
+    index: InvertedIndex, pattern: str, max_expansions: int = 50
+) -> list[str]:
+    """Regexp term expansion — the ES ``regexp`` query's multi-term
+    rewrite.  The pattern is NOT analyzed (ES semantics: it matches the
+    already-lowercased/folded vocabulary terms verbatim), its mandatory
+    literal prefix pushes to the term_stats scan as ``startswith``
+    (the common-prefix extraction Lucene performs on the pattern's
+    automaton), and the anchored match runs JVM-side (``rlike``,
+    whole-stage codegen).  Matches rank (df desc, term asc) and cap at
+    ``max_expansions`` like the other multi-term rewrites."""
+    return _expand_regexps(index, {"_": (pattern, max_expansions)})["_"]
+
+
+def _expand_regexps(
+    index: InvertedIndex, wants: dict[str, tuple[str, int]]
+) -> dict[str, list[str]]:
+    """Batch form of :func:`expand_regexp`: one (term, df) scan with
+    the OR'd (literal-prefix + anchored-regex) predicates pushed;
+    per-entry membership re-checks and the ranked cap resolve
+    driver-side (rows bounded by the matching vocabulary)."""
+    import re as _re
+    from functools import reduce
+
+    norm: dict[str, tuple[str, int]] = {}
+    conds = []
+    for key, (pattern, cap) in wants.items():
+        if cap < 1:
+            raise ValueError("max_expansions must be >= 1")
+        rx = _validate_regexp(str(pattern))
+        norm[key] = (rx, int(cap))
+        c = F.col("term").rlike(rx)
+        lit = _regexp_literal_prefix(str(pattern))
+        if lit:
+            c = F.col("term").startswith(lit) & c
+        conds.append(c)
+    rows = (
+        index.term_stats.filter(reduce(lambda a, b: a | b, conds))
+        .select("term", "df")
+        .collect()
+    )
+    out: dict[str, list[str]] = {}
+    for key, (rx, cap) in norm.items():
+        crx = _re.compile(rx)
+        m = sorted(
+            ((int(r["df"]), r["term"]) for r in rows if crx.match(r["term"])),
+            key=lambda x: (-x[0], x[1]),
+        )
+        out[key] = [t for _, t in m[:cap]]
+    return out
+
+
+def regexp_search(
+    index: InvertedIndex,
+    pattern: str,
+    k: int = 10,
+    lang: str | None = None,
+    repo: str | None = None,
+    max_expansions: int = 50,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``regexp`` query: top-k docs containing any vocabulary term
+    matched by the whole-term-anchored regex, scored as the bool-should
+    sum of the expansions' BM25 — the same top-terms scoring rewrite
+    and shared machinery as :func:`prefix_search` / :func:`fuzzy_search`
+    / :func:`wildcard_search` (filters, routing, pagination, cursors
+    compose)."""
+    spark = index.postings.sparkSession
+    terms = expand_regexp(index, pattern, max_expansions=max_expansions)
+    if not terms:
+        return _local_result(spark, [], _HITS_FIELDS)
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    scored = score_plan(index, "", k=k + offset, lang=lang, repo=repo,
+                        after_cursor=cursor,
+                        pre_weights={t: 1.0 for t in terms})
+    if scored is None:
+        return _local_result(spark, [], _HITS_FIELDS)
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
 def prefix_search(
     index: InvertedIndex,
     prefix: str,
@@ -1312,7 +1520,8 @@ def search_many(
     each entry of ``queries`` is either a plain query string or a spec
     dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
     "phrase": bool, "slop": int, "fields": [str, ...],
-    "prefix": bool, "fuzzy": bool, "wildcard": bool, "max_edits": int,
+    "prefix": bool, "fuzzy": bool, "wildcard": bool, "regexp": bool,
+    "max_edits": int,
     "max_expansions": int, "prefix_length": int,
     "operator": "or"|"and", "must_not": str,
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
@@ -1353,6 +1562,7 @@ def search_many(
     prefix_specs: dict[str, tuple[str, int]] = {}  # qid -> (prefix, cap)
     fuzzy_specs: dict[str, tuple[str, int, int, int]] = {}  # (q, edits, cap, plen)
     wild_specs: dict[str, tuple[str, int]] = {}  # qid -> (pattern, cap)
+    regexp_specs: dict[str, tuple[str, int]] = {}  # qid -> (pattern, cap)
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
@@ -1412,10 +1622,11 @@ def search_many(
             off_by_query[qid] = int(spec.get("from", offset))
             if sum(map(bool, (spec.get("phrase"), spec.get("fields"),
                               spec.get("prefix"), spec.get("fuzzy"),
-                              spec.get("wildcard")))) > 1:
+                              spec.get("wildcard"),
+                              spec.get("regexp")))) > 1:
                 raise ValueError(
                     "an entry is phrase OR multi-field OR prefix OR fuzzy "
-                    "OR wildcard, not several"
+                    "OR wildcard OR regexp, not several"
                 )
             op = spec.get("operator", "or")
             if op not in ("or", "and"):
@@ -1425,11 +1636,12 @@ def search_many(
             if (op == "and" or spec.get("must_not")) and (
                 spec.get("phrase") or spec.get("fields") or spec.get("prefix")
                 or spec.get("fuzzy") or spec.get("wildcard")
+                or spec.get("regexp")
             ):
                 raise ValueError(
                     f"batch entry {qid!r}: operator='and'/must_not apply to "
                     "plain term entries, not phrase/multi-field/prefix/fuzzy"
-                    "/wildcard ones"
+                    "/wildcard/regexp ones"
                 )
             if op == "and":
                 op_by_query[qid] = op
@@ -1461,6 +1673,10 @@ def search_many(
                 wild_specs[qid] = (
                     spec["q"], int(spec.get("max_expansions", 50))
                 )
+            elif spec.get("regexp"):
+                regexp_specs[qid] = (
+                    spec["q"], int(spec.get("max_expansions", 50))
+                )
     if any(v < 0 for v in off_by_query.values()):
         raise ValueError("from/offset must be >= 0")
     n_by_query = {qid: k + off_by_query[qid] for qid in specs}
@@ -1471,14 +1687,17 @@ def search_many(
         if qid not in phrase_specs and qid not in mf_specs
         and qid not in mixed_qs and qid not in prefix_specs
         and qid not in fuzzy_specs and qid not in wild_specs
+        and qid not in regexp_specs
     }
-    # prefix/fuzzy/wildcard entries expand driver-side (one shared vocab
+    # prefix/fuzzy/wildcard/regexp entries expand driver-side (one shared
+    # vocab
     # scan per kind) into already-analyzed term weights, then ride the
     # ordinary shared term jobs like any other entry — see
     # prefix_search / fuzzy_search / wildcard_search
     for specs_d, expander in ((prefix_specs, _expand_prefixes),
                               (fuzzy_specs, _expand_fuzzies),
-                              (wild_specs, _expand_wildcards)):
+                              (wild_specs, _expand_wildcards),
+                              (regexp_specs, _expand_regexps)):
         if specs_d:
             for qid, terms in expander(index, specs_d).items():
                 if terms:
@@ -2169,7 +2388,7 @@ def facet_counts(
 
     ``pre_terms`` bypasses query analysis with already-analyzed terms
     (the multi-term rewrite seam: counts/facets for prefix / fuzzy /
-    wildcard queries pass their expansions here, so aggregations match
+    wildcard/regexp queries pass their expansions here, so aggregations match
     those hits too); ``query`` is then ignored.
     """
     if operator not in ("or", "and"):
@@ -2264,7 +2483,7 @@ def match_count(
     apply the bool must / must_not semantics, under optional keyword
     filters) — same partitioned popcount plan as :func:`facet_counts`,
     no scoring, no fetch.  ``pre_terms`` counts docs matching ANY of
-    the given already-analyzed terms (a prefix/fuzzy/wildcard
+    the given already-analyzed terms (a prefix/fuzzy/wildcard/regexp
     expansion), ignoring ``query``."""
     rows = facet_counts(
         index, query, fields=(), lang=lang, repo=repo, include_total=True,

@@ -666,6 +666,32 @@ def test_cli_wildcard_search(spark, dirs, capsys):
     assert _lines(capsys) == []
 
 
+def test_cli_regexp_search(spark, dirs, capsys):
+    """--regexp finds docs through a whole-term-anchored pattern:
+    'ge.user.*' matches the getuserbyid capture chain."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "ge.user.*",
+                 "--regexp"]) == 0
+    hits = _lines(capsys)
+    assert hits and hits[0]["id"] == "repo1_src/app.py"
+
+    assert main(["search", "--index", idx, "--query", "zz.*zz",
+                 "--regexp"]) == 0
+    assert _lines(capsys) == []
+
+    # --facet with a rewrite counts the docs the rewrite scores (the
+    # expansion rides facet_counts' pre_terms seam)
+    assert main(["search", "--index", idx, "--query", "getuser.*",
+                 "--regexp", "--facet", "lang"]) == 0
+    out = _lines(capsys)
+    assert out[0]["facets"]["lang"] == {"Python": 1}
+    assert [h["id"] for h in out[1:]] == ["repo1_src/app.py"]
+
+
 def test_cli_analyze(capsys):
     """`analyze` (ES _analyze analog) prints the chain's (term, tf) with
     no Spark session: index-side code chain edgeNGrams, query-side
@@ -705,4 +731,13 @@ def test_cli_count_rewrites(spark, dirs, capsys):
 
     assert main(["count", "--index", idx, "--query", "zz*zz",
                  "--wildcard"]) == 0
+    assert _lines(capsys)[0]["count"] == 0
+
+    # regexp rides the same pre_terms seam as the other rewrites
+    assert main(["count", "--index", idx, "--query", "getuser.*",
+                 "--regexp"]) == 0
+    assert _lines(capsys)[0]["count"] == 1
+
+    assert main(["count", "--index", idx, "--query", "zz.*zz",
+                 "--regexp"]) == 0
     assert _lines(capsys)[0]["count"] == 0

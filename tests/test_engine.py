@@ -917,3 +917,104 @@ def test_search_many_wildcard_entries_match_single(index):
         assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
         assert np.allclose([g[2] for g in got] or [0.0],
                            [e[2] for e in exp] or [0.0], rtol=1e-12)
+
+
+# --- regexp queries (ES regexp analog) ----------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pattern", ["get.*", "g[ae]t.*", "(get|set)user.*", "colou?r", "zz.*zz"]
+)
+def test_regexp_search_rank_identity(index, oracle, pattern):
+    """regexp_search ranks identically to a brute-force referee that
+    compiles the anchored pattern over the full vocabulary and sums
+    BM25 over the capped expansions (the Lucene top-terms rewrite)."""
+    import re
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        expand_regexp,
+        regexp_search,
+    )
+    from gitlab_elasticsearch_indexer_spark.oracle import B, K1
+
+    rx = re.compile(f"^(?:{pattern})$")
+    cands = sorted(
+        ((len(docs), t) for t, docs in oracle.postings.items() if rx.match(t)),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in cands[:50]]
+    assert expand_regexp(index, pattern, max_expansions=50) == terms
+
+    avgdl = oracle.avgdl
+    scores = {}
+    for t in terms:
+        idf = oracle.idf(t)
+        for doc_id, tf in oracle.postings[t].items():
+            dl = oracle.dls[doc_id]
+            tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:12]
+    got = [(r["id"], r["score"])
+           for r in regexp_search(index, pattern, k=12).collect()]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_regexp_pattern_validation():
+    """Non-portable / Lucene-operator constructs are rejected up front;
+    the mandatory-literal-prefix extraction is conservative and sound."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        _regexp_literal_prefix,
+        _validate_regexp,
+    )
+
+    for bad in ["", "get(", "get)", "[a-", "a\\", "a\\1", "(?=x)y",
+                "(?i)get", "~get", "a&b", "a<1-2>", "^get", "get$"]:
+        with pytest.raises(ValueError):
+            _validate_regexp(bad)
+    # portable core passes, incl. escaped operators and (?: groups
+    for ok in ["get.*", "[gs]et", "(?:a|b)c+", "a{2,3}", "\\~x", "\\^y",
+               "colou?r", "\\.hidden"]:
+        assert _validate_regexp(ok) == f"^(?:{ok})$"
+
+    assert _regexp_literal_prefix("get.*") == "get"
+    assert _regexp_literal_prefix("colou?r") == "colo"   # ? owns the u
+    assert _regexp_literal_prefix("ab+c") == "ab"        # + keeps the b
+    assert _regexp_literal_prefix("ab{2}c") == "a"       # { owns the b
+    assert _regexp_literal_prefix("[gs]et") == ""
+    assert _regexp_literal_prefix("a|b") == ""           # top-level alt
+    assert _regexp_literal_prefix("ab(c|d)") == "ab"     # nested alt ok
+    assert _regexp_literal_prefix("\\.rc.*") == ".rc"    # escaped literal
+    assert _regexp_literal_prefix("\\d+x") == ""         # \d is a class
+
+
+def test_search_many_regexp_entries_match_single(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        regexp_search,
+        search_many,
+    )
+
+    qs = {
+        "r0": {"q": "get.*", "regexp": True},
+        "r1": {"q": "(get|set)user.*", "regexp": True, "max_expansions": 5},
+        "r2": {"q": "zz.*zz", "regexp": True},
+        "t0": "if return",
+    }
+    by_q = {}
+    for r in search_many(index, qs, k=6).collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if not (isinstance(spec, dict) and spec.get("regexp")):
+            continue
+        single = regexp_search(
+            index, spec["q"], k=6,
+            max_expansions=spec.get("max_expansions", 50),
+        ).collect()
+        exp = [(i + 1, r["id"], r["score"]) for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got] or [0.0],
+                           [e[2] for e in exp] or [0.0], rtol=1e-12)
