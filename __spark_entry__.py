@@ -78,13 +78,20 @@ scored AS (
 )
 
 
-def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
-              repo: str | None = None, offset: int = 0,
+def _kw_in(col: str, v) -> str:
+    """lang/repo filter clause: a string is equality, a list is the ES
+    terms-filter IN (match ANY value)."""
+    if not v:
+        return ""
+    vals = [v] if isinstance(v, str) else list(v)
+    return f"AND meta.{col} IN ({', '.join(repr(x) for x in vals)}) "
+
+
+def _bm25_sql(terms: list[str], k: int, lang=None, repo=None,
+              offset: int = 0,
               operator: str = "or", neg: list[str] | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
-    flt = (f"AND meta.lang = '{lang}' " if lang else "") + (
-        f"AND meta.repo = '{repo}' " if repo else ""
-    )
+    flt = _kw_in("lang", lang) + _kw_in("repo", repo)
     if operator == "and":
         # conjunctive (simple_query_string default_operator AND): a hit
         # must contain every distinct query term
@@ -928,6 +935,17 @@ def q_bm25_bmw_topk(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, "table scan merge", k=20, mode="bmw")
 
 
+def q_terms_filter_search(spark, sf_dir):
+    """B37/ES ``terms`` filter: multi-value keyword filters — lang IN
+    (en, de) AND repo IN (src3, src7, src12): per-field bitmaps OR
+    within the field and AND across fields (the shape GitLab's group-
+    scope search issues — a terms filter over the scope's repository
+    ids); the repo list routes scoring to the UNION of the covering
+    doc_parts (B17).  Oracle: the same BM25 with SQL IN filters."""
+    return _bm25_spark(spark, sf_dir, "table scan", k=15,
+                       lang=["en", "de"], repo=["src3", "src7", "src12"])
+
+
 def q_phrase_search(spark, sf_dir):
     """Phrase query (ES match_phrase analog): documents containing the
     analyzed tokens at CONSECUTIVE positions, scored the Lucene
@@ -969,6 +987,62 @@ scored AS (
     FROM hits h JOIN dl USING (id) CROSS JOIN stats s)
 SELECT id, round(raw, 4) AS score FROM scored
 ORDER BY raw DESC, id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+def q_phrase_prefix_search(spark, sf_dir):
+    """B38/ES match_phrase_prefix (search-as-you-type): 'table s' —
+    the last token is a prefix whose top-5-by-df expansions may
+    complete the phrase (the cap BITES on the 's' vocabulary).  Scores
+    follow Lucene MultiPhraseQuery: pf = Σ per-expansion phrase freqs
+    (a position holds one token, so expansions are disjoint), idf = Σ
+    over fixed terms + every expansion.  The oracle replays the ranked
+    expansion (LIKE + df cap), the positional adjacency join, and the
+    summed idf in SQL."""
+    idx = _shared_index(spark, sf_dir, positions=True)
+    hits = q.phrase_prefix_search(idx, "table s", k=15, max_expansions=5)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+def _sql_phrase_prefix(fixed: list[str], prefix: str, cap: int,
+                       k: int) -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(fixed))
+    nf = len(fixed)
+    return f"""
+WITH q(i, term) AS (SELECT * FROM (VALUES {vals}) _q(i, term)),
+toks AS (SELECT {_DOC_ID_SQL} AS id, string_split_regex(text, '\\s+') AS l
+         FROM documents),
+tp0 AS (SELECT id, lower(unnest(l)) AS term, unnest(range(len(l))) AS pos0
+        FROM toks),
+tp AS (SELECT id, term,
+              (row_number() OVER (PARTITION BY id ORDER BY pos0)) - 1 AS pos
+       FROM tp0 WHERE term <> ''),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tp GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+dfall AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM tp GROUP BY 1),
+exps AS (SELECT term, df FROM dfall WHERE term LIKE '{prefix}%'
+         ORDER BY df DESC, term ASC LIMIT {cap}),
+idfsum AS (
+    SELECT (SELECT coalesce(
+                sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))), 0)
+            FROM q JOIN dfall d USING (term) CROSS JOIN stats s)
+         + (SELECT sum(ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5)))
+            FROM exps e CROSS JOIN stats s) AS v),
+mfix AS (SELECT tp.id, tp.pos - q.i AS start
+         FROM tp JOIN q USING (term)
+         GROUP BY 1, 2 HAVING count(*) = {nf}),
+mlast AS (SELECT tp.id, tp.pos - {nf} AS start
+          FROM tp JOIN exps USING (term)),
+m AS (SELECT id, start FROM mlast JOIN mfix USING (id, start)),
+hits AS (SELECT id, count(*)::DOUBLE AS pf FROM m GROUP BY 1),
+scored AS (
+    SELECT h.id,
+           (SELECT v FROM idfsum)
+           * h.pf / (h.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS raw
+    FROM hits h JOIN dl USING (id) CROSS JOIN stats s)
+SELECT id, round(raw, 4) AS score FROM scored
+ORDER BY raw DESC, id ASC LIMIT {k}
 """
 
 
@@ -2500,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_bm25_topk_multi": q_bm25_topk_multi,
         "b16_bm25_topk_lang_filter": q_bm25_topk_lang,
         "b17_repo_pruned_search": q_bm25_repo_pruned,
+        "b37_terms_filter_search": q_terms_filter_search,
         "b15_bmw_topk": q_bm25_bmw_topk,
         "b6_bm25_stemmed_search": q_bm25_default_analyzer,
         "a10_b6_commit_search": q_commit_search,
@@ -2515,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_facet_lang_counts": q_facet_lang,
         "b16_match_count": q_match_count,
         "b20_phrase_search": q_phrase_search,
+        "b38_phrase_prefix_search": q_phrase_prefix_search,
         "b14_bm25_topk_paged": q_bm25_paged,
         "b21_multifield_search": q_multifield_search,
         "b21_path_field_search": q_path_field_search,
@@ -2581,6 +2657,10 @@ def oracle_sql() -> dict[str, str]:
         "b14_bm25_topk_multi": _bm25_sql(["table", "scan", "merge"], 20),
         "b16_bm25_topk_lang_filter": _bm25_sql(["window", "batch"], 15, lang="en"),
         "b17_repo_pruned_search": _bm25_sql(["table", "scan"], 15, repo="src3"),
+        "b37_terms_filter_search": _bm25_sql(
+            ["table", "scan"], 15,
+            lang=["en", "de"], repo=["src3", "src7", "src12"],
+        ),
         "b15_bmw_topk": _bm25_sql(["table", "scan", "merge"], 20),
         "b6_bm25_stemmed_search": SQL_BM25_DEFAULT,
         "a10_b6_commit_search": SQL_COMMIT_SEARCH,
@@ -2596,6 +2676,7 @@ def oracle_sql() -> dict[str, str]:
         "b16_facet_lang_counts": _sql_facet_lang(["table", "scan"]),
         "b16_match_count": _sql_match_count(["table", "scan", "merge"], repo="src3"),
         "b20_phrase_search": _sql_phrase(["table", "hash"], 15),
+        "b38_phrase_prefix_search": _sql_phrase_prefix(["table"], "s", 5, 15),
         "b14_bm25_topk_paged": _bm25_sql(["table", "scan", "merge"], 10,
                                          offset=20),
         "b21_multifield_search": SQL_MULTIFIELD,

@@ -120,8 +120,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--from", dest="offset", type=int, default=0,
                    help="pagination offset (the ES from analog)")
-    s.add_argument("--lang", default=None)
-    s.add_argument("--repo", default=None)
+    s.add_argument("--lang", action="append", default=None,
+                   help="language filter; repeat for an ES terms filter "
+                        "(match ANY given value)")
+    s.add_argument("--repo", action="append", default=None,
+                   help="repo filter; repeat for an ES terms filter — "
+                        "the GitLab group-scope shape (routing prunes to "
+                        "the union of the repos' doc_parts)")
     s.add_argument("--bmw", action="store_true")
     s.add_argument("--doc-type", choices=["blob", "commit"], default="blob",
                    help="commit searches the commit-message index built "
@@ -138,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--slop", type=int, default=0,
                    help="with --phrase: ES match_phrase slop (Lucene "
                         "sloppy-phrase matching, tf = sloppy freq)")
+    s.add_argument("--phrase-prefix", action="store_true",
+                   help="search-as-you-type (ES match_phrase_prefix "
+                        "analog): the last token is a prefix whose "
+                        "expansions (top --max-expansions by df) may "
+                        "complete the phrase; needs an index built with "
+                        "--positions")
     s.add_argument("--prefix", action="store_true",
                    help="treat --query as a term PREFIX (ES prefix query / "
                         "trailing-* analog): expand against the term "
@@ -214,8 +225,10 @@ def main(argv: list[str] | None = None) -> int:
                                      "no scoring, no fetch")
     c.add_argument("--index", required=True)
     c.add_argument("--query", required=True)
-    c.add_argument("--lang", default=None)
-    c.add_argument("--repo", default=None)
+    c.add_argument("--lang", action="append", default=None,
+                   help="language filter; repeatable (ES terms filter)")
+    c.add_argument("--repo", action="append", default=None,
+                   help="repo filter; repeatable (ES terms filter)")
     c.add_argument("--operator", choices=["or", "and"], default="or")
     c.add_argument("--not", dest="must_not", action="append", default=None,
                    metavar="TERM")
@@ -574,24 +587,26 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("search needs exactly one of --query / --sha")
         if sum(map(bool, (args.sha, args.phrase, args.fields,
                           args.prefix, args.fuzzy, args.wildcard,
-                          args.regexp))) > 1:
+                          args.regexp, args.phrase_prefix))) > 1:
             ap.error("--sha, --phrase, --fields, --prefix, --fuzzy, "
-                     "--wildcard, and --regexp are mutually exclusive "
-                     "query types")
+                     "--wildcard, --regexp, and --phrase-prefix are "
+                     "mutually exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
         if (args.operator == "and" or args.must_not) and (
             args.sha or args.phrase or args.fields or args.prefix
             or args.fuzzy or args.wildcard or args.regexp
+            or args.phrase_prefix
         ):
             ap.error("--operator and / --not apply to plain term queries "
                      "(not --sha/--phrase/--fields/--prefix/--fuzzy/"
-                     "--wildcard/--regexp)")
+                     "--wildcard/--regexp/--phrase-prefix)")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
                         or args.prefix or args.fuzzy or args.wildcard
-                        or args.regexp or args.operator != "or"
+                        or args.regexp or args.phrase_prefix
+                        or args.operator != "or"
                         or args.must_not or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
@@ -646,6 +661,11 @@ def main(argv: list[str] | None = None) -> int:
             hits = q.phrase_search(idx, args.query, k=args.k, lang=args.lang,
                                    repo=args.repo, slop=args.slop,
                                    offset=args.offset, search_after=after)
+        elif args.phrase_prefix:
+            hits = q.phrase_prefix_search(
+                idx, args.query, k=args.k, lang=args.lang, repo=args.repo,
+                max_expansions=args.max_expansions,
+                offset=args.offset, search_after=after)
         elif args.fields:
             hits = q.search(idx, args.query, k=args.k, lang=args.lang,
                             repo=args.repo, offset=args.offset,

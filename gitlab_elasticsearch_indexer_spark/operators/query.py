@@ -110,8 +110,8 @@ def score_plan(
     index: InvertedIndex,
     query: str,
     k: int = 10,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     mode: str = "exhaustive",
     operator: str = "or",
     must_not: str | None = None,
@@ -177,26 +177,16 @@ def score_plan(
         "block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl",
     )
 
-    predicates = []
-    if lang is not None:
-        predicates.append(("lang", lang))
-    if repo is not None:
-        predicates.append(("repo", repo))
+    predicates, repo_t = _kw_predicates(lang, repo)
     use_bmw = mode == "bmw"  # BMW stays on under keyword filters
 
     # B17 routing analog: a repo-scoped query prunes to the doc_parts
-    # whose [repo_min, repo_max] range covers the repo (ids sort as
-    # "repo_path", so ranges cluster by repo).  The collect is bounded
-    # by the matching-part count; the static IN list reaches the
-    # doc_part-partitioned postings scan as a partition filter.
-    parts: list[int] | None = None
-    if repo is not None and index.part_meta is not None:
-        parts = [
-            r["doc_part"]
-            for r in index.part_meta.filter(
-                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
-            ).select("doc_part").collect()
-        ]
+    # whose [repo_min, repo_max] range covers any requested repo (ids
+    # sort as "repo_path", so ranges cluster by repo).  The collect is
+    # bounded by the matching-part count; the static IN list reaches
+    # the doc_part-partitioned postings scan as a partition filter.
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
         if not parts:
             return None
         cand = cand.filter(F.col("doc_part").isin(parts))
@@ -212,13 +202,11 @@ def score_plan(
                 "(rebuild or re-save the index with this version)"
             )
         # keyword filters travel as per-part packed doc-set rows (one
-        # per predicate per part, ≤ docs_per_part/8 bytes each) — never
-        # the allowed-doc list itself
-        cond = None
-        for f, v in predicates:
-            c = (F.col("field") == f) & (F.col("value") == v)
-            cond = c if cond is None else (cond | c)
-        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        # per (field, value) per part, ≤ docs_per_part/8 bytes each) —
+        # never the allowed-doc list itself
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
         if parts is not None:
             fsel = fsel.filter(F.col("doc_part").isin(parts))
         scored = (
@@ -292,12 +280,97 @@ def _resolve_cursors(
     return out
 
 
+def _norm_kw(v: str | list[str] | None) -> tuple[str, ...] | None:
+    """Normalize a keyword-filter argument: a string is one required
+    value (ES ``term`` filter); a list/tuple/set is an ES ``terms``
+    filter — the doc matches ANY of the values (OR within the field,
+    AND across fields; GitLab's group-scope search issues exactly this
+    shape, a ``terms`` filter over the group's repository ids).  An
+    empty list matches nothing, per ES ``terms: []``."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return (v,)
+    return tuple(sorted({str(x) for x in v}))
+
+
+def _kw_predicates(
+    lang: str | list[str] | None, repo: str | list[str] | None
+) -> tuple[list[tuple[str, tuple[str, ...]]], tuple[str, ...] | None]:
+    """Build the (field, values) predicate list for the lang/repo
+    keyword filters and return it with the normalized repo tuple (the
+    routing input)."""
+    lang_t, repo_t = _norm_kw(lang), _norm_kw(repo)
+    predicates: list[tuple[str, tuple[str, ...]]] = []
+    if lang_t is not None:
+        predicates.append(("lang", lang_t))
+    if repo_t is not None:
+        predicates.append(("repo", repo_t))
+    return predicates, repo_t
+
+
+def _filters_cond(predicates: list[tuple[str, tuple[str, ...]]]):
+    """Filters-sidecar scan predicate: OR of per-field
+    ``field = f AND value IN vals`` conjuncts — both reach the parquet
+    scan (EqualTo + In pushdown)."""
+    cond = None
+    for f, vals in predicates:
+        c = (F.col("field") == f) & F.col("value").isin(list(vals))
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def _route_parts(
+    index: InvertedIndex, repo_t: tuple[str, ...] | None
+) -> list[int] | None:
+    """B17 routing for a repo term/terms filter: the doc_parts whose
+    [repo_min, repo_max] range covers ANY requested repo.  ``None``
+    means no pruning possible (no repo filter / no part_meta); ``[]``
+    means no part can match (empty terms list, or no covering part).
+    The collect is bounded by the matching-part count."""
+    if repo_t is None or index.part_meta is None:
+        return None
+    if not repo_t:
+        return []
+    cond = None
+    for r in repo_t:
+        c = (F.col("repo_min") <= r) & (F.col("repo_max") >= r)
+        cond = c if cond is None else (cond | c)
+    return [
+        int(row["doc_part"])
+        for row in index.part_meta.filter(cond).select("doc_part").collect()
+    ]
+
+
+def _fold_filter_bits(filter_pdf, n_fields: int, docs_per_part: int):
+    """Kernel-side ES terms-filter fold: OR the packed doc-set rows
+    WITHIN each predicate field, AND ACROSS fields.  Returns the
+    combined bitmap, or ``None`` when this part has no qualifying docs
+    (a predicate field with zero matching value rows here, or an empty
+    conjunction).  With single-value filters this reduces exactly to
+    the old AND-of-all-rows fold."""
+    from ..functions.codecs import unpack_doc_set
+
+    if filter_pdf is None or len(filter_pdf) == 0:
+        return None
+    if filter_pdf["field"].nunique() < n_fields:
+        return None
+    bits = None
+    for _, grp in filter_pdf.groupby("field", sort=False):
+        fb = None
+        for b in grp["bits"]:
+            arr = unpack_doc_set(bytes(b), docs_per_part)
+            fb = arr if fb is None else (fb | arr)
+        bits = fb if bits is None else (bits & fb)
+    return bits if bits.any() else None
+
+
 def search(
     index: InvertedIndex,
     query: str,
     k: int = 10,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     mode: str = "exhaustive",
     fetch: str = "auto",
     offset: int = 0,
@@ -310,6 +383,13 @@ def search(
 
     Duplicate analyzed query tokens add their scores (one term clause
     per occurrence, like a match query).
+
+    ``lang`` / ``repo`` accept a single value (ES ``term`` filter) or a
+    LIST of values (ES ``terms`` filter: the doc matches ANY listed
+    value; fields still AND together) — the shape GitLab's group- and
+    multi-project-scope searches issue, a terms filter over the scope's
+    repository ids.  An empty list matches nothing, per ES.  Repo lists
+    route to the UNION of the covering doc_parts (B17).
 
     ``operator="and"`` requires a hit to contain EVERY distinct
     analyzed query term (the simple_query_string default_operator AND
@@ -513,8 +593,8 @@ def fuzzy_search(
     term: str,
     k: int = 10,
     max_edits: int = 1,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     max_expansions: int = 50,
     prefix_length: int = 0,
     fetch: str = "auto",
@@ -625,8 +705,8 @@ def wildcard_search(
     index: InvertedIndex,
     pattern: str,
     k: int = 10,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     max_expansions: int = 50,
     fetch: str = "auto",
     offset: int = 0,
@@ -832,8 +912,8 @@ def regexp_search(
     index: InvertedIndex,
     pattern: str,
     k: int = 10,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     max_expansions: int = 50,
     fetch: str = "auto",
     offset: int = 0,
@@ -866,8 +946,8 @@ def prefix_search(
     index: InvertedIndex,
     prefix: str,
     k: int = 10,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     max_expansions: int = 50,
     fetch: str = "auto",
     offset: int = 0,
@@ -973,8 +1053,8 @@ def multi_search(
     query: str,
     k: int = 10,
     fields: tuple[str, ...] | None = None,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     fetch: str = "auto",
     offset: int = 0,
     search_after: tuple[float, str] | None = None,
@@ -1005,8 +1085,8 @@ def multi_score_plan(
     query: str,
     k: int = 10,
     fields: tuple[str, ...] | None = None,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     after_cursor: tuple[float, int] | None = None,
 ) -> DataFrame | None:
     """Multi-field search — the ES bool-should shape GitLab issues over
@@ -1068,19 +1148,9 @@ def multi_score_plan(
     for s in srcs[1:]:
         cand = cand.unionByName(s)
 
-    predicates = []
-    if lang is not None:
-        predicates.append(("lang", lang))
-    if repo is not None:
-        predicates.append(("repo", repo))
-    parts: list[int] | None = None
-    if repo is not None and index.part_meta is not None:
-        parts = [
-            r["doc_part"]
-            for r in index.part_meta.filter(
-                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
-            ).select("doc_part").collect()
-        ]
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
         if not parts:
             return None
         cand = cand.filter(F.col("doc_part").isin(parts))
@@ -1094,11 +1164,7 @@ def multi_score_plan(
         len(predicates), after=after_cursor,
     )
     if predicates:
-        cond = None
-        for f, v in predicates:
-            c = (F.col("field") == f) & (F.col("value") == v)
-            cond = c if cond is None else (cond | c)
-        fsel = index.filters.filter(cond).select(
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
             "doc_part", "field", "value", "bits"
         )
         if parts is not None:
@@ -1129,7 +1195,6 @@ def _make_multifield_kernel(
     and candidate-bound arguments as the single-field kernel; ``after``
     is the resolved search_after cursor (cursor filtering happens in
     :func:`_topk_arrays`, identical semantics to every other kernel)."""
-    from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_idx": [], "score": []})
@@ -1138,14 +1203,10 @@ def _make_multifield_kernel(
         bits = None
         base = 0
         if n_predicates:
-            if filter_pdf is None or len(filter_pdf) < n_predicates:
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
                 return empty
             base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
-            for b in filter_pdf["bits"]:
-                arr = unpack_doc_set(bytes(b), docs_per_part)
-                bits = arr if bits is None else (bits & arr)
-            if not bits.any():
-                return empty
 
         all_docs: list[np.ndarray] = []
         all_contrib: list[np.ndarray] = []
@@ -1189,8 +1250,10 @@ def _make_part_kernel(
     """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
     With keyword predicates, the right cogroup side carries one packed
-    doc-set row per predicate; the kernel ANDs them into a local bitmap
-    and masks every term's decoded (docs, tfn) before scoring.  Block
+    doc-set row per (field, value); the kernel ORs rows within a field
+    and ANDs across fields (ES term/terms filter semantics) into a
+    local bitmap and masks every term's decoded (docs, tfn) before
+    scoring.  Block
     metadata computed over the unfiltered lists remains a valid (looser)
     upper bound for the masked lists, so BMW stays exact under filters.
     A part lacking a row for some predicate has no qualifying docs.
@@ -1206,7 +1269,6 @@ def _make_part_kernel(
     surviving term lists can have no hits, and survivors are found by
     sorted-merge intersection before any scoring work.
     """
-    from ..functions.codecs import unpack_doc_set
 
     def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_idx": [], "score": []})
@@ -1215,14 +1277,10 @@ def _make_part_kernel(
         bits = None
         base = 0
         if n_predicates:
-            if filter_pdf is None or len(filter_pdf) < n_predicates:
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
                 return empty  # some predicate matches nothing in this part
             base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
-            for b in filter_pdf["bits"]:
-                arr = unpack_doc_set(bytes(b), docs_per_part)
-                bits = arr if bits is None else (bits & arr)
-            if not bits.any():
-                return empty
 
         excl = None
         if neg_terms:
@@ -1518,8 +1576,10 @@ def search_many(
 
     Full feature parity with :func:`search` and :func:`phrase_search`:
     each entry of ``queries`` is either a plain query string or a spec
-    dict ``{"q": str, "lang": str|None, "repo": str|None, "from": int,
-    "phrase": bool, "slop": int, "fields": [str, ...],
+    dict ``{"q": str, "lang": str|[str]|None, "repo": str|[str]|None
+    (a list is an ES terms filter: match ANY value), "from": int,
+    "phrase": bool, "slop": int, "phrase_prefix": bool,
+    "fields": [str, ...],
     "prefix": bool, "fuzzy": bool, "wildcard": bool, "regexp": bool,
     "max_edits": int,
     "max_expansions": int, "prefix_length": int,
@@ -1556,9 +1616,12 @@ def search_many(
     use_bmw = mode == "bmw"
     empty = _local_result(spark, [], _BATCH_FIELDS)
 
-    specs: dict[str, tuple[str, str | None, str | None]] = {}
+    specs: dict[
+        str, tuple[str, tuple[str, ...] | None, tuple[str, ...] | None]
+    ] = {}
     off_by_query: dict[str, int] = {}
     phrase_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, slop)
+    pprefix_specs: dict[str, tuple[str, int]] = {}  # qid -> (q, cap)
     prefix_specs: dict[str, tuple[str, int]] = {}  # qid -> (prefix, cap)
     fuzzy_specs: dict[str, tuple[str, int, int, int]] = {}  # (q, edits, cap, plen)
     wild_specs: dict[str, tuple[str, int]] = {}  # qid -> (pattern, cap)
@@ -1611,22 +1674,24 @@ def search_many(
                     cursor_specs[qid] = (float(sa[0]), str(sa[1]))
                 mixed_qs[qid] = {"parsed": parsed, "operator": op, **base}
                 specs[qid] = (str(queries[qid]["qs"]),
-                              base.get("lang"), base.get("repo"))
+                              _norm_kw(base.get("lang")),
+                              _norm_kw(base.get("repo")))
                 off_by_query[qid] = int(base.get("from", offset))
                 continue
         if isinstance(spec, str):
             specs[qid] = (spec, None, None)
             off_by_query[qid] = offset
         else:
-            specs[qid] = (spec["q"], spec.get("lang"), spec.get("repo"))
+            specs[qid] = (spec["q"], _norm_kw(spec.get("lang")),
+                          _norm_kw(spec.get("repo")))
             off_by_query[qid] = int(spec.get("from", offset))
             if sum(map(bool, (spec.get("phrase"), spec.get("fields"),
                               spec.get("prefix"), spec.get("fuzzy"),
-                              spec.get("wildcard"),
-                              spec.get("regexp")))) > 1:
+                              spec.get("wildcard"), spec.get("regexp"),
+                              spec.get("phrase_prefix")))) > 1:
                 raise ValueError(
                     "an entry is phrase OR multi-field OR prefix OR fuzzy "
-                    "OR wildcard OR regexp, not several"
+                    "OR wildcard OR regexp OR phrase_prefix, not several"
                 )
             op = spec.get("operator", "or")
             if op not in ("or", "and"):
@@ -1636,12 +1701,17 @@ def search_many(
             if (op == "and" or spec.get("must_not")) and (
                 spec.get("phrase") or spec.get("fields") or spec.get("prefix")
                 or spec.get("fuzzy") or spec.get("wildcard")
-                or spec.get("regexp")
+                or spec.get("regexp") or spec.get("phrase_prefix")
             ):
                 raise ValueError(
                     f"batch entry {qid!r}: operator='and'/must_not apply to "
                     "plain term entries, not phrase/multi-field/prefix/fuzzy"
-                    "/wildcard/regexp ones"
+                    "/wildcard/regexp/phrase_prefix ones"
+                )
+            if spec.get("slop") and spec.get("phrase_prefix"):
+                raise ValueError(
+                    f"batch entry {qid!r}: slop is not supported with "
+                    "phrase_prefix"
                 )
             if op == "and":
                 op_by_query[qid] = op
@@ -1657,6 +1727,10 @@ def search_many(
                 cursor_specs[qid] = (float(sa[0]), str(sa[1]))
             if spec.get("phrase"):
                 phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
+            elif spec.get("phrase_prefix"):
+                pprefix_specs[qid] = (
+                    spec["q"], int(spec.get("max_expansions", 50))
+                )
             elif spec.get("fields"):
                 mf_specs[qid] = tuple(spec["fields"])
             elif spec.get("prefix"):
@@ -1687,7 +1761,7 @@ def search_many(
         if qid not in phrase_specs and qid not in mf_specs
         and qid not in mixed_qs and qid not in prefix_specs
         and qid not in fuzzy_specs and qid not in wild_specs
-        and qid not in regexp_specs
+        and qid not in regexp_specs and qid not in pprefix_specs
     }
     # prefix/fuzzy/wildcard/regexp entries expand driver-side (one shared
     # vocab
@@ -1739,7 +1813,7 @@ def search_many(
     # (one term-pruned aggregation shared by every phrase entry), exactly
     # like phrase_search
     phrase_q: dict[str, dict] = {}
-    if phrase_specs:
+    if phrase_specs or pprefix_specs:
         import math
 
         if index.pos_postings is None:
@@ -1760,19 +1834,35 @@ def search_many(
                 )
             if pterms:
                 terms_by_qid[qid] = pterms
-        all_pterms = sorted({t for ts in terms_by_qid.values() for t in ts})
-        if all_pterms:
+        # phrase_prefix entries: fixed terms join the shared df
+        # aggregation; every entry's last-token expansion shares ONE
+        # pushed-startswith sidecar scan (see _expand_phrase_prefixes)
+        fixed_by_qid: dict[str, list[str]] = {}
+        last_by_qid: dict[str, tuple[str, int]] = {}
+        for qid, (qs, cap) in pprefix_specs.items():
+            ptoks = p_analyze(qs)
+            if ptoks:
+                fixed_by_qid[qid] = ptoks[:-1]
+                last_by_qid[qid] = (ptoks[-1], cap)
+        exps_by_qid = (_expand_phrase_prefixes(index, last_by_qid)
+                       if last_by_qid else {})
+        all_pterms = sorted(
+            {t for ts in terms_by_qid.values() for t in ts}
+            | {t for ts in fixed_by_qid.values() for t in ts}
+        )
+        if all_pterms or exps_by_qid:
             dfs = {
                 r["term"]: int(r["df"])
                 for r in index.pos_postings.filter(
                     F.col("term").isin(all_pterms)
                 ).groupBy("term").agg(F.sum("df").alias("df")).collect()
-            }
+            } if all_pterms else {}
             n_docs = float(index.n_docs)
-            p_idf = {
-                t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
-                for t, d in dfs.items()
-            }
+
+            def _p_idf(d: int) -> float:
+                return math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+
+            p_idf = {t: _p_idf(d) for t, d in dfs.items()}
             for qid, pterms in terms_by_qid.items():
                 if any(t not in dfs for t in pterms):
                     continue  # an absent term can't phrase-match anywhere
@@ -1780,6 +1870,17 @@ def search_many(
                     "terms": list(pterms),
                     "idf_sum": float(sum(p_idf[t] for t in pterms)),
                     "slop": phrase_specs[qid][1],
+                }
+            for qid, fixed in fixed_by_qid.items():
+                exps = exps_by_qid.get(qid) or []
+                if not exps or any(t not in dfs for t in fixed):
+                    continue  # no expansion / dead fixed term ⇒ no hits
+                phrase_q[qid] = {
+                    "terms": list(fixed),
+                    "alts": [t for t, _ in exps],
+                    "idf_sum": float(sum(p_idf[t] for t in fixed)
+                                     + sum(_p_idf(d) for _, d in exps)),
+                    "slop": 0,
                 }
 
     # multi-field entries: analyze per (entry, field) with the field's
@@ -1817,7 +1918,7 @@ def search_many(
     if not live and not mixed_qs:
         return empty
 
-    preds_by_query: dict[str, list[tuple[str, str]]] = {}
+    preds_by_query: dict[str, list[tuple[str, tuple[str, ...]]]] = {}
     for qid in live:
         _, lang, repo = specs[qid]
         p = []
@@ -1834,11 +1935,13 @@ def search_many(
         )
 
     # B17 routing: one bounded part_meta collect covers every repo-scoped
-    # entry; each such query scores only its covering doc_parts.
+    # entry; each such query scores only the doc_parts covering ANY of
+    # its repos (terms-filter entries route to the union).
     parts_by_query: dict[str, set[int]] = {}
-    repos = sorted(
-        {specs[qid][2] for qid in live if specs[qid][2] is not None}
-    )
+    repos = sorted({
+        r for qid in live if specs[qid][2] is not None
+        for r in specs[qid][2]
+    })
     if repos and index.part_meta is not None:
         cond = None
         for r in repos:
@@ -1848,12 +1951,12 @@ def search_many(
             "doc_part", "repo_min", "repo_max"
         ).collect()
         for qid in live:
-            repo = specs[qid][2]
-            if repo is None:
+            repo_t = specs[qid][2]
+            if repo_t is None:
                 continue
             parts_by_query[qid] = {
                 int(r["doc_part"]) for r in pm_rows
-                if r["repo_min"] <= repo <= r["repo_max"]
+                if any(r["repo_min"] <= rv <= r["repo_max"] for rv in repo_t)
             }
         # a repo pruned to zero parts can have no hits — drop it now
         dead = {
@@ -1870,13 +1973,17 @@ def search_many(
     out_schema = "query_id string, doc_idx long, score double"
 
     def _filters_for(qids, scan_parts):
-        """Predicate-pruned filters sidecar selection for one job."""
-        preds = sorted({p for q in qids for p in preds_by_query[q]})
-        if not preds:
+        """Predicate-pruned filters sidecar selection for one job: one
+        per-field IN over the union of every entry's requested values."""
+        by_field: dict[str, set[str]] = {}
+        for q in qids:
+            for f, vals in preds_by_query[q]:
+                by_field.setdefault(f, set()).update(vals)
+        if not any(by_field.values()):
             return None
         cond = None
-        for f, v in preds:
-            c = (F.col("field") == f) & (F.col("value") == v)
+        for f, vs in sorted(by_field.items()):
+            c = (F.col("field") == f) & F.col("value").isin(sorted(vs))
             cond = c if cond is None else (cond | c)
         fsel = index.filters.filter(cond).select(
             "doc_part", "field", "value", "bits"
@@ -1949,7 +2056,10 @@ def search_many(
         # one additional job scores EVERY phrase entry: the sidecar scan
         # is pruned to the union of their terms, each term's cheap
         # decodes (and pos-blob boundaries) are shared across entries
-        p_terms = sorted({t for s in phrase_q.values() for t in s["terms"]})
+        p_terms = sorted({
+            t for s in phrase_q.values()
+            for t in list(s["terms"]) + list(s.get("alts") or [])
+        })
         p_cand = index.pos_postings.filter(
             F.col("term").isin(p_terms)
         ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin",
@@ -2111,7 +2221,7 @@ def search_many(
 
 def _make_batch_kernel(
     widf_by_query: dict[str, dict[str, float]],
-    preds_by_query: dict[str, list[tuple[str, str]]],
+    preds_by_query: dict[str, list[tuple[str, tuple[str, ...]]]],
     parts_by_query: dict[str, set[int]],
     avgdl: float,
     n_by_query: dict[str, int],
@@ -2175,12 +2285,16 @@ def _make_batch_kernel(
                 continue  # repo routing excludes this part for this query
             bits = None
             missing_pred = False
-            for p in preds_by_query.get(qid) or []:
-                b = bitmaps.get(p)
-                if b is None:  # predicate matches no doc in this part
+            for f, vals in preds_by_query.get(qid) or []:
+                fb = None  # OR within the field (ES terms filter)
+                for v in vals:
+                    b = bitmaps.get((f, v))
+                    if b is not None:
+                        fb = b if fb is None else (fb | b)
+                if fb is None:  # no value of this field matches here
                     missing_pred = True
                     break
-                bits = b if bits is None else (bits & b)
+                bits = fb if bits is None else (bits & fb)
             if missing_pred or (bits is not None and not bits.any()):
                 continue
             excl = None
@@ -2236,7 +2350,7 @@ def _make_batch_kernel(
 
 def _make_batch_mf_kernel(
     mf_q: dict[str, dict[str, dict[str, float]]],
-    preds_by_query: dict[str, list[tuple[str, str]]],
+    preds_by_query: dict[str, list[tuple[str, tuple[str, ...]]]],
     parts_by_query: dict[str, set[int]],
     avgdl_by_fld: dict[str, float],
     n_by_query: dict[str, int],
@@ -2284,12 +2398,16 @@ def _make_batch_mf_kernel(
                 continue
             bits = None
             missing_pred = False
-            for p in preds_by_query.get(qid) or []:
-                b = bitmaps.get(p)
-                if b is None:
+            for f, vals in preds_by_query.get(qid) or []:
+                fb = None  # OR within the field (ES terms filter)
+                for v in vals:
+                    b = bitmaps.get((f, v))
+                    if b is not None:
+                        fb = b if fb is None else (fb | b)
+                if fb is None:
                     missing_pred = True
                     break
-                bits = b if bits is None else (bits & b)
+                bits = fb if bits is None else (bits & fb)
             if missing_pred or (bits is not None and not bits.any()):
                 continue
             terms = []
@@ -2355,8 +2473,8 @@ def facet_counts(
     index: InvertedIndex,
     query: str,
     fields: tuple[str, ...] = ("lang",),
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     include_total: bool = False,
     operator: str = "or",
     must_not: str | None = None,
@@ -2416,11 +2534,7 @@ def facet_counts(
         if not live:
             return empty
 
-    predicates = []
-    if lang is not None:
-        predicates.append(("lang", lang))
-    if repo is not None:
-        predicates.append(("repo", repo))
+    predicates, repo_t = _kw_predicates(lang, repo)
     if (fields or predicates) and index.filters is None:
         raise ValueError(
             "facet_counts needs the index's filters sidecar "
@@ -2430,14 +2544,8 @@ def facet_counts(
     cand = index.postings.filter(
         F.col("term").isin(live + sorted(neg))
     ).select("doc_part", "term", "docs_bin")
-    parts: list[int] | None = None
-    if repo is not None and index.part_meta is not None:
-        parts = [
-            r["doc_part"]
-            for r in index.part_meta.filter(
-                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
-            ).select("doc_part").collect()
-        ]
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
         if not parts:
             return empty
         cand = cand.filter(F.col("doc_part").isin(parts))
@@ -2448,8 +2556,9 @@ def facet_counts(
     )
     if fields or predicates:
         cond = F.col("field").isin(list(fields)) if fields else F.lit(False)
-        for f, v in predicates:
-            cond = cond | ((F.col("field") == f) & (F.col("value") == v))
+        pc = _filters_cond(predicates)
+        if pc is not None:
+            cond = cond | pc
         fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
         if parts is not None:
             fsel = fsel.filter(F.col("doc_part").isin(parts))
@@ -2472,8 +2581,8 @@ def facet_counts(
 def match_count(
     index: InvertedIndex,
     query: str,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     operator: str = "or",
     must_not: str | None = None,
     pre_terms: list[str] | None = None,
@@ -2541,7 +2650,7 @@ def explain(index: InvertedIndex, query: str, doc_id: str) -> DataFrame:
 
 def _make_facet_kernel(
     fields: tuple[str, ...],
-    predicates: list[tuple[str, str]],
+    predicates: list[tuple[str, tuple[str, ...]]],
     docs_per_part: int,
     include_total: bool,
     neg_terms: frozenset[str] = frozenset(),
@@ -2552,14 +2661,15 @@ def _make_facet_kernel(
     matched = union of the query terms' posting docs (OR), or the
     intersection of the ``n_required`` distinct terms' docs (bool must /
     ``operator="and"``), minus any ``neg_terms`` doc (bool must_not) —
-    then ANDed with the predicate bitmaps; each facet row counts
-    ``popcount(matched & bits)``.
+    then ANDed with the predicate bitmaps (multi-value predicates OR
+    their values' bitmaps first — ES terms filter); each facet row
+    counts ``popcount(matched & bits)``.
     Postings carry live docs only (deltas repack dead docs out), so a
     stale set bit for a dead doc in a sidecar bitmap can never count.
     """
     from ..functions.codecs import delta_decode, unpack_doc_set, varint_decode
 
-    pred_set = set(predicates)
+    pred_vals = {f: frozenset(vals) for f, vals in predicates}
 
     def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"field": [], "value": [], "n": []})
@@ -2591,17 +2701,20 @@ def _make_facet_kernel(
 
         facet_rows: list[tuple[str, str, np.ndarray]] = []
         if filter_pdf is not None and len(filter_pdf):
-            seen_preds = set()
+            pred_masks: dict[str, np.ndarray] = {}
             for row in filter_pdf.itertuples(index=False):
                 bits = unpack_doc_set(bytes(row.bits), docs_per_part)
-                if (row.field, row.value) in pred_set:
-                    matched &= bits
-                    seen_preds.add((row.field, row.value))
+                fv = pred_vals.get(row.field)
+                if fv is not None and row.value in fv:
+                    m = pred_masks.get(row.field)
+                    pred_masks[row.field] = bits if m is None else (m | bits)
                 if row.field in fields:
                     facet_rows.append((row.field, row.value, bits))
-            if len(seen_preds) < len(pred_set):
+            if len(pred_masks) < len(pred_vals):
                 return empty  # some predicate matches nothing in this part
-        elif pred_set:
+            for m in pred_masks.values():
+                matched &= m
+        elif pred_vals:
             return empty
 
         out_f: list[str] = []
@@ -2628,8 +2741,8 @@ def phrase_search(
     index: InvertedIndex,
     phrase: str,
     k: int = 10,
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     fetch: str = "auto",
     slop: int = 0,
     offset: int = 0,
@@ -2706,19 +2819,9 @@ def phrase_search(
         F.col("term").isin(sorted(set(terms)))
     ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin", "pos_bin")
 
-    predicates = []
-    if lang is not None:
-        predicates.append(("lang", lang))
-    if repo is not None:
-        predicates.append(("repo", repo))
-    parts: list[int] | None = None
-    if repo is not None and index.part_meta is not None:
-        parts = [
-            r["doc_part"]
-            for r in index.part_meta.filter(
-                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
-            ).select("doc_part").collect()
-        ]
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
         if not parts:
             return _local_result(spark, [], _HITS_FIELDS)
         cand = cand.filter(F.col("doc_part").isin(parts))
@@ -2733,11 +2836,9 @@ def phrase_search(
         len(predicates), slop, after=cursor,
     )
     if predicates:
-        cond = None
-        for f, v in predicates:
-            c = (F.col("field") == f) & (F.col("value") == v)
-            cond = c if cond is None else (cond | c)
-        fsel = index.filters.filter(cond).select("doc_part", "field", "value", "bits")
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
         if parts is not None:
             fsel = fsel.filter(F.col("doc_part").isin(parts))
         scored = (
@@ -2750,6 +2851,230 @@ def phrase_search(
             _wrap_single(kernel), schema=TOPK_SCHEMA
         )
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def expand_phrase_prefix(
+    index: InvertedIndex, prefix: str, max_expansions: int = 50
+) -> list[tuple[str, int]]:
+    """Expansion for the LAST position of a ``match_phrase_prefix``
+    query: vocabulary terms of the POSITIONAL sidecar field starting
+    with ``prefix``, ranked (df desc, term asc) and capped at
+    ``max_expansions`` — the same Lucene top-terms rewrite as the other
+    multi-term queries, but GLOBAL and deterministic where ES expands
+    per-shard (an ES match_phrase_prefix caveat this engine improves
+    on).  Returns (term, df) pairs — dfs feed the MultiPhraseQuery idf
+    sum.  One column-pruned sidecar aggregation with the ``startswith``
+    predicate pushed to parquet."""
+    return _expand_phrase_prefixes(index, {"_": (prefix, max_expansions)})["_"]
+
+
+def _expand_phrase_prefixes(
+    index: InvertedIndex, wants: dict[str, tuple[str, int]]
+) -> dict[str, list[tuple[str, int]]]:
+    """Batch form of :func:`expand_phrase_prefix`: ONE sidecar (term,
+    df) aggregation with the OR'd startswith predicates pushed;
+    per-entry membership and the ranked cap resolve driver-side (rows
+    bounded by the matching vocabulary)."""
+    from functools import reduce
+
+    if index.pos_postings is None:
+        raise ValueError(
+            "phrase_prefix expansion needs the positional-postings sidecar "
+            "(build_index(..., positions=True))"
+        )
+    conds = []
+    for _, (prefix, cap) in wants.items():
+        if cap < 1:
+            raise ValueError("max_expansions must be >= 1")
+        conds.append(F.col("term").startswith(str(prefix)))
+    rows = (
+        index.pos_postings.filter(reduce(lambda a, b: a | b, conds))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    out: dict[str, list[tuple[str, int]]] = {}
+    for key, (prefix, cap) in wants.items():
+        m = sorted(
+            ((int(r["df"]), r["term"]) for r in rows
+             if r["term"].startswith(prefix)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        out[key] = [(t, d) for d, t in m[:cap]]
+    return out
+
+
+def phrase_prefix_search(
+    index: InvertedIndex,
+    phrase: str,
+    k: int = 10,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    max_expansions: int = 50,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (the search-as-you-type / autocomplete
+    query): the analyzed tokens must appear at consecutive positions,
+    with the LAST token treated as a prefix whose expansions (see
+    :func:`expand_phrase_prefix`) may complete the phrase — the Lucene
+    MultiPhraseQuery rewrite ES compiles it to.
+
+    Scoring follows MultiPhraseQuery: a position holds exactly one
+    token, so each phrase occurrence ends with exactly ONE expansion
+    and the phrase frequency is the SUM of the per-expansion phrase
+    frequencies; idf is the sum over all positions' terms — fixed terms
+    plus every expansion (Lucene's idfExplain over the termStats array).
+    Slop is not supported with a prefix position (per-expansion sloppy
+    windows can interact; ES defaults slop=0 here too).
+
+    Physical plan: the expansion is ONE pushed-startswith sidecar
+    aggregation; the phrase job then scans pos_postings pruned to
+    fixed ∪ expansions, and per doc_part each expansion reuses the
+    fixed terms' memoized decodes/boundary scans (:func:`_phrase_hits`)
+    — cost tracks max_expansions, bounded like the other rewrites.
+    Filters/routing/pagination/cursors compose as in
+    :func:`phrase_search`."""
+    import math
+
+    spark = index.postings.sparkSession
+    if index.pos_postings is None:
+        raise ValueError(
+            "phrase_prefix_search needs the positional-postings sidecar "
+            "(build_index(..., positions=True))"
+        )
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    analyze_query = {"simple": code_search_analyze,
+                     "default": default_analyze}[index.pos_analyzer or "simple"]
+    tokens = analyze_query(phrase)
+    if not tokens:
+        return _local_result(spark, [], _HITS_FIELDS)
+    fixed, last = tokens[:-1], tokens[-1]
+
+    exps = expand_phrase_prefix(index, last, max_expansions=max_expansions)
+    if not exps:
+        return _local_result(spark, [], _HITS_FIELDS)
+    if fixed:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in index.pos_postings.filter(
+                F.col("term").isin(sorted(set(fixed)))
+            ).groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+        if any(t not in dfs for t in fixed):
+            return _local_result(spark, [], _HITS_FIELDS)
+    else:
+        dfs = {}
+    n = float(index.n_docs)
+
+    def _idf(d: int) -> float:
+        return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+
+    # MultiPhraseQuery idf: every position's terms contribute — the
+    # fixed terms (duplicates count) plus every expansion
+    idf_sum = float(sum(_idf(dfs[t]) for t in fixed)
+                    + sum(_idf(d) for _, d in exps))
+    exp_terms = [t for t, _ in exps]
+
+    scan_terms = sorted(set(fixed) | set(exp_terms))
+    cand = index.pos_postings.filter(
+        F.col("term").isin(scan_terms)
+    ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin", "pos_bin")
+
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return _local_result(spark, [], _HITS_FIELDS)
+        cand = cand.filter(F.col("doc_part").isin(parts))
+    if predicates and index.filters is None:
+        raise ValueError(
+            "keyword-filtered phrase_prefix_search needs the index's "
+            "filters sidecar"
+        )
+
+    avgdl = index.pos_avgdl if index.pos_avgdl is not None else index.avgdl
+    kernel = _make_phrase_prefix_kernel(
+        list(fixed), exp_terms, idf_sum, avgdl, k + offset,
+        index.docs_per_part, len(predicates), after=cursor,
+    )
+    if predicates:
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def _make_phrase_prefix_kernel(
+    fixed: list[str],
+    expansions: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k: int,
+    docs_per_part: int,
+    n_predicates: int,
+    after: tuple[float, int] | None = None,
+):
+    """Per-doc_part match_phrase_prefix kernel: one docs-first
+    :func:`_phrase_hits` run per expansion over SHARED decodes (the
+    fixed terms' doc lists, position boundaries, and full-decode caches
+    memoize on the decoded entries), phrase frequencies summed per doc
+    (a position holds one token, so per-expansion occurrences are
+    disjoint), then one BM25 evaluation of the summed tf."""
+
+    def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
+        if len(pos_pdf) == 0:
+            return empty
+        part = int(pos_pdf["doc_part"].iloc[0])
+        base = np.int64(part) * np.int64(docs_per_part)
+        bits = None
+        if n_predicates:
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
+                return empty
+
+        decoded = _phrase_cheap_decode(pos_pdf)
+        docs_l: list[np.ndarray] = []
+        pf_l: list[np.ndarray] = []
+        dl_l: list[np.ndarray] = []
+        for e in expansions:
+            hit = _phrase_hits(decoded, fixed + [e], base, bits, 0)
+            if hit is None:
+                continue
+            hit_local, pf, dl = hit
+            docs_l.append(hit_local)
+            pf_l.append(pf)
+            dl_l.append(dl.astype(np.int64))
+        if not docs_l:
+            return empty
+        uniq, inv = np.unique(np.concatenate(docs_l), return_inverse=True)
+        pf_tot = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(pf_tot, inv, np.concatenate(pf_l))
+        dl_arr = np.zeros(len(uniq), dtype=np.int64)
+        dl_arr[inv] = np.concatenate(dl_l)  # same doc → same dl
+        scores = idf_sum * _tfn(pf_tot, dl_arr, avgdl)
+        doc_idx, score = _topk_arrays(uniq + base, scores, k, after=after)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
 
 
 def sloppy_freq(arrays: list[np.ndarray], slop: int) -> float:
@@ -2843,8 +3168,8 @@ def simple_query_string(
     q: str,
     k: int = 10,
     default_operator: str = "and",
-    lang: str | None = None,
-    repo: str | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
     fetch: str = "auto",
     offset: int = 0,
     search_after: tuple[float, str] | None = None,
@@ -2891,8 +3216,8 @@ def _bool_search(
     parsed: dict,
     operator: str,
     k: int,
-    lang: str | None,
-    repo: str | None,
+    lang: str | list[str] | None,
+    repo: str | list[str] | None,
     fetch: str,
     offset: int,
     search_after: tuple[float, str] | None = None,
@@ -2920,8 +3245,8 @@ def _bool_scored(
     parsed: dict,
     operator: str,
     k: int,
-    lang: str | None,
-    repo: str | None,
+    lang: str | list[str] | None,
+    repo: str | list[str] | None,
     after_cursor: tuple[float, int] | None = None,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`_bool_search`: per-doc_part
@@ -2984,11 +3309,7 @@ def _bool_scored(
         for ts in phrase_terms.values()
     ]
 
-    predicates = []
-    if lang is not None:
-        predicates.append(("lang", lang))
-    if repo is not None:
-        predicates.append(("repo", repo))
+    predicates, repo_t = _kw_predicates(lang, repo)
     if predicates and index.filters is None:
         raise ValueError(
             "keyword-filtered simple_query_string needs the index's "
@@ -3015,14 +3336,8 @@ def _bool_scored(
     for s in sides[1:]:
         cand = cand.unionByName(s, allowMissingColumns=True)
 
-    parts: list[int] | None = None
-    if repo is not None and index.part_meta is not None:
-        parts = [
-            r["doc_part"]
-            for r in index.part_meta.filter(
-                (F.col("repo_min") <= repo) & (F.col("repo_max") >= repo)
-            ).select("doc_part").collect()
-        ]
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
         if not parts:
             return empty
         cand = cand.filter(F.col("doc_part").isin(parts))
@@ -3033,11 +3348,7 @@ def _bool_scored(
         index.docs_per_part, len(predicates), operator, after=after_cursor,
     )
     if predicates:
-        cond = None
-        for f, v in predicates:
-            c = (F.col("field") == f) & (F.col("value") == v)
-            cond = c if cond is None else (cond | c)
-        fsel = index.filters.filter(cond).select(
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
             "doc_part", "field", "value", "bits"
         )
         if parts is not None:
@@ -3076,7 +3387,6 @@ def _make_bool_kernel(
     and the local top-k is emitted.  Exactly the ES bool query a
     simple_query_string compiles to, evaluated shard-locally.
     """
-    from ..functions.codecs import unpack_doc_set
 
     n_req = (len(widf) + len(phrase_specs)) if operator == "and" else 0
 
@@ -3088,12 +3398,8 @@ def _make_bool_kernel(
         base = np.int64(part) * np.int64(docs_per_part)
         bits = None
         if n_predicates:
-            if filter_pdf is None or len(filter_pdf) < n_predicates:
-                return empty
-            for b in filter_pdf["bits"]:
-                arr = unpack_doc_set(bytes(b), docs_per_part)
-                bits = arr if bits is None else (bits & arr)
-            if not bits.any():
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
                 return empty
 
         tpdf = pdf[pdf["src"] == "t"]
@@ -3188,7 +3494,6 @@ def _make_phrase_kernel(
     assume_unique=True)`` leaves exactly the phrase start positions;
     counts per surviving local_doc are the phrase frequencies.  For
     slop>0 each surviving doc runs :func:`sloppy_freq`."""
-    from ..functions.codecs import unpack_doc_set
 
     def kernel(pos_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_idx": [], "score": []})
@@ -3198,12 +3503,8 @@ def _make_phrase_kernel(
         base = np.int64(part) * np.int64(docs_per_part)
         bits = None
         if n_predicates:
-            if filter_pdf is None or len(filter_pdf) < n_predicates:
-                return empty
-            for b in filter_pdf["bits"]:
-                arr = unpack_doc_set(bytes(b), docs_per_part)
-                bits = arr if bits is None else (bits & arr)
-            if not bits.any():
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
                 return empty
 
         decoded = _phrase_cheap_decode(pos_pdf)
@@ -3375,7 +3676,7 @@ def _phrase_hits(
 
 def _make_batch_phrase_kernel(
     phrase_q: dict[str, dict],
-    preds_by_query: dict[str, list[tuple[str, str]]],
+    preds_by_query: dict[str, list[tuple[str, tuple[str, ...]]]],
     parts_by_query: dict[str, set[int]],
     avgdl: float,
     n_by_query: dict[str, int],
@@ -3415,22 +3716,55 @@ def _make_batch_phrase_kernel(
                 continue  # repo routing excludes this part for this query
             bits = None
             missing_pred = False
-            for p in preds_by_query.get(qid) or []:
-                b = bitmaps.get(p)
-                if b is None:  # predicate matches no doc in this part
+            for f, vals in preds_by_query.get(qid) or []:
+                fb = None  # OR within the field (ES terms filter)
+                for v in vals:
+                    b = bitmaps.get((f, v))
+                    if b is not None:
+                        fb = b if fb is None else (fb | b)
+                if fb is None:  # no value of this field matches here
                     missing_pred = True
                     break
-                bits = b if bits is None else (bits & b)
+                bits = fb if bits is None else (bits & fb)
             if missing_pred or (bits is not None and not bits.any()):
                 continue
-            hit = _phrase_hits(decoded, spec["terms"], base, bits,
-                               spec["slop"])
-            if hit is None:
-                continue
-            hit_local, pf, dl = hit
-            sc = spec["idf_sum"] * _tfn(pf, dl, avgdl)
-            d, s = _topk_arrays(hit_local + base, sc, n_by_query[qid],
-                                after=after_by_query.get(qid))
+            alts = spec.get("alts")
+            if alts:
+                # phrase_prefix entry: sum per-expansion phrase freqs
+                # over the shared decodes (same argument as
+                # _make_phrase_prefix_kernel)
+                docs_l: list[np.ndarray] = []
+                pf_l: list[np.ndarray] = []
+                dl_l: list[np.ndarray] = []
+                for e in alts:
+                    hit = _phrase_hits(decoded, list(spec["terms"]) + [e],
+                                       base, bits, 0)
+                    if hit is None:
+                        continue
+                    hl, pf, dl = hit
+                    docs_l.append(hl)
+                    pf_l.append(pf)
+                    dl_l.append(dl.astype(np.int64))
+                if not docs_l:
+                    continue
+                uniq, inv = np.unique(np.concatenate(docs_l),
+                                      return_inverse=True)
+                pf_tot = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(pf_tot, inv, np.concatenate(pf_l))
+                dl_arr = np.zeros(len(uniq), dtype=np.int64)
+                dl_arr[inv] = np.concatenate(dl_l)
+                sc = spec["idf_sum"] * _tfn(pf_tot, dl_arr, avgdl)
+                d, s = _topk_arrays(uniq + base, sc, n_by_query[qid],
+                                    after=after_by_query.get(qid))
+            else:
+                hit = _phrase_hits(decoded, spec["terms"], base, bits,
+                                   spec["slop"])
+                if hit is None:
+                    continue
+                hit_local, pf, dl = hit
+                sc = spec["idf_sum"] * _tfn(pf, dl, avgdl)
+                d, s = _topk_arrays(hit_local + base, sc, n_by_query[qid],
+                                    after=after_by_query.get(qid))
             qids.extend([qid] * len(d))
             didx.extend(d.tolist())
             scores.extend(s.tolist())

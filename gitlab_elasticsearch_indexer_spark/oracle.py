@@ -60,8 +60,8 @@ class OracleIndex:
         self,
         query: str,
         k: int = 10,
-        lang: str | None = None,
-        repo: str | None = None,
+        lang: str | list[str] | None = None,
+        repo: str | list[str] | None = None,
         operator: str = "or",
         must_not: str | None = None,
     ) -> list[tuple[str, float]]:
@@ -70,7 +70,8 @@ class OracleIndex:
         ``operator="and"`` keeps only docs containing every distinct
         analyzed query term; ``must_not`` drops docs containing any of
         its analyzed terms — brute-force referee for the engine's bool
-        must/must_not paths."""
+        must/must_not paths.  ``lang`` / ``repo`` accept a list for the
+        ES terms-filter semantics (match ANY listed value)."""
         analyze_query = (
             default_analyze if self.analyzer == "default" else code_search_analyze
         )
@@ -100,11 +101,17 @@ class OracleIndex:
                 d: s for d, s in scores.items()
                 if not any(d in self.postings.get(t, {}) for t in neg)
             }
+        lang_set = None if lang is None else (
+            {lang} if isinstance(lang, str) else set(lang)
+        )
+        repo_set = None if repo is None else (
+            {repo} if isinstance(repo, str) else set(repo)
+        )
         hits = [
             (d, s)
             for d, s in scores.items()
-            if (lang is None or self.meta[d].get("lang") == lang)
-            and (repo is None or self.meta[d].get("repo") == repo)
+            if (lang_set is None or self.meta[d].get("lang") in lang_set)
+            and (repo_set is None or self.meta[d].get("repo") in repo_set)
         ]
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]

@@ -741,3 +741,56 @@ def test_cli_count_rewrites(spark, dirs, capsys):
     assert main(["count", "--index", idx, "--query", "zz.*zz",
                  "--regexp"]) == 0
     assert _lines(capsys)[0]["count"] == 0
+
+
+def test_cli_terms_filters(spark, dirs, capsys):
+    """Repeated --lang/--repo flags form an ES terms filter (match ANY
+    value) in search and count."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    # 'def' lives in repo1 (app.py) and repo2 (util.rb)
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--repo", "repo1", "--repo", "repo2"]) == 0
+    both = {h["id"] for h in _lines(capsys)}
+    assert both == {"repo1_src/app.py", "repo2_lib/util.rb"}
+
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--repo", "repo2"]) == 0
+    assert {h["id"] for h in _lines(capsys)} == {"repo2_lib/util.rb"}
+
+    # lang terms filter on count
+    assert main(["count", "--index", idx, "--query", "def",
+                 "--lang", "Python", "--lang", "Ruby"]) == 0
+    assert _lines(capsys)[0]["count"] == 2
+    assert main(["count", "--index", idx, "--query", "def",
+                 "--lang", "Go"]) == 0
+    assert _lines(capsys)[0]["count"] == 0
+
+
+def test_cli_phrase_prefix_search(spark, dirs, capsys):
+    """--phrase-prefix (ES match_phrase_prefix analog): the last token
+    is a prefix completed by vocabulary expansions at the next
+    position."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits", "--positions"]) == 0
+    _lines(capsys)
+
+    # 'table sc' completes to 'table scan' (db.py); app.py has no match
+    assert main(["search", "--index", idx, "--query", "table sc",
+                 "--phrase-prefix"]) == 0
+    assert [h["id"] for h in _lines(capsys)] == ["repo1_src/db.py"]
+
+    # adjacency still matters: 'scan ta' (reversed) must not match
+    assert main(["search", "--index", idx, "--query", "scan ta",
+                 "--phrase-prefix"]) == 0
+    assert _lines(capsys) == []
+
+    # one-token prefix degenerates to summed-tf prefix matching
+    assert main(["search", "--index", idx, "--query", "me",
+                 "--phrase-prefix"]) == 0
+    got = {h["id"] for h in _lines(capsys)}
+    assert got == {"repo1_src/db.py", "repo2_lib/util.rb"}  # merge, method

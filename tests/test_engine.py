@@ -1018,3 +1018,132 @@ def test_search_many_regexp_entries_match_single(index):
         assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
         assert np.allclose([g[2] for g in got] or [0.0],
                            [e[2] for e in exp] or [0.0], rtol=1e-12)
+
+
+# --- terms filters (ES terms query: multi-value keyword filters) -------------
+
+
+TERMS_FILTER_CASES = [
+    # (query, lang, repo) — lists are ES terms filters (match ANY value)
+    ("if return", ["Python", "Ruby"], None),
+    ("return", None, ["repo-003", "repo-005"]),
+    ("get user", ["Python", "Go"], ["repo-001", "repo-002", "repo-006"]),
+    ("if", ["Python"], None),          # 1-element list ≡ plain string
+    ("if", [], None),                  # empty terms list matches nothing
+    ("return", None, []),              # empty repo list: routing kills it
+    ("if", ["Klingon"], None),         # no doc carries the value
+]
+
+
+def test_terms_filter_rank_identity(index, oracle):
+    """Multi-value lang/repo filters (ES `terms`) rank identically to
+    the brute-force referee: OR within a field, AND across fields."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search
+
+    for query, lang, repo in TERMS_FILTER_CASES:
+        got = [(r["id"], r["score"]) for r in
+               search(index, query, k=12, lang=lang, repo=repo).collect()]
+        exp = oracle.search(query, k=12, lang=lang, repo=repo)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, lang, repo)
+        assert np.allclose([g[1] for g in got] or [0.0],
+                           [e[1] for e in exp] or [0.0],
+                           rtol=1e-9, atol=1e-12), (query, lang, repo)
+        # a single-value list behaves exactly like the string form
+        if lang and len(lang) == 1:
+            single = [(r["id"], r["score"]) for r in
+                      search(index, query, k=12, lang=lang[0]).collect()]
+            assert got == single
+
+
+def test_terms_filter_count_and_facets(index, oracle):
+    """_count / facets under a terms filter count the union the filter
+    admits (aggregations consistent with the filtered hits)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        facet_counts,
+        match_count,
+    )
+
+    langs = ["Python", "Ruby"]
+    exp_ids = {d for d, _ in oracle.search("if", k=10_000, lang=langs)}
+    assert match_count(index, "if", lang=langs) == len(exp_ids)
+    assert match_count(index, "if", lang=[]) == 0
+
+    fc = {
+        r["value"]: int(r["n"])
+        for r in facet_counts(index, "if", fields=("lang",),
+                              lang=langs).collect()
+        if r["field"] == "lang"
+    }
+    exp_by_lang: dict[str, int] = {}
+    for d in exp_ids:
+        exp_by_lang[oracle.meta[d]["lang"]] = (
+            exp_by_lang.get(oracle.meta[d]["lang"], 0) + 1
+        )
+    assert fc == exp_by_lang
+    assert set(fc) <= set(langs)
+
+
+def test_terms_filter_rewrites(index, oracle):
+    """Terms filters compose with multi-term-rewrite queries exactly
+    like single-value filters (shared pre_weights + predicate
+    machinery)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        prefix_search,
+    )
+
+    # prefix rewrite under a repo terms filter
+    repos = ["repo-001", "repo-004"]
+    unf = {r["id"]: r["score"]
+           for r in prefix_search(index, "get", k=10_000).collect()}
+    gotp = [(r["id"], r["score"])
+            for r in prefix_search(index, "get", k=10_000,
+                                   repo=repos).collect()]
+    expp = sorted(
+        ((d, s) for d, s in unf.items()
+         if oracle.meta[d]["repo"] in set(repos)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert gotp == expp
+
+
+def test_search_many_terms_filter_entries_match_single(index):
+    """Batched entries with list-valued lang/repo return exactly the
+    single-query results (per-field OR fold parity in the batch
+    kernels)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        search,
+        search_many,
+    )
+
+    qs = {
+        "t0": {"q": "if return", "lang": ["Python", "Ruby"]},
+        "t1": {"q": "return", "repo": ["repo-003", "repo-005"]},
+        "t2": {"q": "get user", "lang": ["Python", "Go"],
+               "repo": ["repo-001", "repo-002", "repo-006"]},
+        "t3": {"q": "if", "lang": []},
+        "x0": {"q": "get", "prefix": True, "lang": ["Python", "Ruby"]},
+        "plain": "if user",
+    }
+    by_q: dict[str, list] = {}
+    for r in search_many(index, qs, k=8).collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if not isinstance(spec, dict):
+            continue
+        if spec.get("prefix"):
+            from gitlab_elasticsearch_indexer_spark.operators.query import (
+                prefix_search,
+            )
+            single = prefix_search(index, spec["q"], k=8,
+                                   lang=spec.get("lang"),
+                                   repo=spec.get("repo")).collect()
+        else:
+            single = search(index, spec["q"], k=8, lang=spec.get("lang"),
+                            repo=spec.get("repo")).collect()
+        exp = [(i + 1, r["id"], r["score"]) for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got] or [0.0],
+                           [e[2] for e in exp] or [0.0], rtol=1e-12)

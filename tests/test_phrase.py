@@ -485,3 +485,200 @@ def test_search_many_phrase_offset_pages_global_order(pidx, fetch):
     ).collect()
     rows = sorted((r["rank"], r["id"], round(r["score"], 9)) for r in got)
     assert rows == [(2, *full[1]), (3, *full[2])]
+
+
+def test_phrase_terms_filter(pidx):
+    """Multi-value lang/repo (ES terms filter) on phrase queries: OR
+    within the field, AND across fields — same bitmap machinery as term
+    search; batched entries agree with the single-query path."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    def brute_multi(phrase, langs=None, repos=None):
+        out = []
+        for lang in (langs if langs is not None else [None]):
+            for repo in (repos if repos is not None else [None]):
+                out.extend(brute_phrase(phrase, lang=lang, repo=repo))
+        seen = {}
+        for d, s in out:
+            seen[d] = s
+        return sorted(seen.items(), key=lambda x: (-x[1], x[0]))
+
+    cases = [
+        (["Python", "Ruby"], None),
+        (None, ["r1", "r3"]),
+        (["Python", "Go"], ["r1", "r2"]),
+        ([], None),  # empty terms list matches nothing
+    ]
+    for langs, repos in cases:
+        got = [(r["id"], r["score"])
+               for r in phrase_search(pidx, "table hash", k=10,
+                                      lang=langs, repo=repos).collect()]
+        want = brute_multi("table hash", langs, repos)
+        assert [g[0] for g in got] == [w[0] for w in want], (langs, repos)
+        assert np.allclose([g[1] for g in got] or [0.0],
+                           [w[1] for w in want] or [0.0])
+
+    rows = search_many(
+        pidx,
+        {"b0": {"q": "table hash", "phrase": True,
+                "lang": ["Python", "Go"], "repo": ["r1", "r2"]}},
+        k=10,
+    ).collect()
+    got_b = [(r["rank"], r["id"], r["score"]) for r in rows]
+    want_b = [(i + 1, d, s) for i, (d, s) in
+              enumerate(brute_multi("table hash", ["Python", "Go"],
+                                    ["r1", "r2"]))]
+    assert [g[:2] for g in sorted(got_b)] == [w[:2] for w in want_b]
+
+
+# --- match_phrase_prefix (ES search-as-you-type) ------------------------------
+
+
+def brute_phrase_prefix(phrase, max_expansions=50, lang=None, repo=None):
+    """MultiPhraseQuery referee: last token is a prefix; expansions are
+    the pos-vocabulary terms starting with it ranked (df desc, term
+    asc) capped; pf = Σ per-expansion exact phrase counts; idf = Σ over
+    fixed terms + every expansion."""
+    tokens = code_search_analyze(phrase)
+    fixed, last = tokens[:-1], tokens[-1]
+    toks = {i: code_search_analyze(c) for i, c, _, _ in ROWS}
+    n = len(ROWS)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    vocab = sorted({t for tk in toks.values() for t in tk})
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in vocab}
+    exps = sorted((t for t in vocab if t.startswith(last)),
+                  key=lambda t: (-df[t], t))[:max_expansions]
+    if not exps or any(df.get(t, 0) == 0 for t in fixed):
+        return []
+    idf_sum = sum(
+        math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        for t in list(fixed) + exps
+    )
+    meta = {i: (l, r) for i, _, l, r in ROWS}
+    out = []
+    for i, tk in toks.items():
+        if lang is not None and meta[i][0] != lang:
+            continue
+        if repo is not None and meta[i][1] != repo:
+            continue
+        pf = 0
+        for e in exps:
+            terms = list(fixed) + [e]
+            pf += sum(
+                1
+                for s in range(len(tk) - len(terms) + 1)
+                if tk[s: s + len(terms)] == terms
+            )
+        if pf:
+            score = idf_sum * pf / (pf + K1 * (1 - B + B * dls[i] / avgdl))
+            out.append((i, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("phrase,cap,kw", [
+    ("table h", 50, {}),          # multi-expansion last position
+    ("table ha", 50, {}),         # single expansion ≡ plain phrase
+    ("table h", 1, {}),           # the cap BITES (keeps highest-df)
+    ("ta", 50, {}),               # one-token phrase: prefix only
+    ("table h", 50, {"lang": "Python"}),
+    ("table h", 50, {"repo": ["r1", "r3"]}),  # composes with terms filter
+    ("table zz", 50, {}),         # no expansion → empty
+    ("zz table", 50, {}),         # dead fixed term → empty
+])
+def test_phrase_prefix_matches_brute_force(pidx, phrase, cap, kw):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        phrase_prefix_search,
+    )
+
+    got = [(r["id"], r["score"])
+           for r in phrase_prefix_search(pidx, phrase, k=10,
+                                         max_expansions=cap, **kw).collect()]
+    brute_kw = {kk: (v if not isinstance(v, list) else v)
+                for kk, v in kw.items()}
+    if isinstance(brute_kw.get("repo"), list):
+        # referee takes single values; union over the list
+        merged = {}
+        for rv in brute_kw["repo"]:
+            for d, s in brute_phrase_prefix(phrase, max_expansions=cap,
+                                            lang=brute_kw.get("lang"),
+                                            repo=rv):
+                merged[d] = s
+        want = sorted(merged.items(), key=lambda x: (-x[1], x[0]))
+    else:
+        want = brute_phrase_prefix(phrase, max_expansions=cap, **brute_kw)
+    assert [g[0] for g in got] == [w[0] for w in want], (phrase, kw, got, want)
+    assert np.allclose([g[1] for g in got] or [0.0],
+                       [w[1] for w in want] or [0.0])
+
+
+def test_phrase_prefix_expansion_ranked_and_capped(pidx):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        expand_phrase_prefix,
+    )
+
+    exps = expand_phrase_prefix(pidx, "h")
+    toks = {i: code_search_analyze(c) for i, c, _, _ in ROWS}
+    df = {}
+    for tk in toks.values():
+        for t in set(tk):
+            df[t] = df.get(t, 0) + 1
+    want = sorted((t for t in df if t.startswith("h")),
+                  key=lambda t: (-df[t], t))
+    assert [t for t, _ in exps] == want
+    assert [d for _, d in exps] == [df[t] for t in want]
+    assert [t for t, _ in expand_phrase_prefix(pidx, "h", max_expansions=1)] \
+        == want[:1]
+
+
+def test_search_many_phrase_prefix_entries_match_single(pidx):
+    """Batched phrase_prefix entries return exactly the single-query
+    results (shared decodes + one expansion scan per batch)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        phrase_prefix_search,
+        search_many,
+    )
+
+    qs = {
+        "pp0": {"q": "table h", "phrase_prefix": True},
+        "pp1": {"q": "table h", "phrase_prefix": True, "max_expansions": 1},
+        "pp2": {"q": "ta", "phrase_prefix": True},
+        "pp3": {"q": "table zz", "phrase_prefix": True},
+        "pp4": {"q": "table h", "phrase_prefix": True,
+                "lang": ["Python", "Go"]},
+        "t0": "table",
+    }
+    by_q: dict[str, list] = {}
+    for r in search_many(pidx, qs, k=6).collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, spec in qs.items():
+        if not (isinstance(spec, dict) and spec.get("phrase_prefix")):
+            continue
+        single = phrase_prefix_search(
+            pidx, spec["q"], k=6, lang=spec.get("lang"),
+            max_expansions=spec.get("max_expansions", 50),
+        ).collect()
+        exp = [(i + 1, r["id"], r["score"]) for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
+        assert np.allclose([g[2] for g in got] or [0.0],
+                           [e[2] for e in exp] or [0.0], rtol=1e-12)
+
+
+def test_phrase_prefix_validation(pidx):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        phrase_prefix_search,
+        search_many,
+    )
+
+    with pytest.raises(ValueError):
+        phrase_prefix_search(pidx, "table h", max_expansions=0)
+    with pytest.raises(ValueError, match="slop"):
+        search_many(pidx, {"x": {"q": "table h", "phrase_prefix": True,
+                                 "slop": 1}}, k=5)
+    with pytest.raises(ValueError, match="not several"):
+        search_many(pidx, {"x": {"q": "table h", "phrase_prefix": True,
+                                 "phrase": True}}, k=5)
