@@ -89,7 +89,8 @@ def _kw_in(col: str, v) -> str:
 
 def _bm25_sql(terms: list[str], k: int, lang=None, repo=None,
               offset: int = 0,
-              operator: str = "or", neg: list[str] | None = None) -> str:
+              operator: str = "or", neg: list[str] | None = None,
+              min_should_match: int = 0) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     flt = _kw_in("lang", lang) + _kw_in("repo", repo)
     if operator == "and":
@@ -98,6 +99,11 @@ def _bm25_sql(terms: list[str], k: int, lang=None, repo=None,
         nd = len(set(terms))
         flt += (f"AND (SELECT count(DISTINCT term) FROM tok "
                 f"WHERE tok.id = scored.id AND term IN ({tlist})) = {nd} ")
+    if min_should_match > 1:
+        # ES minimum_should_match: ≥ N distinct matched query terms
+        flt += (f"AND (SELECT count(DISTINCT term) FROM tok "
+                f"WHERE tok.id = scored.id AND term IN ({tlist})) "
+                f">= {min_should_match} ")
     if neg:
         nlist = ", ".join(f"'{t}'" for t in neg)
         flt += (f"AND scored.id NOT IN "
@@ -159,6 +165,18 @@ def q_conjunctive_search(spark, sf_dir):
     union — the conjunctive analog of WAND skipping."""
     return _bm25_spark(spark, sf_dir, "table scan merge", k=15,
                        operator="and")
+
+
+def q_min_should_match(spark, sf_dir):
+    """ES minimum_should_match: hits must match at least 2 of the 3
+    analyzed query terms — the middle ground between OR (any term) and
+    operator=and (every term).  The kernel counts matched clauses per
+    doc partition-locally (one bincount over the shared decodes) and
+    keeps the usual ≤ k-rows-out candidate bound; the oracle replays
+    the count with HAVING count(DISTINCT term) >= 2."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.search(idx, "table scan merge", k=15, minimum_should_match=2)
+    return hits.select("id", F.round("score", 4).alias("score"))
 
 
 def q_search_after(spark, sf_dir):
@@ -2598,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_sha_prefix_search": q_sha_prefix_search,
         "b23_conjunctive_search": q_conjunctive_search,
         "b24_must_not_search": q_must_not_search,
+        "b39_min_should_match": q_min_should_match,
         "b25_search_after": q_search_after,
         "b26_explain": q_explain,
         "b27_count_bool": q_match_count_bool,
@@ -2687,6 +2706,8 @@ def oracle_sql() -> dict[str, str]:
                                             operator="and"),
         "b24_must_not_search": _bm25_sql(["table", "scan"], 15,
                                          neg=["merge"]),
+        "b39_min_should_match": _bm25_sql(["table", "scan", "merge"], 15,
+                                          min_should_match=2),
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

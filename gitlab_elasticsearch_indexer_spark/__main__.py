@@ -203,6 +203,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--not", dest="must_not", action="append", default=None,
                    metavar="TERM", help="exclude docs containing TERM "
                    "(ES bool must_not; repeatable)")
+    s.add_argument("--min-should-match", type=int, default=0,
+                   dest="min_should_match", metavar="N",
+                   help="hits must match at least N distinct analyzed "
+                        "terms (ES minimum_should_match; middle ground "
+                        "between OR and --operator and)")
     s.add_argument("--sha", default=None, metavar="PREFIX",
                    help="SHA-prefix lookup (>=5 hex chars) over the oid "
                         "field's edgeNGram 5..40 grams; needs `build "
@@ -232,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--operator", choices=["or", "and"], default="or")
     c.add_argument("--not", dest="must_not", action="append", default=None,
                    metavar="TERM")
+    c.add_argument("--min-should-match", type=int, default=0,
+                   dest="min_should_match", metavar="N",
+                   help="count docs matching at least N distinct terms "
+                        "(ES minimum_should_match)")
     c.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
     c.add_argument("--prefix", action="store_true",
                    help="count docs matching any term with this prefix "
@@ -555,9 +564,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--prefix, --fuzzy, --wildcard, and --regexp are "
                      "mutually exclusive")
         if (args.prefix or args.fuzzy or args.wildcard or args.regexp) and (
-            args.operator != "or" or args.must_not
+            args.operator != "or" or args.must_not or args.min_should_match > 1
         ):
-            ap.error("--operator and / --not apply to plain term counts")
+            ap.error("--operator and / --not / --min-should-match apply to "
+                     "plain term counts")
+        if args.min_should_match > 1 and args.operator == "and":
+            ap.error("--min-should-match applies to --operator or")
         idx = inc.load_versioned(spark, root)
         pre = None
         if args.prefix:
@@ -579,7 +591,8 @@ def main(argv: list[str] | None = None) -> int:
                               operator=args.operator,
                               must_not=(" ".join(args.must_not)
                                         if args.must_not else None),
-                              pre_terms=pre)
+                              pre_terms=pre,
+                              minimum_should_match=args.min_should_match)
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
@@ -593,20 +606,25 @@ def main(argv: list[str] | None = None) -> int:
                      "mutually exclusive query types")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
-        if (args.operator == "and" or args.must_not) and (
+        if (args.operator == "and" or args.must_not
+                or args.min_should_match > 1) and (
             args.sha or args.phrase or args.fields or args.prefix
             or args.fuzzy or args.wildcard or args.regexp
             or args.phrase_prefix
         ):
-            ap.error("--operator and / --not apply to plain term queries "
+            ap.error("--operator and / --not / --min-should-match apply to "
+                     "plain term queries "
                      "(not --sha/--phrase/--fields/--prefix/--fuzzy/"
                      "--wildcard/--regexp/--phrase-prefix)")
+        if args.min_should_match > 1 and args.operator == "and":
+            ap.error("--min-should-match applies to --operator or")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
         if args.qs and (args.sha or args.phrase or args.fields
                         or args.prefix or args.fuzzy or args.wildcard
                         or args.regexp or args.phrase_prefix
                         or args.operator != "or"
+                        or args.min_should_match > 1
                         or args.must_not or args.facet):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
@@ -678,7 +696,8 @@ def main(argv: list[str] | None = None) -> int:
                             offset=args.offset, operator=args.operator,
                             must_not=(" ".join(args.must_not)
                                       if args.must_not else None),
-                            search_after=after)
+                            search_after=after,
+                            minimum_should_match=args.min_should_match)
         if args.facet:
             # facets reflect the SAME bool semantics as the hits they
             # accompany (sha/phrase/fields queries keep the any-term
@@ -705,7 +724,8 @@ def main(argv: list[str] | None = None) -> int:
                                 operator=args.operator,
                                 must_not=(" ".join(args.must_not)
                                           if args.must_not else None),
-                                pre_terms=pre)
+                                pre_terms=pre,
+                                minimum_should_match=args.min_should_match)
             facets: dict[str, dict[str, int]] = {}
             for r in fc.collect():
                 facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])

@@ -117,6 +117,7 @@ def score_plan(
     must_not: str | None = None,
     after_cursor: tuple[float, int] | None = None,
     pre_weights: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`search`: per-doc_part top-k
     candidate rows (doc_idx, score).  ``None`` means the query can match
@@ -142,9 +143,25 @@ def score_plan(
     term → clause-weight map of ALREADY-ANALYZED terms (the multi-term
     rewrite seam :func:`prefix_search` expands into); ``query`` is then
     ignored.
+
+    ``minimum_should_match`` (ES ``minimum_should_match: N``): a hit
+    must match at least N DISTINCT analyzed query terms; 0/1 is the
+    plain OR, N = the distinct-term count is ``operator="and"``.  A
+    dead (df=0) term is still a should clause but can never match, so
+    N greater than the LIVE term count matches nothing (Lucene: msm
+    above the matchable-clause count kills the query).  Only
+    meaningful with ``operator="or"`` — combining with "and" raises.
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    msm = int(minimum_should_match or 0)
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError(
+            "minimum_should_match applies to operator='or' "
+            "(operator='and' already requires every term)"
+        )
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     weights = (Counter(analyze_query(query)) if pre_weights is None
@@ -170,6 +187,8 @@ def score_plan(
         widf = {t: w for t, w in widf.items() if t not in neg}
         if not widf:
             return None
+    if msm > 1 and msm > len(widf):
+        return None  # more required matches than live should clauses
 
     scan_terms = list(widf) + sorted(neg)
     cand = index.postings.filter(F.col("term").isin(scan_terms)).select(
@@ -194,6 +213,7 @@ def score_plan(
     kernel = _make_part_kernel(
         widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates),
         neg_terms=neg, n_required=n_required, after=after_cursor,
+        min_match=msm if msm > 1 else 0,
     )
     if predicates:
         if index.filters is None:
@@ -378,6 +398,7 @@ def search(
     operator: str = "or",
     must_not: str | None = None,
     search_after: tuple[float, str] | None = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
@@ -395,7 +416,12 @@ def search(
     analyzed query term (the simple_query_string default_operator AND
     shape GitLab issues); scores are the same summed BM25.  ``must_not``
     excludes docs containing any of its analyzed terms (bool must_not /
-    ``-term``).  Both compose with lang/repo filters and offset; with
+    ``-term``).  ``minimum_should_match=N`` (the ES knob of the same
+    name) keeps only hits matching at least N distinct analyzed terms —
+    the middle ground between OR (N≤1) and ``operator="and"`` (N =
+    every term); composes with must_not, filters, offset and
+    search_after, and with N > 1 the evaluation counts matched clauses
+    per doc so ``mode`` is ignored.  All compose with lang/repo filters and offset; with
     ``operator="and"`` the evaluation is intersection-first, so
     ``mode`` is ignored.
 
@@ -424,11 +450,11 @@ def search(
     (the distributed fallback, also used by plan tests).
     """
     if fields is not None:
-        if operator != "or" or must_not is not None:
+        if operator != "or" or must_not is not None or minimum_should_match > 1:
             raise ValueError(
-                "operator='and' / must_not are single-field features; "
-                "multi-field bool-should search scores each field's OR "
-                "clauses (the ES multi_match shape)"
+                "operator='and' / must_not / minimum_should_match are "
+                "single-field features; multi-field bool-should search "
+                "scores each field's OR clauses (the ES multi_match shape)"
             )
         return multi_search(index, query, k=k, fields=fields, lang=lang,
                             repo=repo, fetch=fetch, offset=offset,
@@ -441,7 +467,8 @@ def search(
         cursor = _resolve_cursors(index, {"_": search_after})["_"]
     scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
                         mode=mode, operator=operator, must_not=must_not,
-                        after_cursor=cursor)
+                        after_cursor=cursor,
+                        minimum_should_match=minimum_should_match)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
 
@@ -1246,6 +1273,7 @@ def _make_part_kernel(
     neg_terms: frozenset[str] = frozenset(),
     n_required: int = 0,
     after: tuple[float, int] | None = None,
+    min_match: int = 0,
 ):
     """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
@@ -1268,6 +1296,11 @@ def _make_part_kernel(
     ``n_required`` distinct query terms — a part carrying fewer
     surviving term lists can have no hits, and survivors are found by
     sorted-merge intersection before any scoring work.
+
+    ``min_match > 1`` (ES ``minimum_should_match``) keeps docs matching
+    at least that many distinct terms (:func:`_msm_topk`); it overrides
+    ``use_bmw`` — the counting evaluation is exhaustive per part, with
+    the same ≤ k-rows-out candidate bound.
     """
 
     def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -1336,6 +1369,10 @@ def _make_part_kernel(
 
         if n_required:
             doc_idx, score = _conjunctive_topk(terms, k, n_required, after)
+        elif min_match > 1:
+            if len(terms) < min_match:  # too few live clauses here
+                return empty
+            doc_idx, score = _msm_topk(terms, k, min_match, after)
         elif use_bmw:
             doc_idx, score = _bmw_topk(terms, k, after)
         else:
@@ -1358,6 +1395,27 @@ def _exhaustive_topk(terms, k, after=None):
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_contrib)
     return _topk_arrays(uniq, acc, k, after=after)
+
+
+def _msm_topk(terms, k, min_match, after=None):
+    """ES ``minimum_should_match: N`` evaluation: docs matching at least
+    ``min_match`` DISTINCT query terms, scored by the same summed BM25
+    as the OR path (Lucene's MinShouldMatchSumScorer semantics over
+    distinct should clauses).  Evaluation is the exhaustive
+    accumulation plus a per-doc matched-clause count — each ``terms``
+    entry is one distinct term whose docs are unique, so the count of
+    postings rows touching a doc IS its matched-clause count.  WAND
+    skipping under an msm constraint is a known refinement (θ must
+    account for the m-th best clause bound); the counting kernel keeps
+    the candidate bound (≤ k rows out) without it."""
+    all_docs = np.concatenate([t["docs"] for t in terms])
+    all_contrib = np.concatenate([t["w"] * t["tfn"] for t in terms])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_contrib)
+    cnt = np.bincount(inv, minlength=len(uniq))
+    keep = cnt >= min_match
+    return _topk_arrays(uniq[keep], acc[keep], k, after=after)
 
 
 def _sorted_member(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
@@ -1584,6 +1642,7 @@ def search_many(
     "max_edits": int,
     "max_expansions": int, "prefix_length": int,
     "operator": "or"|"and", "must_not": str,
+    "minimum_should_match": int,
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
     a full simple_query_string body (pure-term/pure-phrase forms lower
     onto the shared batch jobs; a mixed phrase+term body runs the
@@ -1629,6 +1688,7 @@ def search_many(
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
+    msm_by_query: dict[str, int] = {}  # qid -> minimum_should_match (>1)
     cursor_specs: dict[str, tuple[float, str]] = {}  # qid -> (score, id)
     mixed_qs: dict[str, dict] = {}  # qid -> parsed mixed qs entry
     for qid, spec in queries.items():
@@ -1713,6 +1773,26 @@ def search_many(
                     f"batch entry {qid!r}: slop is not supported with "
                     "phrase_prefix"
                 )
+            msm = int(spec.get("minimum_should_match", 0) or 0)
+            if msm < 0:
+                raise ValueError(
+                    f"batch entry {qid!r}: minimum_should_match must be >= 0"
+                )
+            if msm > 1:
+                if op == "and":
+                    raise ValueError(
+                        f"batch entry {qid!r}: minimum_should_match applies "
+                        "to operator='or'"
+                    )
+                if (spec.get("phrase") or spec.get("fields")
+                        or spec.get("prefix") or spec.get("fuzzy")
+                        or spec.get("wildcard") or spec.get("regexp")
+                        or spec.get("phrase_prefix")):
+                    raise ValueError(
+                        f"batch entry {qid!r}: minimum_should_match applies "
+                        "to plain term entries"
+                    )
+                msm_by_query[qid] = msm
             if op == "and":
                 op_by_query[qid] = op
             if spec.get("must_not"):
@@ -1808,6 +1888,10 @@ def search_many(
                 widf_by_query[qid] = w
             else:
                 del widf_by_query[qid]
+    for qid, m in msm_by_query.items():
+        # msm dead rule: more required matches than live should clauses
+        if qid in widf_by_query and m > len(widf_by_query[qid]):
+            del widf_by_query[qid]
 
     # phrase entries: analyze with the sidecar's chain, idf from ITS dfs
     # (one term-pruned aggregation shared by every phrase entry), exactly
@@ -2037,7 +2121,7 @@ def search_many(
             widf_by_query, preds_by_query, parts_by_query,
             index.avgdl, n_by_query, use_bmw, index.docs_per_part,
             neg_by_query=neg_by_query, nreq_by_query=nreq_by_query,
-            after_by_query=after_by_query,
+            after_by_query=after_by_query, msm_by_query=msm_by_query,
         )
         fsel = _filters_for(set(widf_by_query), scan_parts)
         if fsel is not None:
@@ -2230,6 +2314,7 @@ def _make_batch_kernel(
     neg_by_query: dict[str, frozenset[str]] | None = None,
     nreq_by_query: dict[str, int] | None = None,
     after_by_query: dict[str, tuple[float, int]] | None = None,
+    msm_by_query: dict[str, int] | None = None,
 ):
     """Per-doc_part batched kernel: decode each term ONCE, score every
     query against the shared decodes (masked per query by its predicate
@@ -2239,10 +2324,14 @@ def _make_batch_kernel(
     path).  ``neg_by_query`` / ``nreq_by_query`` carry per-entry
     must_not exclusion sets and operator="and" required-term counts —
     exclusion terms share the same decodes, and conjunctive entries use
-    the intersection-first evaluation (see :func:`_conjunctive_topk`)."""
+    the intersection-first evaluation (see :func:`_conjunctive_topk`).
+    ``msm_by_query`` carries per-entry minimum_should_match counts
+    (> 1): those entries use the clause-counting evaluation
+    (:func:`_msm_topk`)."""
     neg_by_query = neg_by_query or {}
     nreq_by_query = nreq_by_query or {}
     after_by_query = after_by_query or {}
+    msm_by_query = msm_by_query or {}
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -2332,9 +2421,13 @@ def _make_batch_kernel(
                 continue
             n_q = n_by_query[qid]
             nreq = nreq_by_query.get(qid, 0)
+            msm = msm_by_query.get(qid, 0)
             aft = after_by_query.get(qid)
+            if msm > 1 and len(terms) < msm:
+                continue  # too few live clauses in this part
             d, s = (
                 _conjunctive_topk(terms, n_q, nreq, aft) if nreq
+                else _msm_topk(terms, n_q, msm, aft) if msm > 1
                 else _bmw_topk(terms, n_q, aft) if use_bmw
                 else _exhaustive_topk(terms, n_q, aft)
             )
@@ -2479,6 +2572,7 @@ def facet_counts(
     operator: str = "or",
     must_not: str | None = None,
     pre_terms: list[str] | None = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """ES terms-aggregation analog: per-(field, value) counts of ALL
     documents matching the analyzed query (any-term match by default —
@@ -2508,9 +2602,21 @@ def facet_counts(
     (the multi-term rewrite seam: counts/facets for prefix / fuzzy /
     wildcard/regexp queries pass their expansions here, so aggregations match
     those hits too); ``query`` is then ignored.
+
+    ``minimum_should_match`` mirrors :func:`search`'s knob so counts
+    and facets stay consistent with msm hits: a doc counts only when it
+    matches at least N distinct terms (kernel keeps per-doc matched-
+    clause counts instead of the boolean union).
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    msm = int(minimum_should_match or 0)
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError(
+            "minimum_should_match applies to operator='or'"
+        )
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     terms = (sorted(set(analyze_query(query))) if pre_terms is None
@@ -2533,6 +2639,8 @@ def facet_counts(
         live = [t for t in live if t not in neg]
         if not live:
             return empty
+    if msm > 1 and msm > len(live):
+        return empty  # more required matches than live should clauses
 
     predicates, repo_t = _kw_predicates(lang, repo)
     if (fields or predicates) and index.filters is None:
@@ -2553,6 +2661,7 @@ def facet_counts(
     kernel = _make_facet_kernel(
         tuple(fields), predicates, index.docs_per_part, include_total,
         neg_terms=neg, n_required=n_required,
+        min_match=msm if msm > 1 else 0,
     )
     if fields or predicates:
         cond = F.col("field").isin(list(fields)) if fields else F.lit(False)
@@ -2586,6 +2695,7 @@ def match_count(
     operator: str = "or",
     must_not: str | None = None,
     pre_terms: list[str] | None = None,
+    minimum_should_match: int = 0,
 ) -> int:
     """ES ``_count`` analog: how many documents match the analyzed
     query (any-term by default; ``operator="and"`` / ``must_not``
@@ -2597,6 +2707,7 @@ def match_count(
     rows = facet_counts(
         index, query, fields=(), lang=lang, repo=repo, include_total=True,
         operator=operator, must_not=must_not, pre_terms=pre_terms,
+        minimum_should_match=minimum_should_match,
     ).collect()
     return int(rows[0]["n"]) if rows else 0
 
@@ -2655,6 +2766,7 @@ def _make_facet_kernel(
     include_total: bool,
     neg_terms: frozenset[str] = frozenset(),
     n_required: int = 0,
+    min_match: int = 0,
 ):
     """Per-doc_part facet kernel (cogroup signature: postings, filters).
 
@@ -2678,6 +2790,8 @@ def _make_facet_kernel(
         part = int(postings_pdf["doc_part"].iloc[0])
         base = part * docs_per_part
         matched = None  # lazily seeded: OR starts empty, AND starts full
+        counts = (np.zeros(docs_per_part, dtype=np.int32)
+                  if min_match > 1 else None)
         excl = np.zeros(docs_per_part, dtype=bool) if neg_terms else None
         n_pos_seen = 0
         for row in postings_pdf.itertuples(index=False):
@@ -2688,12 +2802,20 @@ def _make_facet_kernel(
                 excl |= mask
                 continue
             n_pos_seen += 1
-            if matched is None:
+            if counts is not None:
+                counts += mask
+            elif matched is None:
                 matched = mask
             elif n_required:
                 matched &= mask
             else:
                 matched |= mask
+        if counts is not None:
+            # minimum_should_match: a doc counts when it matches ≥ N
+            # distinct terms (each term contributes its mask once)
+            if n_pos_seen < min_match:
+                return empty
+            matched = counts >= min_match
         if matched is None or (n_required and n_pos_seen < n_required):
             return empty  # no positive term / a required term absent here
         if excl is not None:

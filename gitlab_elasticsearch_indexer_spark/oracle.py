@@ -64,6 +64,7 @@ class OracleIndex:
         repo: str | list[str] | None = None,
         operator: str = "or",
         must_not: str | None = None,
+        minimum_should_match: int = 0,
     ) -> list[tuple[str, float]]:
         """Top-k (doc_id, BM25 score), tie-break score desc then doc_id asc.
 
@@ -93,6 +94,14 @@ class OracleIndex:
             scores = {
                 d: s for d, s in scores.items()
                 if all(d in self.postings.get(t, {}) for t in req)
+            }
+        if minimum_should_match > 1:
+            # ES minimum_should_match: ≥ N DISTINCT matched terms
+            distinct = set(terms)
+            scores = {
+                d: s for d, s in scores.items()
+                if sum(d in self.postings.get(t, {}) for t in distinct)
+                >= minimum_should_match
             }
         if neg:
             # a surviving doc contains no excluded term, so its summed

@@ -229,6 +229,47 @@ def test_cli_bool_operator_and_must_not(spark, dirs, capsys, tmp_path):
         main(["search", "--index", idx, "--sha", "abcdef1", "--not", "x"])
 
 
+def test_cli_minimum_should_match(spark, dirs, capsys, tmp_path):
+    """--min-should-match N (ES minimum_should_match) on search, count,
+    facets, and the msearch spec key; conflicting flags rejected."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    # ≥2 of {def, table, helper}: only util.rb (def+helper) qualifies
+    assert main(["search", "--index", idx, "--query", "def table helper",
+                 "--min-should-match", "2", "--facet", "lang"]) == 0
+    out = _lines(capsys)
+    facets = out[0]["facets"]
+    hits = [h for h in out[1:] if "id" in h]
+    assert [h["id"] for h in hits] == ["repo2_lib/util.rb"]
+    assert facets == {"lang": {"Ruby": 1}}  # aggs match the msm hits
+
+    assert main(["count", "--index", idx, "--query", "def table helper",
+                 "--min-should-match", "2"]) == 0
+    assert _lines(capsys)[0]["count"] == 1
+
+    # batched parity through the msearch JSON spec
+    qfile = str(tmp_path / "msm_queries.json")
+    with open(qfile, "w") as fh:
+        json.dump({
+            "m2": {"q": "def table helper", "minimum_should_match": 2},
+        }, fh)
+    assert main(["msearch", "--index", idx, "--queries", qfile]) == 0
+    rows = _lines(capsys)
+    assert [r["id"] for r in rows] == ["repo2_lib/util.rb"]
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--operator", "and", "--min-should-match", "2"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--min-should-match", "2", "--phrase"])
+    with pytest.raises(SystemExit):
+        main(["count", "--index", idx, "--query", "de", "--prefix",
+              "--min-should-match", "2"])
+
+
 def test_cli_search_after_cursor(spark, dirs, capsys):
     """--after SCORE ID (ES search_after): page 2 continues exactly
     where page 1's last hit left off."""

@@ -200,6 +200,88 @@ def test_bool_search_many_matches_single(index, oracle):
                            rtol=1e-9, atol=1e-12)
 
 
+MSM_QUERIES = [
+    # (query, msm, must_not, lang) — ES minimum_should_match shapes
+    ("get user if", 2, None, None),
+    ("get user if return", 3, None, None),
+    ("get user if", 2, "return", None),       # msm + exclusion
+    ("get user if", 2, None, "Python"),       # msm + keyword filter
+    ("get user if", 3, None, None),           # msm == distinct terms ≡ AND
+    ("get user zzz_no_such_term", 2, None, None),  # dead term still a clause
+    ("if user", 5, None, None),               # msm > clauses ⇒ empty
+]
+
+
+def test_minimum_should_match_rank_identity(spark, index, oracle):
+    """ES minimum_should_match: hits match ≥ N distinct analyzed terms,
+    rank- and score-identical to the brute-force referee; composes with
+    must_not and keyword filters."""
+    for query, m, neg, lang in MSM_QUERIES:
+        got = [(r["id"], r["score"]) for r in
+               search(index, query, k=12, minimum_should_match=m,
+                      must_not=neg, lang=lang).collect()]
+        exp = oracle.search(query, k=12, minimum_should_match=m,
+                            must_not=neg, lang=lang)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, m, neg)
+        assert np.allclose([g[1] for g in got], [e[1] for e in exp],
+                           rtol=1e-9, atol=1e-12), (query, m, neg)
+    # sanity: the msm=2 constraint actually bites on this corpus
+    loose = oracle.search("get user if", k=10**6)
+    tight = oracle.search("get user if", k=10**6, minimum_should_match=2)
+    assert 0 < len(tight) < len(loose)
+
+
+def test_minimum_should_match_batch_and_count(index, oracle):
+    """Batched msm entries match the singles; _count/facets stay
+    consistent with the msm match set."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        match_count,
+        search_many,
+    )
+
+    batch = {
+        f"q{i}": {"q": qs, "minimum_should_match": m,
+                  **({"must_not": neg} if neg else {}),
+                  **({"lang": lang} if lang else {})}
+        for i, (qs, m, neg, lang) in enumerate(MSM_QUERIES)
+    }
+    rows = search_many(index, batch, k=12).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["score"]))
+    for i, (qs, m, neg, lang) in enumerate(MSM_QUERIES):
+        exp = oracle.search(qs, k=12, minimum_should_match=m,
+                            must_not=neg, lang=lang)
+        got = sorted(by_q.get(f"q{i}", []))
+        assert [d for _, d, _ in got] == [d for d, _ in exp], (qs, m)
+        assert np.allclose([s for *_, s in got], [s for _, s in exp],
+                           rtol=1e-9, atol=1e-12)
+
+    n = match_count(index, "get user if", minimum_should_match=2)
+    exp_n = len(oracle.search("get user if", k=10**6,
+                              minimum_should_match=2))
+    assert n == exp_n and n > 0
+    assert match_count(index, "if user", minimum_should_match=5) == 0
+
+
+def test_minimum_should_match_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import search_many
+
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        search(index, "get user", operator="and", minimum_should_match=2)
+    with pytest.raises(ValueError, match=">= 0"):
+        search(index, "get user", minimum_should_match=-1)
+    with pytest.raises(ValueError, match="single-field"):
+        search(index, "get user", fields=("file_name",),
+               minimum_should_match=2)
+    with pytest.raises(ValueError, match="plain term"):
+        search_many(index, {"a": {"q": "get user", "phrase": True,
+                                  "minimum_should_match": 2}})
+    with pytest.raises(ValueError, match="operator"):
+        search_many(index, {"a": {"q": "get user", "operator": "and",
+                                  "minimum_should_match": 2}})
+
+
 def test_bool_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
