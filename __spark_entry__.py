@@ -2383,6 +2383,48 @@ def q_multifield_search(spark, sf_dir):
     return hits.select("id", F.round("score", 4).alias("score"))
 
 
+def q_boosted_multifield(spark, sf_dir):
+    """B40: the ES multi_match field-boost syntax — fields=("content",
+    "file_name^2") doubles the name field's clause weights (Lucene
+    folds query boosts into the weight), so name matches jump the
+    summed ranking.  The oracle replays the same per-field BM25 with
+    the file_name contribution multiplied by 2."""
+    idx = _mf_index(spark, sf_dir)
+    hits = q.multi_search(idx, "merge.txt sort table", k=15,
+                          fields=("content", "file_name^2"))
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+# same per-field CTEs as SQL_MULTIFIELD minus the path field, with the
+# file_name contribution boosted 2×
+SQL_BOOSTED_MULTIFIELD = f"""
+WITH q AS (SELECT unnest(['merge.txt', 'sort', 'table']) AS term),
+{_BM25_CTES.removeprefix("WITH ")},
+fn AS (
+    SELECT {_DOC_ID_SQL} AS id,
+           lower(string_split_regex(text, '\\s+')[1]) || '.txt' AS name
+    FROM documents
+),
+fn_n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fdf AS (SELECT name, count(*)::DOUBLE AS df FROM fn GROUP BY 1),
+fscore AS (
+    SELECT fn.id,
+           sum(2.0 * ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
+               * (1.0 / (1.0 + {K1}))) AS raw
+    FROM q JOIN fn ON fn.name = q.term JOIN fdf USING (name)
+    CROSS JOIN fn_n s
+    GROUP BY fn.id
+),
+summed AS (
+    SELECT coalesce(c.id, f.id) AS id,
+           coalesce(c.raw, 0) + coalesce(f.raw, 0) AS raw
+    FROM scored c FULL OUTER JOIN fscore f ON c.id = f.id
+)
+SELECT id, round(raw, 4) AS score
+FROM summed ORDER BY raw DESC, id ASC LIMIT 15
+"""
+
+
 def q_multifield_search_after(spark, sf_dir):
     """search_after on a MULTI-FIELD bool-should query: page 1 (k=5) of
     the summed per-field BM25 ranking seeds a cursor; page 2 (k=10)
@@ -2617,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_conjunctive_search": q_conjunctive_search,
         "b24_must_not_search": q_must_not_search,
         "b39_min_should_match": q_min_should_match,
+        "b40_boosted_multifield": q_boosted_multifield,
         "b25_search_after": q_search_after,
         "b26_explain": q_explain,
         "b27_count_bool": q_match_count_bool,
@@ -2708,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
                                          neg=["merge"]),
         "b39_min_should_match": _bm25_sql(["table", "scan", "merge"], 15,
                                           min_should_match=2),
+        "b40_boosted_multifield": SQL_BOOSTED_MULTIFIELD,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -182,7 +182,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default=None,
                    help="comma-separated fields for bool-should multi-"
                         "field search (e.g. content,file_name,path); "
-                        "needs an index built with --field")
+                        "a field may carry an ES boost suffix "
+                        "(file_name^3 triples that field's clause "
+                        "weights); needs an index built with --field")
     s.add_argument("--qs", action="store_true",
                    help="parse --query as ES simple_query_string (the "
                         "GitLab search-box syntax): bare terms, "

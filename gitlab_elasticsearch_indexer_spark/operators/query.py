@@ -1107,6 +1107,34 @@ def multi_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
+def _parse_field_boosts(
+    fields: tuple[str, ...],
+) -> list[tuple[str, float]]:
+    """Parse the ES multi_match field-boost syntax: ``"file_name^3"``
+    boosts that field's BM25 contribution 3× (Lucene BoostQuery over
+    the field's should clauses — the boost multiplies each clause's
+    idf weight, exactly how Lucene folds query boosts into the
+    weight).  A bare name boosts 1.0; duplicates (after stripping the
+    boost) and non-positive boosts raise."""
+    out: list[tuple[str, float]] = []
+    seen: set[str] = set()
+    for f in fields:
+        name, sep, b = str(f).partition("^")
+        boost = 1.0
+        if sep:
+            try:
+                boost = float(b)
+            except ValueError:
+                raise ValueError(f"bad field boost {f!r}") from None
+            if not boost > 0:
+                raise ValueError(f"field boost must be > 0: {f!r}")
+        if name in seen:
+            raise ValueError(f"duplicate field {name!r} in fields")
+        seen.add(name)
+        out.append((name, boost))
+    return out
+
+
 def multi_score_plan(
     index: InvertedIndex,
     query: str,
@@ -1124,7 +1152,11 @@ def multi_score_plan(
     matches is found even when the name never appears in its content.
 
     ``fields``: names to search — "content" plus any of the index's
-    extra fields (default: content + all built fields).  Physical plan
+    extra fields (default: content + all built fields).  A name may
+    carry the ES boost syntax ``"file_name^3"``: the boost multiplies
+    that field's clause weights (Lucene folds query boosts into the
+    weight the same way), so a name match can outrank content matches —
+    the ES blob mapping GitLab tunes with exactly this knob.  Physical plan
     mirrors :func:`search`: every field's postings table shares the
     doc_part space, so the per-part kernel sums across fields locally
     and only ≤ (offset+k)·n_parts candidate rows leave the partitions;
@@ -1134,7 +1166,8 @@ def multi_score_plan(
     built = index.fields or {}
     if fields is None:
         fields = ("content", *sorted(built))
-    unknown = [f for f in fields if f != "content" and f not in built]
+    boosted = _parse_field_boosts(fields)
+    unknown = [f for f, _ in boosted if f != "content" and f not in built]
     if unknown:
         raise ValueError(
             f"index has no field(s) {unknown!r} "
@@ -1145,7 +1178,7 @@ def multi_score_plan(
     widf_by_fld: dict[int, dict[str, float]] = {}
     avgdl_by_fld: dict[int, float] = {}
     srcs: list[DataFrame] = []
-    for i, f in enumerate(fields):
+    for i, (f, boost) in enumerate(boosted):
         if f == "content":
             chain = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
             weights = Counter(chain(query))
@@ -1157,7 +1190,7 @@ def multi_score_plan(
             weights = Counter(chain(query))
             idf = index.field_idf(f, list(weights))
             post, avgdl = fh.postings, fh.avgdl
-        widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
+        widf = {t: idf[t] * w * boost for t, w in weights.items() if t in idf}
         if not widf:
             continue
         fld = len(widf_by_fld)
@@ -1976,13 +2009,15 @@ def search_many(
         built = index.fields or {}
         for qid, flds in mf_specs.items():
             qs = specs[qid][0]
-            unknown = [f for f in flds if f != "content" and f not in built]
+            fboosts = _parse_field_boosts(flds)
+            unknown = [f for f, _ in fboosts
+                       if f != "content" and f not in built]
             if unknown:
                 raise ValueError(
                     f"batch entry {qid!r}: index has no field(s) {unknown!r}"
                 )
             per_fld: dict[str, dict[str, float]] = {}
-            for f in flds:
+            for f, boost in fboosts:
                 if f == "content":
                     w = Counter(analyze_query(qs))
                     fidf = index.idf_map(list(w))
@@ -1992,7 +2027,8 @@ def search_many(
                     )
                     w = Counter(chain(qs))
                     fidf = index.field_idf(f, list(w))
-                widf = {t: fidf[t] * n for t, n in w.items() if t in fidf}
+                widf = {t: fidf[t] * n * boost
+                        for t, n in w.items() if t in fidf}
                 if widf:
                     per_fld[f] = widf
             if per_fld:

@@ -476,6 +476,79 @@ def test_search_many_multifield_entries_match_single(mf_index):
         assert sorted(by_q.get(qid, [])) == exp, (qid, by_q.get(qid), exp)
 
 
+def _expect_boosted(query, boosts, lang=None, repo=None, k=10):
+    """Combine per-field brute scores with explicit boosts (the Lucene
+    BoostQuery fold: boost × every clause weight of that field)."""
+    fa = {"content": "code", "file_name": "code", "path": "path",
+          "oid": "sha"}
+    acc: dict[str, float] = {}
+    for f, b in boosts.items():
+        for i, s in brute_multi_scores(DOCS, query, (f,), fa,
+                                       lang=lang, repo=repo):
+            acc[i] = acc.get(i, 0.0) + b * s
+    hits = [(i, round(s, 9)) for i, s in acc.items() if s > 0]
+    hits.sort(key=lambda t: (-t[1], t[0]))
+    return hits[:k]
+
+
+def test_field_boosts_scale_contributions(mf_index):
+    """ES multi_match boost syntax: fields=("content", "file_name^3")
+    triples the name field's BM25 contribution; scores match the
+    brute-force referee exactly and a bare name ≡ boost 1.0."""
+    query = "user_controller.rb handler"
+    got = _hits(q.multi_search(mf_index, query, k=5,
+                               fields=("content", "file_name^3")))
+    assert got == _expect_boosted(query, {"content": 1.0, "file_name": 3.0},
+                                  k=5)
+    # ^1 is the identity: same ranking and scores as the bare name
+    assert _hits(q.multi_search(mf_index, query, k=5,
+                                fields=("content", "file_name^1"))) == \
+        _hits(q.multi_search(mf_index, query, k=5,
+                             fields=("content", "file_name")))
+
+
+def test_field_boost_changes_the_winner(mf_index):
+    """The boost knob re-weights whole fields: unboosted, the file
+    NAMED user_controller.rb wins (name tokens carry high idf); a
+    fractional down-boost (file_name^0.1 — ES boosts are floats) hands
+    rank 1 to the doc whose CONTENT mentions 'handler' twice.  Both
+    rankings match the brute-force referee score-exactly."""
+    query = "user_controller.rb handler"
+    plain = _hits(q.multi_search(mf_index, query, k=5,
+                                 fields=("content", "file_name")))
+    damped = _hits(q.multi_search(mf_index, query, k=5,
+                                  fields=("content", "file_name^0.1")))
+    assert damped == _expect_boosted(
+        query, {"content": 1.0, "file_name": 0.1}, k=5)
+    assert plain[0][0] == "r1_app/controllers/user_controller.rb"
+    assert damped[0][0] == "r2_docs/readme.md"
+
+
+def test_field_boosts_batch_parity_and_validation(mf_index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        multi_search,
+        search_many,
+    )
+
+    spec = {"q": "user_controller.rb handler",
+            "fields": ["content", "file_name^3"]}
+    rows = search_many(mf_index, {"b0": spec}, k=5).collect()
+    got = [(r["id"], round(r["score"], 9)) for r in sorted(
+        rows, key=lambda r: r["rank"])]
+    single = _hits(multi_search(mf_index, spec["q"], k=5,
+                                fields=("content", "file_name^3")))
+    assert got == single
+
+    with pytest.raises(ValueError, match="boost must be > 0"):
+        multi_search(mf_index, "x", fields=("file_name^0",))
+    with pytest.raises(ValueError, match="bad field boost"):
+        multi_search(mf_index, "x", fields=("file_name^x",))
+    with pytest.raises(ValueError, match="duplicate field"):
+        multi_search(mf_index, "x", fields=("content", "content^2"))
+    with pytest.raises(ValueError, match="no field"):
+        multi_search(mf_index, "x", fields=("nope^2",))
+
+
 def test_search_many_rejects_phrase_plus_fields(mf_index):
     import pytest as _pt
 
