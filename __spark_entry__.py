@@ -167,6 +167,58 @@ def q_conjunctive_search(spark, sf_dir):
                        operator="and")
 
 
+def q_dl_stats(spark, sf_dir):
+    """B41: ES stats-aggregation analog over dl (the numeric doc field
+    the index maintains): count/sum/min/max/avg of the token counts of
+    ALL docs matching any query term, under a repo terms-filter.  dl
+    rides the posting lists (each term entry carries its doc's dl for
+    BM25), so the plan is the facet kernel's — no doc_stats join,
+    partition-local partials, ≤ n_parts rows shuffled."""
+    idx = _shared_index(spark, sf_dir)
+    row = q.dl_stats(idx, "table scan merge", repo=["src3", "src7"])
+    return row.select(
+        "count", "sum_dl", "min_dl", "max_dl",
+        F.round("avg_dl", 6).alias("avg_dl"),
+    )
+
+
+SQL_DL_STATS = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+meta AS (SELECT {_DOC_ID_SQL} AS id, source AS repo FROM documents),
+matched AS (
+    SELECT DISTINCT tok.id FROM tok JOIN q USING (term)
+    JOIN meta ON meta.id = tok.id
+    WHERE meta.repo IN ('src3', 'src7')
+)
+SELECT count(*)::BIGINT AS count, sum(dl.dl)::BIGINT AS sum_dl,
+       min(dl.dl)::BIGINT AS min_dl, max(dl.dl)::BIGINT AS max_dl,
+       round(avg(dl.dl), 6)::DOUBLE AS avg_dl
+FROM matched JOIN dl USING (id)
+"""
+
+
+def q_dl_histogram(spark, sf_dir):
+    """B42: ES histogram-aggregation analog over dl — (bucket, n) rows
+    with bucket = floor(dl/16)·16 over ALL docs matching any query
+    term; empty buckets omitted (min_doc_count 1).  Partials are
+    per-(part, bucket), so ≤ n_parts·n_buckets tiny rows shuffle."""
+    idx = _shared_index(spark, sf_dir)
+    return q.dl_histogram(idx, "table scan merge", 16)
+
+
+SQL_DL_HISTOGRAM = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term))
+SELECT (dl.dl // 16) * 16 AS bucket, count(*)::BIGINT AS n
+FROM matched JOIN dl USING (id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_min_should_match(spark, sf_dir):
     """ES minimum_should_match: hits must match at least 2 of the 3
     analyzed query terms — the middle ground between OR (any term) and
@@ -2660,6 +2712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_must_not_search": q_must_not_search,
         "b39_min_should_match": q_min_should_match,
         "b40_boosted_multifield": q_boosted_multifield,
+        "b41_dl_stats": q_dl_stats,
+        "b42_dl_histogram": q_dl_histogram,
         "b25_search_after": q_search_after,
         "b26_explain": q_explain,
         "b27_count_bool": q_match_count_bool,
@@ -2752,6 +2806,8 @@ def oracle_sql() -> dict[str, str]:
         "b39_min_should_match": _bm25_sql(["table", "scan", "merge"], 15,
                                           min_should_match=2),
         "b40_boosted_multifield": SQL_BOOSTED_MULTIFIELD,
+        "b41_dl_stats": SQL_DL_STATS,
+        "b42_dl_histogram": SQL_DL_HISTOGRAM,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -214,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="SHA-prefix lookup (>=5 hex chars) over the oid "
                         "field's edgeNGram 5..40 grams; needs `build "
                         "--field oid`; replaces --query")
+    s.add_argument("--stats", action="store_true",
+                   help="also print dl stats (count/sum/min/max/avg of "
+                        "matching docs' token counts — the ES stats "
+                        "aggregation analog)")
+    s.add_argument("--histogram", type=int, default=None, metavar="INTERVAL",
+                   help="also print a dl histogram with this bucket "
+                        "interval (ES histogram aggregation analog)")
     s.add_argument("--facet", action="append", default=None, metavar="FIELD",
                    help="also print per-value match counts for this keyword "
                         "field (lang/repo; repeatable — the ES terms-"
@@ -627,11 +634,12 @@ def main(argv: list[str] | None = None) -> int:
                         or args.regexp or args.phrase_prefix
                         or args.operator != "or"
                         or args.min_should_match > 1
-                        or args.must_not or args.facet):
+                        or args.must_not or args.facet
+                        or args.stats or args.histogram):
             ap.error("--qs is a self-contained query syntax (quoted "
                      "phrases, -exclusions, --default-operator); don't "
                      "combine it with --sha/--phrase/--fields/--operator/"
-                     "--not/--facet")
+                     "--not/--facet/--stats/--histogram")
         idx = inc.load_versioned(spark, root)
         # --after works on EVERY query shape (ES supports search_after
         # on any query): the kernels all filter at candidate time
@@ -700,12 +708,13 @@ def main(argv: list[str] | None = None) -> int:
                                       if args.must_not else None),
                             search_after=after,
                             minimum_should_match=args.min_should_match)
-        if args.facet:
-            # facets reflect the SAME bool semantics as the hits they
-            # accompany (sha/phrase/fields queries keep the any-term
-            # facet shape — their match sets aren't term-mask unions);
-            # rewrite queries feed their expansions through pre_terms so
-            # the aggregation counts the docs the rewrite scores
+        if args.facet or args.stats or args.histogram:
+            # aggregations reflect the SAME bool semantics as the hits
+            # they accompany (sha/phrase/fields queries keep the
+            # any-term agg shape — their match sets aren't term-mask
+            # unions); rewrite queries feed their expansions through
+            # pre_terms so the aggregation covers the docs the rewrite
+            # scores
             pre = None
             if args.prefix:
                 pre = q.expand_prefix(idx, args.query,
@@ -721,6 +730,35 @@ def main(argv: list[str] | None = None) -> int:
             elif args.regexp:
                 pre = q.expand_regexp(idx, args.query,
                                       max_expansions=args.max_expansions)
+        if args.stats:
+            srow = q.dl_stats(
+                idx, args.query, lang=args.lang, repo=args.repo,
+                operator=args.operator,
+                must_not=(" ".join(args.must_not)
+                          if args.must_not else None),
+                pre_terms=pre,
+                minimum_should_match=args.min_should_match,
+            ).collect()[0]
+            print(json.dumps({"stats": {
+                "count": int(srow["count"]),
+                "sum_dl": int(srow["sum_dl"]),
+                "min_dl": None if srow["min_dl"] is None else int(srow["min_dl"]),
+                "max_dl": None if srow["max_dl"] is None else int(srow["max_dl"]),
+                "avg_dl": None if srow["avg_dl"] is None else float(srow["avg_dl"]),
+            }}))
+        if args.histogram:
+            hrows = q.dl_histogram(
+                idx, args.query, args.histogram, lang=args.lang,
+                repo=args.repo, operator=args.operator,
+                must_not=(" ".join(args.must_not)
+                          if args.must_not else None),
+                pre_terms=pre,
+                minimum_should_match=args.min_should_match,
+            ).collect()
+            print(json.dumps({"histogram": {
+                str(int(r["bucket"])): int(r["n"]) for r in hrows
+            }}))
+        if args.facet:
             fc = q.facet_counts(idx, args.query, fields=tuple(args.facet),
                                 lang=args.lang, repo=args.repo,
                                 operator=args.operator,

@@ -2748,6 +2748,256 @@ def match_count(
     return int(rows[0]["n"]) if rows else 0
 
 
+def _metric_partials(
+    index: InvertedIndex,
+    query: str,
+    interval: int | None,
+    lang: str | list[str] | None,
+    repo: str | list[str] | None,
+    operator: str,
+    must_not: str | None,
+    minimum_should_match: int,
+    pre_terms: list[str] | None,
+) -> DataFrame | None:
+    """Shared plan of :func:`dl_stats` / :func:`dl_histogram`: per
+    doc_part partial aggregates over the dl of EVERY matching document
+    (the same matched set :func:`facet_counts` popcounts — bool
+    must/must_not/minimum_should_match and keyword filters included).
+
+    Physical plan mirrors the facet kernel: the postings scan is pruned
+    to the query terms and column-pruned to (term, docs_bin, dls_bin) —
+    dl rides the posting lists themselves (every term entry carries its
+    doc's dl for BM25), so NO doc_stats join and nothing per-doc ever
+    leaves a partition.  Only ≤ n_parts (stats) or ≤ n_parts·n_buckets
+    (histogram) tiny partial rows shuffle.  ``None`` means nothing can
+    match."""
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    msm = int(minimum_should_match or 0)
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError("minimum_should_match applies to operator='or'")
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    terms = (sorted(set(analyze_query(query))) if pre_terms is None
+             else sorted(set(pre_terms)))
+    idf = index.idf_map(terms)
+    live = [t for t in terms if t in idf]
+    if not live:
+        return None
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    n_required = 0
+    if operator == "and":
+        if (neg & set(terms)) or len(live) < len(terms):
+            return None
+        n_required = len(live)
+    elif neg:
+        live = [t for t in live if t not in neg]
+        if not live:
+            return None
+    if msm > 1 and msm > len(live):
+        return None
+
+    predicates, repo_t = _kw_predicates(lang, repo)
+    if predicates and index.filters is None:
+        raise ValueError(
+            "filtered dl_stats/dl_histogram needs the index's filters "
+            "sidecar (rebuild or re-save the index with this version)"
+        )
+    cand = index.postings.filter(
+        F.col("term").isin(live + sorted(neg))
+    ).select("doc_part", "term", "docs_bin", "dls_bin")
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return None
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    kernel = _make_metric_kernel(
+        predicates, index.docs_per_part, interval,
+        neg_terms=neg, n_required=n_required,
+        min_match=msm if msm > 1 else 0,
+    )
+    if predicates:
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        return (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=METRIC_PARTIAL_SCHEMA)
+        )
+    return cand.groupBy("doc_part").applyInPandas(
+        _wrap_single(kernel), schema=METRIC_PARTIAL_SCHEMA
+    )
+
+
+METRIC_PARTIAL_SCHEMA = (
+    "bucket long, n long, sum_dl long, min_dl long, max_dl long"
+)
+_STATS_FIELDS = [("count", "long"), ("sum_dl", "long"), ("min_dl", "long"),
+                 ("max_dl", "long"), ("avg_dl", "double")]
+
+
+def dl_stats(
+    index: InvertedIndex,
+    query: str,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    pre_terms: list[str] | None = None,
+) -> DataFrame:
+    """ES ``stats`` aggregation analog over the index's numeric doc
+    property ``dl`` (analyzed token count — the numeric field the index
+    maintains for every doc): one row (count, sum_dl, min_dl, max_dl,
+    avg_dl) over ALL documents matching the query, under the same bool
+    (operator/must_not/minimum_should_match) and keyword-filter
+    semantics as :func:`search` — "how big are the matching files"
+    beside the hit list, the agg shape ES returns with hits in one
+    request.  Zero matches returns count=0 with NULL min/max/avg,
+    as ES does.  See :func:`_metric_partials` for the plan."""
+    spark = index.postings.sparkSession
+    partial = _metric_partials(index, query, None, lang, repo, operator,
+                               must_not, minimum_should_match, pre_terms)
+    if partial is None:
+        return _local_result(spark, [(0, 0, None, None, None)], _STATS_FIELDS)
+    return partial.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("count"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        F.min("min_dl").alias("min_dl"),
+        F.max("max_dl").alias("max_dl"),
+        (F.sum("sum_dl") / F.sum("n")).alias("avg_dl"),
+    )
+
+
+def dl_histogram(
+    index: InvertedIndex,
+    query: str,
+    interval: int,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    pre_terms: list[str] | None = None,
+) -> DataFrame:
+    """ES ``histogram`` aggregation analog over ``dl``: rows
+    (bucket, n) where bucket = floor(dl / interval) · interval, counting
+    ALL matching documents per bucket (empty buckets omitted — ES
+    ``min_doc_count: 1``), under the same bool and keyword-filter
+    semantics as :func:`search`.  Partials are per-(part, bucket) rows,
+    so the final shuffle carries ≤ n_parts·n_buckets tiny rows."""
+    if int(interval) <= 0:
+        raise ValueError("interval must be a positive integer")
+    spark = index.postings.sparkSession
+    partial = _metric_partials(index, query, int(interval), lang, repo,
+                               operator, must_not, minimum_should_match,
+                               pre_terms)
+    if partial is None:
+        return _local_result(spark, [], [("bucket", "long"), ("n", "long")])
+    return (
+        partial.groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def _make_metric_kernel(
+    predicates: list[tuple[str, tuple[str, ...]]],
+    docs_per_part: int,
+    interval: int | None,
+    neg_terms: frozenset[str] = frozenset(),
+    n_required: int = 0,
+    min_match: int = 0,
+):
+    """Per-doc_part metric kernel (cogroup signature: postings,
+    filters): build the matched mask exactly like the facet kernel
+    (OR / AND / ≥min_match counting, minus exclusions, AND predicate
+    bitmaps), fill a per-slot dl array from the decoded posting lists
+    (every term entry carries its doc's dl; any term's value is THE
+    value), then emit either ONE stats partial row (interval=None) or
+    per-bucket count rows."""
+    from ..functions.codecs import delta_decode, unpack_doc_set, varint_decode
+
+    pred_vals = {f: frozenset(vals) for f, vals in predicates}
+
+    def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"bucket": [], "n": [], "sum_dl": [], "min_dl": [], "max_dl": []}
+        )
+        if len(postings_pdf) == 0:
+            return empty
+        part = int(postings_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        matched = None
+        counts = (np.zeros(docs_per_part, dtype=np.int32)
+                  if min_match > 1 else None)
+        excl = np.zeros(docs_per_part, dtype=bool) if neg_terms else None
+        dls_arr = np.zeros(docs_per_part, dtype=np.int64)
+        n_pos_seen = 0
+        for row in postings_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+            local = docs.astype(np.int64) - base
+            mask = np.zeros(docs_per_part, dtype=bool)
+            mask[local] = True
+            if row.term in neg_terms:
+                excl |= mask
+                continue
+            dls_arr[local] = varint_decode(bytes(row.dls_bin))
+            n_pos_seen += 1
+            if counts is not None:
+                counts += mask
+            elif matched is None:
+                matched = mask
+            elif n_required:
+                matched &= mask
+            else:
+                matched |= mask
+        if counts is not None:
+            if n_pos_seen < min_match:
+                return empty
+            matched = counts >= min_match
+        if matched is None or (n_required and n_pos_seen < n_required):
+            return empty
+        if excl is not None:
+            matched &= ~excl
+
+        if filter_pdf is not None and len(filter_pdf):
+            pred_masks: dict[str, np.ndarray] = {}
+            for row in filter_pdf.itertuples(index=False):
+                bits = unpack_doc_set(bytes(row.bits), docs_per_part)
+                fv = pred_vals.get(row.field)
+                if fv is not None and row.value in fv:
+                    m = pred_masks.get(row.field)
+                    pred_masks[row.field] = bits if m is None else (m | bits)
+            if len(pred_masks) < len(pred_vals):
+                return empty
+            for m in pred_masks.values():
+                matched &= m
+        elif pred_vals:
+            return empty
+
+        d = dls_arr[matched]
+        if d.size == 0:
+            return empty
+        if interval:
+            b = (d // interval) * interval
+            ub, cnt = np.unique(b, return_counts=True)
+            z = np.zeros(len(ub), dtype=np.int64)
+            return pd.DataFrame({"bucket": ub, "n": cnt.astype(np.int64),
+                                 "sum_dl": z, "min_dl": z, "max_dl": z})
+        return pd.DataFrame({
+            "bucket": [0], "n": [int(d.size)], "sum_dl": [int(d.sum())],
+            "min_dl": [int(d.min())], "max_dl": [int(d.max())],
+        })
+
+    return kernel
+
+
 EXPLAIN_FIELDS = [("term", "string"), ("occurrences", "int"),
                   ("idf", "double"), ("tf", "long"), ("dl", "long"),
                   ("tfn", "double"), ("contribution", "double")]

@@ -270,6 +270,41 @@ def test_cli_minimum_should_match(spark, dirs, capsys, tmp_path):
               "--min-should-match", "2"])
 
 
+def test_cli_stats_and_histogram(spark, dirs, capsys):
+    """--stats / --histogram print ES-style dl aggregations beside the
+    hits (semantics pinned in test_engine; this drives the CLI)."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--stats", "--histogram", "5"]) == 0
+    out = _lines(capsys)
+    stats = out[0]["stats"]
+    hist = out[1]["histogram"]
+    hits = [h for h in out[2:] if "id" in h]
+    # "def" matches app.py and util.rb
+    assert {h["id"] for h in hits} == {"repo1_src/app.py",
+                                       "repo2_lib/util.rb"}
+    assert stats["count"] == 2
+    assert stats["min_dl"] <= stats["max_dl"]
+    assert stats["sum_dl"] >= stats["count"] * stats["min_dl"]
+    assert abs(stats["avg_dl"] - stats["sum_dl"] / 2) < 1e-9
+    assert sum(hist.values()) == 2
+
+    # zero matches: count 0, null min/max/avg, empty histogram
+    assert main(["search", "--index", idx, "--query", "zzznope",
+                 "--stats", "--histogram", "5"]) == 0
+    out = _lines(capsys)
+    assert out[0]["stats"] == {"count": 0, "sum_dl": 0, "min_dl": None,
+                               "max_dl": None, "avg_dl": None}
+    assert out[1]["histogram"] == {}
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def x", "--qs",
+              "--stats"])
+
+
 def test_cli_search_after_cursor(spark, dirs, capsys):
     """--after SCORE ID (ES search_after): page 2 continues exactly
     where page 1's last hit left off."""

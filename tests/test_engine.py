@@ -282,6 +282,66 @@ def test_minimum_should_match_validation(index):
                                   "minimum_should_match": 2}})
 
 
+AGG_QUERIES = [
+    # (query, operator, must_not, msm, lang)
+    ("get user", "or", None, 0, None),
+    ("get user if", "or", None, 2, None),       # msm-consistent aggs
+    ("def return", "and", None, 0, None),       # bool must
+    ("get user", "or", "if", 0, "Python"),      # exclusion + filter
+    ("if", "or", None, 0, None),                # hot term, wide match set
+    ("zzz_no_such_term", "or", None, 0, None),  # zero matches
+]
+
+
+def test_dl_stats_and_histogram_match_referee(index, oracle):
+    """ES stats/histogram aggregations over dl: partials aggregate ALL
+    matching docs (not top-k) under every bool shape, matching the
+    brute-force referee's match set exactly."""
+    from collections import Counter
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        dl_histogram,
+        dl_stats,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES:
+        hits = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                             minimum_should_match=msm, lang=lang)
+        dls = [oracle.dls[d] for d, _ in hits]
+        row = dl_stats(index, query, operator=op, must_not=neg,
+                       minimum_should_match=msm, lang=lang).collect()[0]
+        if not dls:
+            assert row["count"] == 0
+            assert row["min_dl"] is None and row["avg_dl"] is None
+        else:
+            assert row["count"] == len(dls), (query, op)
+            assert row["sum_dl"] == sum(dls)
+            assert row["min_dl"] == min(dls)
+            assert row["max_dl"] == max(dls)
+            assert abs(row["avg_dl"] - sum(dls) / len(dls)) < 1e-9
+        got = {int(r["bucket"]): int(r["n"]) for r in
+               dl_histogram(index, query, 10, operator=op, must_not=neg,
+                            minimum_should_match=msm, lang=lang).collect()}
+        exp = Counter((dl // 10) * 10 for dl in dls)
+        assert got == dict(exp), (query, op, neg)
+    # the wide match set actually exercises multi-part partials
+    assert len(oracle.search("if", k=10**6)) > 64  # > docs_per_part
+
+
+def test_dl_agg_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        dl_histogram,
+        dl_stats,
+    )
+
+    with pytest.raises(ValueError, match="interval"):
+        dl_histogram(index, "if", 0)
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        dl_stats(index, "if user", operator="and", minimum_should_match=2)
+    with pytest.raises(ValueError, match="operator"):
+        dl_stats(index, "if", operator="nor")
+
+
 def test_bool_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
