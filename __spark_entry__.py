@@ -219,6 +219,50 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_more_like_this(spark, sf_dir):
+    """B43: ES more_like_this — the Lucene MLT recipe end-to-end: read
+    doc_000042's term vector from the index (ONE doc_part's postings,
+    partition-filtered, mapInPandas — the Lucene re-derivation when no
+    stored vectors exist), keep terms with corpus df >= 2, rank by
+    interestingness tf·idf, keep the top 5, then equal-weight
+    bool-should BM25 over them with the source doc excluded
+    (include: false).  The oracle replays term vector, selection
+    ranking + cap, and the summed BM25 in one query."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.more_like_this(idx, "doc_000042", k=10, max_query_terms=5,
+                            min_doc_freq=2)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH {_TOK_CTE.strip()},
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sel AS (
+    SELECT tf.term
+    FROM tf JOIN df USING (term) CROSS JOIN stats s
+    WHERE tf.id = 'doc_000042' AND tf.tf >= 1 AND df.df >= 2
+    ORDER BY tf.tf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) DESC,
+             tf.term ASC
+    LIMIT 5
+),
+q AS (SELECT term FROM sel),
+scored AS (
+    SELECT tf.id,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+    FROM q JOIN df USING (term) JOIN tf USING (term) JOIN dl USING (id)
+    CROSS JOIN stats s
+    GROUP BY tf.id
+)
+SELECT id, round(raw, 4) AS score
+FROM scored WHERE id <> 'doc_000042'
+ORDER BY raw DESC, id ASC LIMIT 10
+"""
+
+
 def q_min_should_match(spark, sf_dir):
     """ES minimum_should_match: hits must match at least 2 of the 3
     analyzed query terms — the middle ground between OR (any term) and
@@ -2711,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_conjunctive_search": q_conjunctive_search,
         "b24_must_not_search": q_must_not_search,
         "b39_min_should_match": q_min_should_match,
+        "b43_more_like_this": q_more_like_this,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -2808,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "b40_boosted_multifield": SQL_BOOSTED_MULTIFIELD,
         "b41_dl_stats": SQL_DL_STATS,
         "b42_dl_histogram": SQL_DL_HISTOGRAM,
+        "b43_more_like_this": SQL_MORE_LIKE_THIS,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

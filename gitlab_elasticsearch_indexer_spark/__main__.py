@@ -214,6 +214,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="SHA-prefix lookup (>=5 hex chars) over the oid "
                         "field's edgeNGram 5..40 grams; needs `build "
                         "--field oid`; replaces --query")
+    s.add_argument("--like", default=None, metavar="DOC_ID",
+                   help="more_like_this: find docs similar to this doc "
+                        "(ES more_like_this analog — top tf*idf terms of "
+                        "its term vector become a bool-should query; the "
+                        "doc itself is excluded); replaces --query")
+    s.add_argument("--max-query-terms", type=int, default=25,
+                   help="how many interesting terms --like selects "
+                        "(ES max_query_terms)")
+    s.add_argument("--min-term-freq", type=int, default=1,
+                   help="--like ignores doc terms below this tf "
+                        "(ES min_term_freq)")
+    s.add_argument("--min-doc-freq", type=int, default=1,
+                   help="--like ignores terms below this corpus df "
+                        "(ES min_doc_freq)")
     s.add_argument("--stats", action="store_true",
                    help="also print dl stats (count/sum/min/max/avg of "
                         "matching docs' token counts — the ES stats "
@@ -605,14 +619,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
-        if (args.query is None) == (args.sha is None):
-            ap.error("search needs exactly one of --query / --sha")
-        if sum(map(bool, (args.sha, args.phrase, args.fields,
+        if sum(x is not None for x in (args.query, args.sha, args.like)) != 1:
+            ap.error("search needs exactly one of --query / --sha / --like")
+        if sum(map(bool, (args.sha, args.like, args.phrase, args.fields,
                           args.prefix, args.fuzzy, args.wildcard,
                           args.regexp, args.phrase_prefix))) > 1:
-            ap.error("--sha, --phrase, --fields, --prefix, --fuzzy, "
+            ap.error("--sha, --like, --phrase, --fields, --prefix, --fuzzy, "
                      "--wildcard, --regexp, and --phrase-prefix are "
                      "mutually exclusive query types")
+        if args.like and (args.operator != "or" or args.must_not
+                          or args.min_should_match > 1 or args.facet
+                          or args.stats or args.histogram or args.qs
+                          or args.highlight or args.offset or args.after):
+            ap.error("--like composes with --lang/--repo/-k only "
+                     "(the ES more_like_this body has its own knobs)")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
         if (args.operator == "and" or args.must_not
@@ -644,7 +664,14 @@ def main(argv: list[str] | None = None) -> int:
         # --after works on EVERY query shape (ES supports search_after
         # on any query): the kernels all filter at candidate time
         after = (float(args.after[0]), args.after[1]) if args.after else None
-        if args.sha is not None:
+        if args.like is not None:
+            hits = q.more_like_this(
+                idx, args.like, k=args.k, lang=args.lang, repo=args.repo,
+                max_query_terms=args.max_query_terms,
+                min_term_freq=args.min_term_freq,
+                min_doc_freq=args.min_doc_freq,
+            )
+        elif args.sha is not None:
             if len(args.sha) < 5:
                 ap.error("--sha needs >= 5 characters (sha_analyzer "
                          "emits edgeNGrams 5..40)")

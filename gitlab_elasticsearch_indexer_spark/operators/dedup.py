@@ -247,7 +247,9 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         return pd.Series(out)
 
     flat = [tok for toks in tok_lists for tok in toks]
-    codes, vocab = pd.factorize(pd.Series(flat, dtype=object), sort=False)
+    from .index_build import factorize_strings
+
+    codes, vocab = factorize_strings(pd.Series(flat, dtype=object))
     # md5 per unique token; top-8 bytes big-endian, bit b = (h >> b) & 1
     hv = np.fromiter(
         (

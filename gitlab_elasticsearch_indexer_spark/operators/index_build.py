@@ -99,6 +99,26 @@ POSTINGS_TABLE_SCHEMA = StructType(
 )
 
 
+def factorize_strings(values) -> tuple[np.ndarray, np.ndarray]:
+    """NUL-safe ``pd.factorize`` for string columns.
+
+    pandas routes object-dtype str arrays through its C StringHashTable,
+    whose hash/equality have C-string semantics: a term with an embedded
+    NUL compares equal to its pre-NUL prefix, so the edgeNGram grams of
+    a token like ``"de\\x00tail"`` all collapse into ``"de"`` — observed
+    on binary-ish blobs the late-NUL rule (A6) keeps indexable.  Hashing
+    the UTF-8 bytes instead routes through the generic object table
+    (full-buffer hash, still C-speed); uniques come back as the original
+    strings, NaN/None stays code -1 and out of uniques, exactly like
+    ``pd.factorize``."""
+    s = (values if isinstance(values, pd.Series)
+         else pd.Series(values, dtype=object))
+    codes, _ = pd.factorize(s.str.encode("utf-8"), sort=False)
+    valid = np.flatnonzero(codes >= 0)
+    _, first = np.unique(codes[valid], return_index=True)
+    return codes, s.to_numpy(dtype=object)[valid[first]]
+
+
 def make_term_rows_kernel(analyzer: str, content_col: str = "content"):
     """mapInPandas kernel: docs → (doc_idx, term, tf, dl) rows.
 
@@ -220,7 +240,7 @@ def _pos_pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from ..functions.codecs import delta_encode
     from ..functions.codecs import varint_encode as venc
 
-    codes, _ = pd.factorize(pdf["term"], sort=False)
+    codes, _ = factorize_strings(pdf["term"])
     docs = pdf["doc_idx"].to_numpy(np.int64)
     order = np.lexsort((docs, codes))
     codes, docs = codes[order], docs[order]
@@ -693,7 +713,7 @@ def filters_from_doc_stats(
         out_v: list[str] = []
         out_b: list[bytes] = []
         for f in fields:
-            codes, uniq = pd.factorize(pdf[f], sort=False)
+            codes, uniq = factorize_strings(pdf[f])
             for ci, v in enumerate(uniq):
                 offs = np.sort(local[codes == ci])
                 out_f.append(f)
@@ -833,7 +853,7 @@ def make_pack_group_kernel(expand: tuple[int, int] | None):
             tf_a = np.concatenate(g_tf)
             dl_a = np.concatenate(g_dl)
             # aggregate tf per (gram, doc): sort runs then reduceat
-            codes, uniques = pd.factorize(pd.Series(term_arr), sort=False)
+            codes, _u = factorize_strings(pd.Series(term_arr))
             order = np.lexsort((docs_a, codes))
             codes, docs_a = codes[order], docs_a[order]
             tf_a, dl_a = tf_a[order], dl_a[order]
@@ -849,7 +869,7 @@ def make_pack_group_kernel(expand: tuple[int, int] | None):
             # identity grams: sort by (term-code, doc) — object-dtype
             # string sorts are Python-level comparisons, lexsort on
             # factorized codes is C-speed
-            codes, _ = pd.factorize(term_s, sort=False)
+            codes, _ = factorize_strings(term_s)
             order = np.lexsort((docs_a, codes))
             codes = codes[order]
             docs_a, tf_a, dl_a = docs_a[order], tf_a[order], dl_a[order]

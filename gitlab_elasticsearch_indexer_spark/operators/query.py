@@ -2906,6 +2906,111 @@ def dl_histogram(
     )
 
 
+def term_vector(index: InvertedIndex, doc_id: str) -> list[tuple[str, int]]:
+    """ES ``_termvectors`` analog: the (term, tf) vector of one document,
+    re-derived from the inverted index exactly as Lucene does without
+    stored term vectors — scan ONE doc_part's postings (a partition
+    filter on the doc_part-partitioned scan, column-pruned to
+    (term, docs_bin, tfs_bin)) and keep the rows whose doc list contains
+    the doc.  Cost is bounded by that part's postings, never the corpus.
+    Returns [] for a doc that indexed zero terms; raises for an unknown
+    id."""
+    drows = index.doc_stats.filter(F.col("id") == doc_id).select(
+        "doc_idx", "doc_part"
+    ).collect()
+    if not drows:
+        raise ValueError(f"doc id {doc_id!r} not found in the index")
+    doc_idx, doc_part = int(drows[0]["doc_idx"]), int(drows[0]["doc_part"])
+    scan = index.postings.filter(F.col("doc_part") == doc_part).select(
+        "term", "docs_bin", "tfs_bin"
+    )
+    from ..functions.codecs import delta_decode, varint_decode
+
+    def extract(batches):
+        for pdf in batches:
+            terms: list[str] = []
+            tfs: list[int] = []
+            for row in pdf.itertuples(index=False):
+                docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+                pos = int(np.searchsorted(docs, doc_idx))
+                if pos < len(docs) and int(docs[pos]) == doc_idx:
+                    terms.append(row.term)
+                    tfs.append(int(varint_decode(bytes(row.tfs_bin))[pos]))
+            yield pd.DataFrame({"term": terms, "tf": tfs})
+
+    rows = scan.mapInPandas(extract, "term string, tf long").collect()
+    return sorted((r["term"], int(r["tf"])) for r in rows)
+
+
+def _term_dfs(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    """df per term — the same bucket-pruned term_stats lookup as
+    :meth:`InvertedIndex.idf_map`, reading the df column."""
+    if not terms:
+        return {}
+    ts = index.term_stats
+    if "term_bucket" in ts.columns:
+        from ..functions.hashing import term_bucket_py
+        from .index_build import TERM_BUCKETS
+
+        bks = sorted({term_bucket_py(t, TERM_BUCKETS) for t in set(terms)})
+        ts = ts.filter(F.col("term_bucket").isin(bks))
+    rows = ts.filter(F.col("term").isin(list(set(terms)))).select(
+        "term", "df"
+    ).collect()
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def more_like_this(
+    index: InvertedIndex,
+    doc_id: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    fetch: str = "auto",
+) -> DataFrame:
+    """ES ``more_like_this`` analog: find documents similar to
+    ``doc_id``.  Lucene's MLT recipe — read the doc's term vector
+    (:func:`term_vector`), keep terms with tf ≥ ``min_term_freq`` and
+    corpus df ≥ ``min_doc_freq``, rank by interestingness tf·idf and
+    keep the top ``max_query_terms`` (ties broken term-asc, where
+    Lucene's PriorityQueue order is unspecified), then run a bool-should
+    BM25 search over the selected terms with equal clause weights (ES
+    ``boost_terms`` disabled, its default) — through the ordinary
+    ``pre_weights`` scoring seam, so filters/routing/fetch behave like
+    :func:`search`.  The source doc itself is excluded from the hits
+    (ES ``include: false``, its default): kernels keep top k+1 per part
+    so dropping it never under-fills the page."""
+    if max_query_terms < 1:
+        raise ValueError("max_query_terms must be >= 1")
+    spark = index.postings.sparkSession
+    tv = term_vector(index, doc_id)
+    cand = [(t, tf) for t, tf in tv if tf >= min_term_freq]
+    dfs = _term_dfs(index, [t for t, _ in cand])
+    idf = index.idf_map([t for t, _ in cand])
+    scored_terms = [
+        (tf * idf[t], t)
+        for t, tf in cand
+        if t in idf and dfs.get(t, 0) >= min_doc_freq
+    ]
+    scored_terms.sort(key=lambda x: (-x[0], x[1]))
+    selected = [t for _, t in scored_terms[:max_query_terms]]
+    if not selected:
+        return _local_result(spark, [], _HITS_FIELDS)
+    drows = index.doc_stats.filter(F.col("id") == doc_id).select(
+        "doc_idx"
+    ).collect()
+    src_idx = int(drows[0]["doc_idx"])
+    plan = score_plan(index, "", k=k + 1, lang=lang, repo=repo,
+                      pre_weights={t: 1.0 for t in selected})
+    if plan is None:
+        return _local_result(spark, [], _HITS_FIELDS)
+    cand_rows = [r for r in plan.collect() if int(r["doc_idx"]) != src_idx]
+    return _rank_and_fetch(index, cand_rows, k, fetch)
+
+
 def _make_metric_kernel(
     predicates: list[tuple[str, tuple[str, ...]]],
     docs_per_part: int,

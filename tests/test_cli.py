@@ -270,6 +270,36 @@ def test_cli_minimum_should_match(spark, dirs, capsys, tmp_path):
               "--min-should-match", "2"])
 
 
+def test_cli_more_like_this(spark, dirs, capsys):
+    """search --like DOC_ID (ES more_like_this analog): similar docs by
+    shared interesting terms, the source doc excluded."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    # min_doc_freq=2 keeps only terms shared with another doc ('def' +
+    # its grams): app.py and util.rb share them; db.py shares nothing
+    assert main(["search", "--index", idx, "--like", "repo1_src/app.py",
+                 "--min-doc-freq", "2"]) == 0
+    hits = _lines(capsys)
+    ids = [h["id"] for h in hits]
+    assert "repo2_lib/util.rb" in ids
+    assert "repo1_src/app.py" not in ids  # include: false
+    assert "repo1_src/db.py" not in ids
+
+    # min_doc_freq above every df → nothing is interesting → no hits
+    assert main(["search", "--index", idx, "--like", "repo1_src/app.py",
+                 "--min-doc-freq", "99"]) == 0
+    assert _lines(capsys) == []
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--like", "x", "--query", "y"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--like", "x", "--operator", "and"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--like", "x", "--phrase"])
+
+
 def test_cli_stats_and_histogram(spark, dirs, capsys):
     """--stats / --histogram print ES-style dl aggregations beside the
     hits (semantics pinned in test_engine; this drives the CLI)."""

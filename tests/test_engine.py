@@ -342,6 +342,86 @@ def test_dl_agg_validation(index):
         dl_stats(index, "if", operator="nor")
 
 
+def _brute_mlt(oracle, doc_id, k, mqt, mtf, mdf, lang=None):
+    """Brute-force more_like_this referee: tf·idf term selection over
+    the doc's term vector, then equal-weight bool-should BM25 excluding
+    the source doc."""
+    from gitlab_elasticsearch_indexer_spark.oracle import B, K1
+
+    tv = {t: pl[doc_id] for t, pl in oracle.postings.items()
+          if doc_id in pl}
+    cands = [(tf * oracle.idf(t), t) for t, tf in tv.items()
+             if tf >= mtf and len(oracle.postings[t]) >= mdf]
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    sel = [t for _, t in cands[:mqt]]
+    avgdl = oracle.avgdl
+    scores: dict[str, float] = {}
+    for t in sel:
+        idf = oracle.idf(t)
+        for d, tf in oracle.postings[t].items():
+            if d == doc_id:
+                continue
+            dl = oracle.dls[d]
+            tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scores[d] = scores.get(d, 0.0) + idf * tfn
+    hits = [(d, s) for d, s in scores.items()
+            if lang is None or oracle.meta[d].get("lang") == lang]
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+def test_more_like_this_matches_referee(index, oracle, documents):
+    """ES more_like_this: tf·idf term selection + equal-weight
+    bool-should BM25, source doc excluded — rank- and score-identical
+    to the brute-force referee across param shapes."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        more_like_this,
+        term_vector,
+    )
+
+    doc_ids = [r["id"] for r in
+               documents.select("id").orderBy("id").limit(3).collect()]
+    shapes = [(25, 1, 1, None), (5, 1, 2, None), (10, 2, 1, None),
+              (25, 1, 1, "Python")]
+    for doc_id in doc_ids:
+        # the term vector itself matches the referee's postings view
+        tv = term_vector(index, doc_id)
+        exp_tv = sorted((t, pl[doc_id])
+                        for t, pl in oracle.postings.items()
+                        if doc_id in pl)
+        assert tv == exp_tv, doc_id
+        for mqt, mtf, mdf, lang in shapes:
+            got = [(r["id"], r["score"]) for r in
+                   more_like_this(index, doc_id, k=10, max_query_terms=mqt,
+                                  min_term_freq=mtf, min_doc_freq=mdf,
+                                  lang=lang).collect()]
+            exp = _brute_mlt(oracle, doc_id, 10, mqt, mtf, mdf, lang=lang)
+            assert [g[0] for g in got] == [e[0] for e in exp], (
+                doc_id, mqt, mtf, mdf, lang)
+            assert np.allclose([g[1] for g in got], [e[1] for e in exp],
+                               rtol=1e-9, atol=1e-12)
+            assert doc_id not in [g[0] for g in got]  # include: false
+
+
+def test_more_like_this_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        more_like_this,
+        term_vector,
+    )
+
+    with pytest.raises(ValueError, match="not found"):
+        term_vector(index, "no_such_doc")
+    with pytest.raises(ValueError, match="max_query_terms"):
+        more_like_this(index, "x", max_query_terms=0)
+    # a doc whose every term is too rare for min_doc_freq → no hits
+    from gitlab_elasticsearch_indexer_spark.operators.query import search
+
+    assert more_like_this(
+        index, search(index, "if", k=1).collect()[0]["id"],
+        min_doc_freq=10**9,
+    ).count() == 0
+
+
 def test_bool_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
