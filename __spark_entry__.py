@@ -263,6 +263,34 @@ ORDER BY raw DESC, id ASC LIMIT 10
 """
 
 
+def q_sort_search(spark, sf_dir):
+    """B44: ES sort clause — matching docs ordered by a doc FIELD
+    (dl desc, id-asc tiebreak) instead of relevance, under a repo
+    terms-filter; no scores computed, exactly like ES field sorts.
+    Plan = the ES sorted-search plan: the kernel cogroups the
+    term-pruned postings scan with each doc_part's doc_stats rows,
+    every part returns only ITS top-k by the key (predicates evaluate
+    directly on the metadata columns — no sidecar), the driver merges
+    ≤ k·n_parts rows."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.sort_search(idx, "table scan merge", sort="dl",
+                         ascending=False, k=15, repo=["src3", "src7"])
+    return hits.select("id", "repo", "lang", F.col("dl").cast("long").alias("dl"))
+
+
+SQL_SORT_SEARCH = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents),
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term))
+SELECT id, meta.repo AS repo, meta.lang AS lang, dl.dl AS dl
+FROM matched JOIN meta USING (id) JOIN dl USING (id)
+WHERE meta.repo IN ('src3', 'src7')
+ORDER BY dl.dl DESC, id ASC LIMIT 15
+"""
+
+
 def q_min_should_match(spark, sf_dir):
     """ES minimum_should_match: hits must match at least 2 of the 3
     analyzed query terms — the middle ground between OR (any term) and
@@ -2756,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_must_not_search": q_must_not_search,
         "b39_min_should_match": q_min_should_match,
         "b43_more_like_this": q_more_like_this,
+        "b44_sort_search": q_sort_search,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -2854,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "b41_dl_stats": SQL_DL_STATS,
         "b42_dl_histogram": SQL_DL_HISTOGRAM,
         "b43_more_like_this": SQL_MORE_LIKE_THIS,
+        "b44_sort_search": SQL_SORT_SEARCH,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -214,6 +214,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="SHA-prefix lookup (>=5 hex chars) over the oid "
                         "field's edgeNGram 5..40 grams; needs `build "
                         "--field oid`; replaces --query")
+    s.add_argument("--sort", default=None, metavar="FIELD[:asc|desc]",
+                   help="order hits by a doc field instead of relevance "
+                        "(ES sort clause; id/repo/path/lang/dl, id-asc "
+                        "tiebreak, no scores — each doc partition "
+                        "returns its own top-k by the key, the driver "
+                        "merges, the ES sorted-search plan)")
     s.add_argument("--like", default=None, metavar="DOC_ID",
                    help="more_like_this: find docs similar to this doc "
                         "(ES more_like_this analog — top tf*idf terms of "
@@ -627,6 +633,13 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--sha, --like, --phrase, --fields, --prefix, --fuzzy, "
                      "--wildcard, --regexp, and --phrase-prefix are "
                      "mutually exclusive query types")
+        if args.sort and (args.sha or args.like or args.phrase or args.fields
+                          or args.prefix or args.fuzzy or args.wildcard
+                          or args.regexp or args.phrase_prefix or args.qs
+                          or args.bmw or args.highlight):
+            ap.error("--sort orders plain term queries (bool knobs, "
+                     "--lang/--repo, --from, --after compose; scores are "
+                     "not computed, so --bmw/--highlight don't apply)")
         if args.like and (args.operator != "or" or args.must_not
                           or args.min_should_match > 1 or args.facet
                           or args.stats or args.histogram or args.qs
@@ -663,8 +676,26 @@ def main(argv: list[str] | None = None) -> int:
         idx = inc.load_versioned(spark, root)
         # --after works on EVERY query shape (ES supports search_after
         # on any query): the kernels all filter at candidate time
-        after = (float(args.after[0]), args.after[1]) if args.after else None
-        if args.like is not None:
+        after = ((float(args.after[0]), args.after[1])
+                 if args.after and not args.sort else None)
+        if args.sort is not None:
+            field, _, direction = args.sort.partition(":")
+            if direction not in ("", "asc", "desc"):
+                ap.error("--sort direction must be asc or desc")
+            sort_after = None
+            if args.after:
+                v = int(args.after[0]) if field == "dl" else args.after[0]
+                sort_after = (v, args.after[1])
+            hits = q.sort_search(
+                idx, args.query, sort=field,
+                ascending=direction != "desc", k=args.k,
+                lang=args.lang, repo=args.repo, operator=args.operator,
+                must_not=(" ".join(args.must_not)
+                          if args.must_not else None),
+                minimum_should_match=args.min_should_match,
+                offset=args.offset, search_after=sort_after,
+            )
+        elif args.like is not None:
             hits = q.more_like_this(
                 idx, args.like, k=args.k, lang=args.lang, repo=args.repo,
                 max_query_terms=args.max_query_terms,
@@ -807,13 +838,21 @@ def main(argv: list[str] | None = None) -> int:
                 analyzer=idx.analyzer, max_fragments=args.fragments,
                 content_col="content" if args.doc_type == "blob" else "message",
             )
+        sort_field = (args.sort.partition(":")[0] if args.sort else None)
         for r in rows:
             # "sort" carries the FULL-precision cursor values (the ES
             # hit.sort array) — feed them back via --after; the rounded
-            # score is for display only
-            d = {"id": r["id"], "score": round(r["score"], 6),
-                 "repo": r["repo"], "path": r["path"], "lang": r["lang"],
-                 "sort": [r["score"], r["id"]]}
+            # score is for display only.  Field-sorted hits carry the
+            # sort-key value instead of a score (ES computes no scores
+            # when sorting by field).
+            if sort_field:
+                d = {"id": r["id"], "repo": r["repo"], "path": r["path"],
+                     "lang": r["lang"], "dl": int(r["dl"]),
+                     "sort": [r[sort_field], r["id"]]}
+            else:
+                d = {"id": r["id"], "score": round(r["score"], 6),
+                     "repo": r["repo"], "path": r["path"], "lang": r["lang"],
+                     "sort": [r["score"], r["id"]]}
             if args.highlight:
                 d["highlight"] = frags.get(r["id"], [])
             print(json.dumps(d))

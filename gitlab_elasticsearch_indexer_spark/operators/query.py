@@ -2906,6 +2906,214 @@ def dl_histogram(
     )
 
 
+SORT_FIELDS = ("id", "repo", "path", "lang", "dl")
+_SORT_HIT_FIELDS = [("id", "string"), ("repo", "string"), ("path", "string"),
+                    ("lang", "string"), ("dl", "long")]
+
+
+def sort_search(
+    index: InvertedIndex,
+    query: str,
+    sort: str = "path",
+    ascending: bool = True,
+    k: int = 10,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    offset: int = 0,
+    search_after: tuple | None = None,
+) -> DataFrame:
+    """ES ``sort`` clause analog: top-k matching docs ordered by a doc
+    FIELD instead of relevance (``sort: [{"path": "asc"}]``); scores
+    are not computed, exactly like ES when sorting by field.  ``sort``
+    is one of the doc properties the index maintains — id, repo, path,
+    lang (keyword order) or dl (numeric).  Ties break id-asc (the ES
+    convention of a uniqueness-guaranteeing tiebreak field).
+
+    Physical plan = the ES sorted-search plan: each doc_part (shard)
+    computes its OWN matching docs and returns only its top
+    offset+k by the sort key, the driver (coordinator) merges.  The
+    kernel cogroups the term-pruned postings scan with the doc_part's
+    doc_stats rows (column-pruned to the hit columns), so lang/repo
+    predicates evaluate directly on the metadata columns — no filters
+    sidecar needed — and repo routing prunes parts as usual.  Bool
+    knobs (operator / must_not / minimum_should_match) reuse the facet
+    kernel's mask logic.  ``search_after=(sort_value, id)`` pages the
+    sorted order with the usual O(k)-per-page cursor (ES search_after
+    over sort values); mutually exclusive with ``offset``."""
+    if sort not in SORT_FIELDS:
+        raise ValueError(f"sort must be one of {SORT_FIELDS}, got {sort!r}")
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    msm = int(minimum_should_match or 0)
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError("minimum_should_match applies to operator='or'")
+    if search_after is not None and offset:
+        raise ValueError("offset and search_after are mutually exclusive")
+    spark = index.postings.sparkSession
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    terms = sorted(set(analyze_query(query)))
+    idf = index.idf_map(terms)
+    live = [t for t in terms if t in idf]
+    empty = _local_result(spark, [], _SORT_HIT_FIELDS)
+    if not live:
+        return empty
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    n_required = 0
+    if operator == "and":
+        if (neg & set(terms)) or len(live) < len(terms):
+            return empty
+        n_required = len(live)
+    elif neg:
+        live = [t for t in live if t not in neg]
+        if not live:
+            return empty
+    if msm > 1 and msm > len(live):
+        return empty
+
+    predicates, repo_t = _kw_predicates(lang, repo)
+    cand = index.postings.filter(
+        F.col("term").isin(live + sorted(neg))
+    ).select("doc_part", "term", "docs_bin")
+    stats_cols = ["doc_part", "doc_idx", "id", "repo", "path", "lang", "dl"]
+    stats = index.doc_stats.select(*stats_cols)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+        stats = stats.filter(F.col("doc_part").isin(parts))
+
+    cursor = None
+    if search_after is not None:
+        cv, cid = search_after
+        cursor = (int(cv) if sort == "dl" else str(cv), str(cid))
+    kernel = _make_sort_kernel(
+        sort, ascending, k + offset, index.docs_per_part, predicates,
+        neg_terms=neg, n_required=n_required,
+        min_match=msm if msm > 1 else 0, after=cursor,
+    )
+    partial = (
+        cand.groupBy("doc_part")
+        .cogroup(stats.groupBy("doc_part"))
+        .applyInPandas(
+            kernel,
+            schema="id string, repo string, path string, lang string, dl long",
+        )
+    )
+    rows = partial.collect()
+    fkey = ((lambda r: int(r["dl"])) if sort == "dl"
+            else (lambda r: r[sort] or ""))
+    if ascending:
+        rows.sort(key=lambda r: (fkey(r), r["id"]))
+    else:
+        # field desc, id-asc tiebreak: two-pass stable sort
+        rows.sort(key=lambda r: r["id"])
+        rows.sort(key=fkey, reverse=True)
+    out = [(r["id"], r["repo"], r["path"], r["lang"], int(r["dl"]))
+           for r in rows[offset:offset + k]]
+    return _local_result(spark, out, _SORT_HIT_FIELDS)
+
+
+def _make_sort_kernel(
+    sort: str,
+    ascending: bool,
+    k: int,
+    docs_per_part: int,
+    predicates: list[tuple[str, tuple[str, ...]]],
+    neg_terms: frozenset[str] = frozenset(),
+    n_required: int = 0,
+    min_match: int = 0,
+    after: tuple | None = None,
+):
+    """Per-doc_part sorted-search kernel (cogroup signature: postings,
+    doc_stats): matched mask via the facet-kernel bool logic, predicate
+    filters directly on the metadata columns, per-part top-k by
+    (sort key, id) — ≤ k rows leave each part."""
+    from ..functions.codecs import delta_decode, varint_decode
+
+    pred_vals = {f: frozenset(vals) for f, vals in predicates}
+
+    def kernel(postings_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id": [], "repo": [], "path": [], "lang": [], "dl": []}
+        )
+        if len(postings_pdf) == 0 or len(stats_pdf) == 0:
+            return empty
+        part = int(postings_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        matched = None
+        counts = (np.zeros(docs_per_part, dtype=np.int32)
+                  if min_match > 1 else None)
+        excl = np.zeros(docs_per_part, dtype=bool) if neg_terms else None
+        n_pos_seen = 0
+        for row in postings_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+            mask = np.zeros(docs_per_part, dtype=bool)
+            mask[docs.astype(np.int64) - base] = True
+            if row.term in neg_terms:
+                excl |= mask
+                continue
+            n_pos_seen += 1
+            if counts is not None:
+                counts += mask
+            elif matched is None:
+                matched = mask
+            elif n_required:
+                matched &= mask
+            else:
+                matched |= mask
+        if counts is not None:
+            if n_pos_seen < min_match:
+                return empty
+            matched = counts >= min_match
+        if matched is None or (n_required and n_pos_seen < n_required):
+            return empty
+        if excl is not None:
+            matched &= ~excl
+
+        sel = stats_pdf[matched[
+            stats_pdf["doc_idx"].to_numpy(np.int64) - base
+        ]]
+        if sort != "dl":
+            # a NULL keyword sorts as "" (first asc, last desc) — keeps
+            # the kernel's pandas sort and the driver merge consistent
+            sel = sel.assign(**{sort: sel[sort].fillna("")})
+        for f, vals in pred_vals.items():
+            sel = sel[sel[f].isin(vals)]
+            if not len(sel):
+                return empty
+        if not len(sel):
+            return empty
+        if after is not None:
+            av, aid = after
+            col = sel[sort]
+            ids = sel["id"]
+            if ascending:
+                keep = (col > av) | ((col == av) & (ids > aid))
+            else:
+                keep = (col < av) | ((col == av) & (ids > aid))
+            sel = sel[keep]
+            if not len(sel):
+                return empty
+        sel = sel.sort_values(
+            [sort, "id"], ascending=[ascending, True], kind="stable"
+        ).head(k)
+        return pd.DataFrame({
+            "id": sel["id"].to_numpy(dtype=object),
+            "repo": sel["repo"].to_numpy(dtype=object),
+            "path": sel["path"].to_numpy(dtype=object),
+            "lang": sel["lang"].to_numpy(dtype=object),
+            "dl": sel["dl"].to_numpy(np.int64),
+        })
+
+    return kernel
+
+
 def term_vector(index: InvertedIndex, doc_id: str) -> list[tuple[str, int]]:
     """ES ``_termvectors`` analog: the (term, tf) vector of one document,
     re-derived from the inverted index exactly as Lucene does without

@@ -270,6 +270,47 @@ def test_cli_minimum_should_match(spark, dirs, capsys, tmp_path):
               "--min-should-match", "2"])
 
 
+def test_cli_sort_search(spark, dirs, capsys):
+    """search --sort FIELD[:asc|desc] (ES sort clause): field-ordered
+    hits with the sort key in the ES hit.sort array, no scores."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    # "def" matches app.py (src/app.py) and util.rb (lib/util.rb)
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--sort", "path:asc"]) == 0
+    hits = _lines(capsys)
+    assert [h["id"] for h in hits] == ["repo2_lib/util.rb",
+                                       "repo1_src/app.py"]
+    assert "score" not in hits[0] and hits[0]["sort"][0] == "lib/util.rb"
+
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--sort", "path:desc"]) == 0
+    assert [h["id"] for h in _lines(capsys)] == ["repo1_src/app.py",
+                                                 "repo2_lib/util.rb"]
+
+    # numeric sort + cursor: page 2 via the hit.sort values
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--sort", "dl:desc", "--k", "1"]) == 0
+    h1 = _lines(capsys)[0]
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--sort", "dl:desc", "--k", "1",
+                 "--after", str(h1["sort"][0]), h1["sort"][1]]) == 0
+    h2 = _lines(capsys)[0]
+    assert h2["id"] != h1["id"] and h2["dl"] <= h1["dl"]
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--sort", "path:up"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--sort", "path", "--phrase"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--sort", "path", "--bmw"])
+
+
 def test_cli_more_like_this(spark, dirs, capsys):
     """search --like DOC_ID (ES more_like_this analog): similar docs by
     shared interesting terms, the source doc excluded."""

@@ -422,6 +422,96 @@ def test_more_like_this_validation(index):
     ).count() == 0
 
 
+SORT_SHAPES = [
+    # (query, sort, ascending, extra-kwargs)
+    ("get user", "path", True, {}),
+    ("get user", "path", False, {}),
+    ("if", "dl", False, {}),                       # hot term, numeric desc
+    ("if", "dl", True, {"lang": "Python"}),
+    ("def return", "id", True, {"operator": "and"}),
+    ("get user if", "repo", False, {"minimum_should_match": 2}),
+    ("get user", "lang", True, {"must_not": "if"}),
+    ("zzz_no_such_term", "path", True, {}),
+]
+
+
+def _brute_sorted(oracle, paths, query, sort, asc, k, offset=0, **kw):
+    hits = oracle.search(query, k=10**6, **kw)
+    docs = [d for d, _ in hits]
+
+    def keyf(d):
+        return {"id": d, "repo": oracle.meta[d].get("repo") or "",
+                "lang": oracle.meta[d].get("lang") or "",
+                "path": paths[d], "dl": oracle.dls[d]}[sort]
+
+    if asc:
+        docs.sort(key=lambda d: (keyf(d), d))
+    else:
+        docs.sort()
+        docs.sort(key=keyf, reverse=True)
+    return [(d, oracle.meta[d].get("repo"), paths[d],
+             oracle.meta[d].get("lang"), oracle.dls[d])
+            for d in docs[offset:offset + k]]
+
+
+def test_sort_search_matches_referee(index, oracle, documents):
+    """ES sort clause: field-ordered top-k (no scores) matches the
+    brute-force referee across keyword/numeric fields, both directions,
+    and every bool shape; each doc partition returns only its own top-k
+    by the key (the ES sorted-search shard plan)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import sort_search
+
+    paths = {r["id"]: r["path"] for r in
+             documents.select("id", "path").collect()}
+    for query, sort, asc, kw in SORT_SHAPES:
+        got = [(r["id"], r["repo"], r["path"], r["lang"], r["dl"])
+               for r in sort_search(index, query, sort=sort, ascending=asc,
+                                    k=12, **kw).collect()]
+        exp = _brute_sorted(oracle, paths, query, sort, asc, 12, **kw)
+        assert got == exp, (query, sort, asc, kw)
+
+
+def test_sort_search_paging(index, oracle, documents):
+    """offset and search_after page the sorted order exactly."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import sort_search
+
+    full = [(r["id"], r["path"]) for r in
+            sort_search(index, "get user", sort="path", k=30).collect()]
+    off = [(r["id"], r["path"]) for r in
+           sort_search(index, "get user", sort="path", k=5,
+                       offset=5).collect()]
+    assert off == full[5:10]
+    # cursor paging: (sort_value, id) of the last hit seeds page 2
+    p1 = sort_search(index, "get user", sort="path", k=5).collect()
+    cur = (p1[-1]["path"], p1[-1]["id"])
+    p2 = [(r["id"], r["path"]) for r in
+          sort_search(index, "get user", sort="path", k=5,
+                      search_after=cur).collect()]
+    assert p2 == full[5:10]
+    # numeric desc cursor
+    fdl = [(r["id"], r["dl"]) for r in
+           sort_search(index, "if", sort="dl", ascending=False,
+                       k=40).collect()]
+    p1 = sort_search(index, "if", sort="dl", ascending=False, k=7).collect()
+    cur = (int(p1[-1]["dl"]), p1[-1]["id"])
+    p2 = [(r["id"], r["dl"]) for r in
+          sort_search(index, "if", sort="dl", ascending=False, k=7,
+                      search_after=cur).collect()]
+    assert p2 == fdl[7:14]
+
+
+def test_sort_search_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import sort_search
+
+    with pytest.raises(ValueError, match="sort must be"):
+        sort_search(index, "if", sort="score")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sort_search(index, "if", offset=3, search_after=("a", "b"))
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        sort_search(index, "if user", operator="and",
+                    minimum_should_match=2)
+
+
 def test_bool_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
