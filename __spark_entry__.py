@@ -291,6 +291,30 @@ ORDER BY dl.dl DESC, id ASC LIMIT 15
 """
 
 
+def q_range_filter(spark, sf_dir):
+    """B45: the ES range query in filter context, over the numeric dl
+    field — hits must have 40 <= dl <= 52 (the corpus' interquartile
+    band, so the filter BITES).  dl rides every posting entry, so the
+    kernels mask it for free alongside the keyword bitmaps (removing
+    docs only loosens block maxima — BMW stays exact); composes with a
+    lang terms-filter here."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.search(idx, "table scan merge", k=15, dl_range=(40, 52),
+                    lang=["en", "de"], mode="bmw")
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_RANGE_FILTER = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_BM25_CTES.removeprefix("WITH ")}
+SELECT scored.id AS id, round(scored.raw, 4) AS score
+FROM scored JOIN meta USING (id) JOIN dl ON dl.id = scored.id
+WHERE meta.lang IN ('en', 'de') AND dl.dl BETWEEN 40 AND 52
+ORDER BY scored.raw DESC, scored.id ASC
+LIMIT 15
+"""
+
+
 def q_min_should_match(spark, sf_dir):
     """ES minimum_should_match: hits must match at least 2 of the 3
     analyzed query terms — the middle ground between OR (any term) and
@@ -2785,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b39_min_should_match": q_min_should_match,
         "b43_more_like_this": q_more_like_this,
         "b44_sort_search": q_sort_search,
+        "b45_range_filter": q_range_filter,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -2884,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
         "b42_dl_histogram": SQL_DL_HISTOGRAM,
         "b43_more_like_this": SQL_MORE_LIKE_THIS,
         "b44_sort_search": SQL_SORT_SEARCH,
+        "b45_range_filter": SQL_RANGE_FILTER,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

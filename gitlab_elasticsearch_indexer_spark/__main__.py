@@ -214,6 +214,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="SHA-prefix lookup (>=5 hex chars) over the oid "
                         "field's edgeNGram 5..40 grams; needs `build "
                         "--field oid`; replaces --query")
+    s.add_argument("--dl-min", type=int, default=None, metavar="N",
+                   help="ES range filter over dl: hits need dl >= N")
+    s.add_argument("--dl-max", type=int, default=None, metavar="N",
+                   help="ES range filter over dl: hits need dl <= N")
     s.add_argument("--sort", default=None, metavar="FIELD[:asc|desc]",
                    help="order hits by a doc field instead of relevance "
                         "(ES sort clause; id/repo/path/lang/dl, id-asc "
@@ -270,6 +274,8 @@ def main(argv: list[str] | None = None) -> int:
                    dest="min_should_match", metavar="N",
                    help="count docs matching at least N distinct terms "
                         "(ES minimum_should_match)")
+    c.add_argument("--dl-min", type=int, default=None, metavar="N")
+    c.add_argument("--dl-max", type=int, default=None, metavar="N")
     c.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
     c.add_argument("--prefix", action="store_true",
                    help="count docs matching any term with this prefix "
@@ -621,7 +627,11 @@ def main(argv: list[str] | None = None) -> int:
                               must_not=(" ".join(args.must_not)
                                         if args.must_not else None),
                               pre_terms=pre,
-                              minimum_should_match=args.min_should_match)
+                              minimum_should_match=args.min_should_match,
+                              dl_range=(
+                                  (args.dl_min, args.dl_max)
+                                  if args.dl_min is not None
+                                  or args.dl_max is not None else None))
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
@@ -643,19 +653,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.like and (args.operator != "or" or args.must_not
                           or args.min_should_match > 1 or args.facet
                           or args.stats or args.histogram or args.qs
-                          or args.highlight or args.offset or args.after):
+                          or args.highlight or args.offset or args.after
+                          or args.dl_min is not None
+                          or args.dl_max is not None):
             ap.error("--like composes with --lang/--repo/-k only "
                      "(the ES more_like_this body has its own knobs)")
         if args.slop and not args.phrase:
             ap.error("--slop requires --phrase")
+        dl_range = ((args.dl_min, args.dl_max)
+                    if args.dl_min is not None or args.dl_max is not None
+                    else None)
         if (args.operator == "and" or args.must_not
-                or args.min_should_match > 1) and (
+                or args.min_should_match > 1 or dl_range is not None) and (
             args.sha or args.phrase or args.fields or args.prefix
             or args.fuzzy or args.wildcard or args.regexp
             or args.phrase_prefix
         ):
-            ap.error("--operator and / --not / --min-should-match apply to "
-                     "plain term queries "
+            ap.error("--operator and / --not / --min-should-match / "
+                     "--dl-min/--dl-max apply to plain term queries "
                      "(not --sha/--phrase/--fields/--prefix/--fuzzy/"
                      "--wildcard/--regexp/--phrase-prefix)")
         if args.min_should_match > 1 and args.operator == "and":
@@ -694,6 +709,7 @@ def main(argv: list[str] | None = None) -> int:
                           if args.must_not else None),
                 minimum_should_match=args.min_should_match,
                 offset=args.offset, search_after=sort_after,
+                dl_range=dl_range,
             )
         elif args.like is not None:
             hits = q.more_like_this(
@@ -765,7 +781,8 @@ def main(argv: list[str] | None = None) -> int:
                             must_not=(" ".join(args.must_not)
                                       if args.must_not else None),
                             search_after=after,
-                            minimum_should_match=args.min_should_match)
+                            minimum_should_match=args.min_should_match,
+                            dl_range=dl_range)
         if args.facet or args.stats or args.histogram:
             # aggregations reflect the SAME bool semantics as the hits
             # they accompany (sha/phrase/fields queries keep the
@@ -796,6 +813,7 @@ def main(argv: list[str] | None = None) -> int:
                           if args.must_not else None),
                 pre_terms=pre,
                 minimum_should_match=args.min_should_match,
+                dl_range=dl_range,
             ).collect()[0]
             print(json.dumps({"stats": {
                 "count": int(srow["count"]),
@@ -812,6 +830,7 @@ def main(argv: list[str] | None = None) -> int:
                           if args.must_not else None),
                 pre_terms=pre,
                 minimum_should_match=args.min_should_match,
+                dl_range=dl_range,
             ).collect()
             print(json.dumps({"histogram": {
                 str(int(r["bucket"])): int(r["n"]) for r in hrows
@@ -823,7 +842,8 @@ def main(argv: list[str] | None = None) -> int:
                                 must_not=(" ".join(args.must_not)
                                           if args.must_not else None),
                                 pre_terms=pre,
-                                minimum_should_match=args.min_should_match)
+                                minimum_should_match=args.min_should_match,
+                                dl_range=dl_range)
             facets: dict[str, dict[str, int]] = {}
             for r in fc.collect():
                 facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])

@@ -118,6 +118,7 @@ def score_plan(
     after_cursor: tuple[float, int] | None = None,
     pre_weights: dict[str, float] | None = None,
     minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame | None:
     """The LAZY scoring phase of :func:`search`: per-doc_part top-k
     candidate rows (doc_idx, score).  ``None`` means the query can match
@@ -151,6 +152,13 @@ def score_plan(
     N greater than the LIVE term count matches nothing (Lucene: msm
     above the matchable-clause count kills the query).  Only
     meaningful with ``operator="or"`` — combining with "and" raises.
+
+    ``dl_range=(lo, hi)`` (the ES ``range`` query in filter context,
+    over the numeric doc field ``dl``): hits must have lo ≤ dl ≤ hi
+    (either bound None = unbounded).  dl rides every posting entry, so
+    kernels mask it for free alongside the keyword bitmaps; removing
+    docs only loosens block maxima, so BMW stays exact (the same
+    argument as the bitmap masks).
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
@@ -213,7 +221,7 @@ def score_plan(
     kernel = _make_part_kernel(
         widf, index.avgdl, k, use_bmw, index.docs_per_part, len(predicates),
         neg_terms=neg, n_required=n_required, after=after_cursor,
-        min_match=msm if msm > 1 else 0,
+        min_match=msm if msm > 1 else 0, dl_range=_norm_dl_range(dl_range),
     )
     if predicates:
         if index.filters is None:
@@ -399,6 +407,7 @@ def search(
     must_not: str | None = None,
     search_after: tuple[float, str] | None = None,
     minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits: DataFrame (id, score, repo, path, lang).
 
@@ -421,7 +430,10 @@ def search(
     the middle ground between OR (N≤1) and ``operator="and"`` (N =
     every term); composes with must_not, filters, offset and
     search_after, and with N > 1 the evaluation counts matched clauses
-    per doc so ``mode`` is ignored.  All compose with lang/repo filters and offset; with
+    per doc so ``mode`` is ignored.  ``dl_range=(lo, hi)`` is the ES
+    ``range`` filter over the numeric dl field (None = unbounded
+    bound): since dl rides every posting entry, kernels mask it for
+    free and BMW stays exact.  All compose with lang/repo filters and offset; with
     ``operator="and"`` the evaluation is intersection-first, so
     ``mode`` is ignored.
 
@@ -450,11 +462,13 @@ def search(
     (the distributed fallback, also used by plan tests).
     """
     if fields is not None:
-        if operator != "or" or must_not is not None or minimum_should_match > 1:
+        if (operator != "or" or must_not is not None
+                or minimum_should_match > 1 or dl_range is not None):
             raise ValueError(
-                "operator='and' / must_not / minimum_should_match are "
-                "single-field features; multi-field bool-should search "
-                "scores each field's OR clauses (the ES multi_match shape)"
+                "operator='and' / must_not / minimum_should_match / "
+                "dl_range are single-field features; multi-field "
+                "bool-should search scores each field's OR clauses "
+                "(the ES multi_match shape)"
             )
         return multi_search(index, query, k=k, fields=fields, lang=lang,
                             repo=repo, fetch=fetch, offset=offset,
@@ -468,7 +482,8 @@ def search(
     scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
                         mode=mode, operator=operator, must_not=must_not,
                         after_cursor=cursor,
-                        minimum_should_match=minimum_should_match)
+                        minimum_should_match=minimum_should_match,
+                        dl_range=dl_range)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
 
@@ -1296,6 +1311,21 @@ def _make_multifield_kernel(
     return kernel
 
 
+def _norm_dl_range(
+    dl_range: tuple[int | None, int | None] | None,
+) -> tuple[int, int] | None:
+    """Validate/normalize an ES range filter over dl: (lo, hi) with
+    None = unbounded; returns concrete int bounds or None for no-op."""
+    if dl_range is None:
+        return None
+    lo, hi = dl_range
+    lo = 0 if lo is None else int(lo)
+    hi = (1 << 62) if hi is None else int(hi)
+    if lo > hi:
+        raise ValueError(f"dl_range lower bound exceeds upper: {dl_range!r}")
+    return (lo, hi)
+
+
 def _make_part_kernel(
     widf: dict[str, float],
     avgdl: float,
@@ -1307,6 +1337,7 @@ def _make_part_kernel(
     n_required: int = 0,
     after: tuple[float, int] | None = None,
     min_match: int = 0,
+    dl_range: tuple[int, int] | None = None,
 ):
     """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
@@ -1368,6 +1399,12 @@ def _make_part_kernel(
                 bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
             )
             docs = docs.astype(np.int64)
+            if dl_range is not None:
+                # ES range filter over dl — the value rides the entry
+                keep = (dls >= dl_range[0]) & (dls <= dl_range[1])
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             if bits is not None:
                 keep = bits[docs - base]
                 if not keep.any():
@@ -1675,7 +1712,7 @@ def search_many(
     "max_edits": int,
     "max_expansions": int, "prefix_length": int,
     "operator": "or"|"and", "must_not": str,
-    "minimum_should_match": int,
+    "minimum_should_match": int, "dl_range": [lo, hi],
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
     a full simple_query_string body (pure-term/pure-phrase forms lower
     onto the shared batch jobs; a mixed phrase+term body runs the
@@ -1722,6 +1759,7 @@ def search_many(
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
     msm_by_query: dict[str, int] = {}  # qid -> minimum_should_match (>1)
+    dlr_by_query: dict[str, tuple[int, int]] = {}  # qid -> dl range
     cursor_specs: dict[str, tuple[float, str]] = {}  # qid -> (score, id)
     mixed_qs: dict[str, dict] = {}  # qid -> parsed mixed qs entry
     for qid, spec in queries.items():
@@ -1826,6 +1864,18 @@ def search_many(
                         "to plain term entries"
                     )
                 msm_by_query[qid] = msm
+            if spec.get("dl_range") is not None:
+                if (spec.get("phrase") or spec.get("fields")
+                        or spec.get("prefix") or spec.get("fuzzy")
+                        or spec.get("wildcard") or spec.get("regexp")
+                        or spec.get("phrase_prefix")):
+                    raise ValueError(
+                        f"batch entry {qid!r}: dl_range applies to plain "
+                        "term entries"
+                    )
+                dlr = _norm_dl_range(tuple(spec["dl_range"]))
+                if dlr is not None:
+                    dlr_by_query[qid] = dlr
             if op == "and":
                 op_by_query[qid] = op
             if spec.get("must_not"):
@@ -2158,6 +2208,7 @@ def search_many(
             index.avgdl, n_by_query, use_bmw, index.docs_per_part,
             neg_by_query=neg_by_query, nreq_by_query=nreq_by_query,
             after_by_query=after_by_query, msm_by_query=msm_by_query,
+            dlr_by_query=dlr_by_query,
         )
         fsel = _filters_for(set(widf_by_query), scan_parts)
         if fsel is not None:
@@ -2351,6 +2402,7 @@ def _make_batch_kernel(
     nreq_by_query: dict[str, int] | None = None,
     after_by_query: dict[str, tuple[float, int]] | None = None,
     msm_by_query: dict[str, int] | None = None,
+    dlr_by_query: dict[str, tuple[int, int]] | None = None,
 ):
     """Per-doc_part batched kernel: decode each term ONCE, score every
     query against the shared decodes (masked per query by its predicate
@@ -2368,6 +2420,8 @@ def _make_batch_kernel(
     nreq_by_query = nreq_by_query or {}
     after_by_query = after_by_query or {}
     msm_by_query = msm_by_query or {}
+    dlr_by_query = dlr_by_query or {}
+    keep_dls = bool(dlr_by_query)  # dl-range entries need per-doc dls
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -2389,6 +2443,8 @@ def _make_batch_kernel(
                 bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
             )
             ent = {"docs": docs.astype(np.int64), "tfn": _tfn(tfs, dls, avgdl)}
+            if keep_dls:
+                ent["dls"] = dls
             if use_bmw:
                 ent["block_last"] = np.asarray(row.block_last, dtype=np.int64)
                 ent["block_max"] = _tfn(
@@ -2432,11 +2488,17 @@ def _make_batch_kernel(
                     excl = (neg_docs[0] if len(neg_docs) == 1
                             else np.unique(np.concatenate(neg_docs)))
             terms = []
+            dlr = dlr_by_query.get(qid)
             for t, w in widf.items():
                 ent = decoded.get(t)
                 if ent is None:
                     continue
                 docs, tfn = ent["docs"], ent["tfn"]
+                if dlr is not None:
+                    keep = (ent["dls"] >= dlr[0]) & (ent["dls"] <= dlr[1])
+                    if not keep.any():
+                        continue
+                    docs, tfn = docs[keep], tfn[keep]
                 if bits is not None:
                     keep = bits[docs - base]
                     if not keep.any():
@@ -2609,6 +2671,7 @@ def facet_counts(
     must_not: str | None = None,
     pre_terms: list[str] | None = None,
     minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """ES terms-aggregation analog: per-(field, value) counts of ALL
     documents matching the analyzed query (any-term match by default —
@@ -2642,7 +2705,9 @@ def facet_counts(
     ``minimum_should_match`` mirrors :func:`search`'s knob so counts
     and facets stay consistent with msm hits: a doc counts only when it
     matches at least N distinct terms (kernel keeps per-doc matched-
-    clause counts instead of the boolean union).
+    clause counts instead of the boolean union).  ``dl_range`` mirrors
+    the ES range filter the same way (the scan then also reads
+    dls_bin).
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
@@ -2653,6 +2718,7 @@ def facet_counts(
         raise ValueError(
             "minimum_should_match applies to operator='or'"
         )
+    dlr = _norm_dl_range(dl_range)
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     terms = (sorted(set(analyze_query(query))) if pre_terms is None
@@ -2685,9 +2751,12 @@ def facet_counts(
             "(rebuild or re-save the index with this version)"
         )
 
+    scan_cols = ["doc_part", "term", "docs_bin"]
+    if dlr is not None:
+        scan_cols.append("dls_bin")  # the range filter needs dl values
     cand = index.postings.filter(
         F.col("term").isin(live + sorted(neg))
-    ).select("doc_part", "term", "docs_bin")
+    ).select(*scan_cols)
     parts = _route_parts(index, repo_t)
     if parts is not None:
         if not parts:
@@ -2697,7 +2766,7 @@ def facet_counts(
     kernel = _make_facet_kernel(
         tuple(fields), predicates, index.docs_per_part, include_total,
         neg_terms=neg, n_required=n_required,
-        min_match=msm if msm > 1 else 0,
+        min_match=msm if msm > 1 else 0, dl_range=dlr,
     )
     if fields or predicates:
         cond = F.col("field").isin(list(fields)) if fields else F.lit(False)
@@ -2732,6 +2801,7 @@ def match_count(
     must_not: str | None = None,
     pre_terms: list[str] | None = None,
     minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> int:
     """ES ``_count`` analog: how many documents match the analyzed
     query (any-term by default; ``operator="and"`` / ``must_not``
@@ -2743,7 +2813,7 @@ def match_count(
     rows = facet_counts(
         index, query, fields=(), lang=lang, repo=repo, include_total=True,
         operator=operator, must_not=must_not, pre_terms=pre_terms,
-        minimum_should_match=minimum_should_match,
+        minimum_should_match=minimum_should_match, dl_range=dl_range,
     ).collect()
     return int(rows[0]["n"]) if rows else 0
 
@@ -2758,6 +2828,7 @@ def _metric_partials(
     must_not: str | None,
     minimum_should_match: int,
     pre_terms: list[str] | None,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame | None:
     """Shared plan of :func:`dl_stats` / :func:`dl_histogram`: per
     doc_part partial aggregates over the dl of EVERY matching document
@@ -2816,7 +2887,7 @@ def _metric_partials(
     kernel = _make_metric_kernel(
         predicates, index.docs_per_part, interval,
         neg_terms=neg, n_required=n_required,
-        min_match=msm if msm > 1 else 0,
+        min_match=msm if msm > 1 else 0, dl_range=_norm_dl_range(dl_range),
     )
     if predicates:
         fsel = index.filters.filter(_filters_cond(predicates)).select(
@@ -2850,6 +2921,7 @@ def dl_stats(
     must_not: str | None = None,
     minimum_should_match: int = 0,
     pre_terms: list[str] | None = None,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """ES ``stats`` aggregation analog over the index's numeric doc
     property ``dl`` (analyzed token count — the numeric field the index
@@ -2862,7 +2934,8 @@ def dl_stats(
     as ES does.  See :func:`_metric_partials` for the plan."""
     spark = index.postings.sparkSession
     partial = _metric_partials(index, query, None, lang, repo, operator,
-                               must_not, minimum_should_match, pre_terms)
+                               must_not, minimum_should_match, pre_terms,
+                               dl_range=dl_range)
     if partial is None:
         return _local_result(spark, [(0, 0, None, None, None)], _STATS_FIELDS)
     return partial.agg(
@@ -2884,6 +2957,7 @@ def dl_histogram(
     must_not: str | None = None,
     minimum_should_match: int = 0,
     pre_terms: list[str] | None = None,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """ES ``histogram`` aggregation analog over ``dl``: rows
     (bucket, n) where bucket = floor(dl / interval) · interval, counting
@@ -2896,7 +2970,7 @@ def dl_histogram(
     spark = index.postings.sparkSession
     partial = _metric_partials(index, query, int(interval), lang, repo,
                                operator, must_not, minimum_should_match,
-                               pre_terms)
+                               pre_terms, dl_range=dl_range)
     if partial is None:
         return _local_result(spark, [], [("bucket", "long"), ("n", "long")])
     return (
@@ -2924,6 +2998,7 @@ def sort_search(
     minimum_should_match: int = 0,
     offset: int = 0,
     search_after: tuple | None = None,
+    dl_range: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """ES ``sort`` clause analog: top-k matching docs ordered by a doc
     FIELD instead of relevance (``sort: [{"path": "asc"}]``); scores
@@ -2996,6 +3071,7 @@ def sort_search(
         sort, ascending, k + offset, index.docs_per_part, predicates,
         neg_terms=neg, n_required=n_required,
         min_match=msm if msm > 1 else 0, after=cursor,
+        dl_range=_norm_dl_range(dl_range),
     )
     partial = (
         cand.groupBy("doc_part")
@@ -3029,6 +3105,7 @@ def _make_sort_kernel(
     n_required: int = 0,
     min_match: int = 0,
     after: tuple | None = None,
+    dl_range: tuple[int, int] | None = None,
 ):
     """Per-doc_part sorted-search kernel (cogroup signature: postings,
     doc_stats): matched mask via the facet-kernel bool logic, predicate
@@ -3087,6 +3164,9 @@ def _make_sort_kernel(
             sel = sel[sel[f].isin(vals)]
             if not len(sel):
                 return empty
+        if dl_range is not None:
+            dlv = sel["dl"].to_numpy(np.int64)
+            sel = sel[(dlv >= dl_range[0]) & (dlv <= dl_range[1])]
         if not len(sel):
             return empty
         if after is not None:
@@ -3226,6 +3306,7 @@ def _make_metric_kernel(
     neg_terms: frozenset[str] = frozenset(),
     n_required: int = 0,
     min_match: int = 0,
+    dl_range: tuple[int, int] | None = None,
 ):
     """Per-doc_part metric kernel (cogroup signature: postings,
     filters): build the matched mask exactly like the facet kernel
@@ -3254,13 +3335,20 @@ def _make_metric_kernel(
         n_pos_seen = 0
         for row in postings_pdf.itertuples(index=False):
             docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+            if row.term in neg_terms:
+                mask = np.zeros(docs_per_part, dtype=bool)
+                mask[docs.astype(np.int64) - base] = True
+                excl |= mask
+                continue
+            dls = varint_decode(bytes(row.dls_bin))
+            if dl_range is not None:
+                # ES range filter over dl, applied before the mask
+                keep = (dls >= dl_range[0]) & (dls <= dl_range[1])
+                docs, dls = docs[keep], dls[keep]
             local = docs.astype(np.int64) - base
             mask = np.zeros(docs_per_part, dtype=bool)
             mask[local] = True
-            if row.term in neg_terms:
-                excl |= mask
-                continue
-            dls_arr[local] = varint_decode(bytes(row.dls_bin))
+            dls_arr[local] = dls
             n_pos_seen += 1
             if counts is not None:
                 counts += mask
@@ -3366,6 +3454,7 @@ def _make_facet_kernel(
     neg_terms: frozenset[str] = frozenset(),
     n_required: int = 0,
     min_match: int = 0,
+    dl_range: tuple[int, int] | None = None,
 ):
     """Per-doc_part facet kernel (cogroup signature: postings, filters).
 
@@ -3395,11 +3484,18 @@ def _make_facet_kernel(
         n_pos_seen = 0
         for row in postings_pdf.itertuples(index=False):
             docs = delta_decode(varint_decode(bytes(row.docs_bin)))
-            mask = np.zeros(docs_per_part, dtype=bool)
-            mask[docs.astype(np.int64) - base] = True
             if row.term in neg_terms:
+                mask = np.zeros(docs_per_part, dtype=bool)
+                mask[docs.astype(np.int64) - base] = True
                 excl |= mask
                 continue
+            if dl_range is not None:
+                # ES range filter: drop positive-match docs outside
+                # [lo, hi] before they enter the matched mask
+                dls = varint_decode(bytes(row.dls_bin))
+                docs = docs[(dls >= dl_range[0]) & (dls <= dl_range[1])]
+            mask = np.zeros(docs_per_part, dtype=bool)
+            mask[docs.astype(np.int64) - base] = True
             n_pos_seen += 1
             if counts is not None:
                 counts += mask

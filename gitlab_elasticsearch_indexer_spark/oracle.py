@@ -65,6 +65,7 @@ class OracleIndex:
         operator: str = "or",
         must_not: str | None = None,
         minimum_should_match: int = 0,
+        dl_range: tuple[int | None, int | None] | None = None,
     ) -> list[tuple[str, float]]:
         """Top-k (doc_id, BM25 score), tie-break score desc then doc_id asc.
 
@@ -95,6 +96,12 @@ class OracleIndex:
                 d: s for d, s in scores.items()
                 if all(d in self.postings.get(t, {}) for t in req)
             }
+        if dl_range is not None:
+            # ES range filter over dl (either bound None = unbounded)
+            lo = dl_range[0] if dl_range[0] is not None else 0
+            hi = dl_range[1] if dl_range[1] is not None else float("inf")
+            scores = {d: s for d, s in scores.items()
+                      if lo <= self.dls[d] <= hi}
         if minimum_should_match > 1:
             # ES minimum_should_match: ≥ N DISTINCT matched terms
             distinct = set(terms)

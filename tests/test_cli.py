@@ -311,6 +311,51 @@ def test_cli_sort_search(spark, dirs, capsys):
               "--sort", "path", "--bmw"])
 
 
+def test_cli_dl_range_filter(spark, tmp_path, capsys):
+    """--dl-min/--dl-max (ES range filter over dl) on search and count;
+    aggregations beside the hits respect the band."""
+    src = str(tmp_path / "src_dl")
+    idx = str(tmp_path / "idx_dl")
+    spark.createDataFrame(
+        [
+            ("r1", "short.py", "a" * 40, "Python", "def alpha"),
+            ("r1", "long.py", "b" * 40, "Python",
+             "def alpha beta gamma delta epsilon zeta"),
+        ],
+        SRC_SCHEMA,
+    ).write.parquet(src)
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    # learn the two matching docs' dls from the stats agg
+    assert main(["search", "--index", idx, "--query", "def", "--stats"]) == 0
+    out = _lines(capsys)
+    stats = out[0]["stats"]
+    assert stats["count"] == 2 and stats["min_dl"] < stats["max_dl"]
+
+    # a band excluding the smaller doc keeps exactly the bigger one
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--dl-min", str(stats["min_dl"] + 1), "--stats"]) == 0
+    out = _lines(capsys)
+    assert out[0]["stats"]["count"] == 1
+    hits = [h for h in out[1:] if "id" in h]
+    assert len(hits) == 1 and hits[0]["id"] != ""
+
+    assert main(["count", "--index", idx, "--query", "def",
+                 "--dl-max", str(stats["min_dl"])]) == 0
+    assert _lines(capsys)[0]["count"] == 1
+
+    # composes with --sort
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--sort", "dl:desc", "--dl-max", str(stats["min_dl"])]) == 0
+    hits = _lines(capsys)
+    assert len(hits) == 1 and hits[0]["dl"] == stats["min_dl"]
+
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def", "--phrase",
+              "--dl-min", "1"])
+
+
 def test_cli_more_like_this(spark, dirs, capsys):
     """search --like DOC_ID (ES more_like_this analog): similar docs by
     shared interesting terms, the source doc excluded."""

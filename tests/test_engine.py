@@ -512,6 +512,61 @@ def test_sort_search_validation(index):
                     minimum_should_match=2)
 
 
+def test_dl_range_filter_matches_referee(index, oracle):
+    """ES range filter over dl: hits restricted to lo <= dl <= hi,
+    rank/score-identical to the referee, composing with every bool
+    knob, BMW, aggregations, counts, and the batched path."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        dl_stats,
+        match_count,
+        search_many,
+    )
+
+    dls = sorted(oracle.dls.values())
+    lo, hi = dls[len(dls) // 4], dls[3 * len(dls) // 4]
+    shapes = [
+        ("if", (lo, hi), {}),
+        ("if", (lo, hi), {"mode": "bmw"}),
+        ("get user", (None, hi), {"lang": "Python"}),
+        ("def return", (lo, None), {"operator": "and"}),
+        ("get user if", (lo, hi), {"minimum_should_match": 2}),
+        ("get user", (lo, hi), {"must_not": "if"}),
+        ("if", (hi + 10**6, None), {}),  # empty band
+    ]
+    for query, rng, kw in shapes:
+        mode = kw.pop("mode", "exhaustive")
+        got = [(r["id"], r["score"]) for r in
+               search(index, query, k=12, dl_range=rng, mode=mode,
+                      **kw).collect()]
+        exp = oracle.search(query, k=12, dl_range=rng, **kw)
+        assert [g[0] for g in got] == [e[0] for e in exp], (query, rng, kw)
+        assert np.allclose([g[1] for g in got], [e[1] for e in exp],
+                           rtol=1e-9, atol=1e-12)
+        kw["mode"] = mode
+    # the band actually bites
+    assert len(oracle.search("if", k=10**6, dl_range=(lo, hi))) not in (
+        0, len(oracle.search("if", k=10**6)))
+
+    # batch parity
+    rows = search_many(index, {"r": {"q": "if", "dl_range": [lo, hi]}},
+                       k=12).collect()
+    got = [(r["id"], r["score"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    exp = oracle.search("if", k=12, dl_range=(lo, hi))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    assert np.allclose([g[1] for g in got], [e[1] for e in exp], rtol=1e-9)
+
+    # count + stats consistency with the filtered match set
+    exp_set = oracle.search("if", k=10**6, dl_range=(lo, hi))
+    assert match_count(index, "if", dl_range=(lo, hi)) == len(exp_set)
+    srow = dl_stats(index, "if", dl_range=(lo, hi)).collect()[0]
+    band = [oracle.dls[d] for d, _ in exp_set]
+    assert srow["count"] == len(band) and srow["sum_dl"] == sum(band)
+    assert srow["min_dl"] >= lo and srow["max_dl"] <= hi
+
+    with pytest.raises(ValueError, match="dl_range"):
+        search(index, "if", dl_range=(10, 5))
+
+
 def test_bool_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
