@@ -99,7 +99,9 @@ POSTINGS_TABLE_SCHEMA = StructType(
 )
 
 
-def factorize_strings(values) -> tuple[np.ndarray, np.ndarray]:
+def factorize_strings(
+    values, nul_possible: bool | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """NUL-safe ``pd.factorize`` for string columns.
 
     pandas routes object-dtype str arrays through its C StringHashTable,
@@ -108,11 +110,23 @@ def factorize_strings(values) -> tuple[np.ndarray, np.ndarray]:
     a token like ``"de\\x00tail"`` all collapse into ``"de"`` — observed
     on binary-ish blobs the late-NUL rule (A6) keeps indexable.  Hashing
     the UTF-8 bytes instead routes through the generic object table
-    (full-buffer hash, still C-speed); uniques come back as the original
-    strings, NaN/None stays code -1 and out of uniques, exactly like
+    (full-buffer hash, NUL-safe) — but the per-value bytes allocation
+    costs ~6× a plain factorize (measured, 3M grams), so the common
+    all-clean case takes ONE vectorized NUL scan (~0.15 s/M values) and
+    the ordinary StringHashTable path.  ``nul_possible`` lets a caller
+    that already scanned a SMALLER proxy (the pack kernel scans
+    capture-level rows before the ~6× gram expansion) skip the scan.
+    NaN/None stays code -1 and out of uniques, exactly like
     ``pd.factorize``."""
     s = (values if isinstance(values, pd.Series)
          else pd.Series(values, dtype=object))
+    if nul_possible is None:
+        nul_possible = bool(
+            s.str.contains("\x00", regex=False, na=False).any()
+        )
+    if not nul_possible:
+        codes, uniq = pd.factorize(s, sort=False)
+        return codes, np.asarray(uniq, dtype=object)
     codes, _ = pd.factorize(s.str.encode("utf-8"), sort=False)
     valid = np.flatnonzero(codes >= 0)
     _, first = np.unique(codes[valid], return_index=True)
@@ -830,7 +844,11 @@ def make_pack_group_kernel(expand: tuple[int, int] | None):
 
         if expand is not None:
             # vectorized prefix expansion: for k=2..40 slice every
-            # capture long enough; gram tf sums capture counts
+            # capture long enough; gram tf sums capture counts.
+            # NUL scan happens HERE, pre-expansion (captures are ~6×
+            # fewer than grams; a gram has a NUL iff its capture does)
+            nul = bool(term_s.str.contains(
+                "\x00", regex=False, na=False).any())
             lo, hi = expand
             lens = term_s.str.len().to_numpy(np.int64)
             g_terms, g_docs, g_tf, g_dl = [], [], [], []
@@ -853,7 +871,8 @@ def make_pack_group_kernel(expand: tuple[int, int] | None):
             tf_a = np.concatenate(g_tf)
             dl_a = np.concatenate(g_dl)
             # aggregate tf per (gram, doc): sort runs then reduceat
-            codes, _u = factorize_strings(pd.Series(term_arr))
+            codes, _u = factorize_strings(pd.Series(term_arr),
+                                          nul_possible=nul)
             order = np.lexsort((docs_a, codes))
             codes, docs_a = codes[order], docs_a[order]
             tf_a, dl_a = tf_a[order], dl_a[order]
