@@ -441,6 +441,48 @@ def test_facet_scan_is_column_pruned(spark, tmp_path_factory):
     assert_pushed_filter(fc, "In(term")
 
 
+def test_metric_agg_scan_prunes_columns(saved_index):
+    """dl_stats/dl_histogram read (term, docs_bin, dls_bin) ONLY from
+    postings — no tf or block payloads — with the query terms pushed;
+    dl rides the posting lists, so NO doc_stats join appears in the
+    plan (nothing per-doc leaves a partition)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import dl_stats
+
+    st = dl_stats(saved_index, "if return")
+    plan = formatted_plan(st)
+    reads = [l for l in plan.splitlines()
+             if "ReadSchema" in l and "docs_bin" in l]
+    assert reads, plan
+    for l in reads:
+        assert "dls_bin" in l, l
+        assert "tfs_bin" not in l and "block_last" not in l, l
+    assert_pushed_filter(st, "In(term")
+    # no doc_stats scan: the only parquet reads are postings reads
+    assert "doc_stats" not in plan, plan
+
+
+def test_facet_dl_range_reads_dls_only_when_filtering(saved_index):
+    """the facet/count scan stays docs_bin-only WITHOUT a dl range and
+    adds ONLY dls_bin when one is present."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import facet_counts
+
+    plain = formatted_plan(
+        facet_counts(saved_index, "if", fields=(), include_total=True)
+    )
+    for l in plain.splitlines():
+        if "ReadSchema" in l and "docs_bin" in l:
+            assert "dls_bin" not in l, l
+    ranged = formatted_plan(
+        facet_counts(saved_index, "if", fields=(), include_total=True,
+                     dl_range=(1, 100))
+    )
+    reads = [l for l in ranged.splitlines()
+             if "ReadSchema" in l and "docs_bin" in l]
+    assert reads and all("dls_bin" in l for l in reads), ranged
+    for l in reads:
+        assert "tfs_bin" not in l and "block_last" not in l, l
+
+
 def test_phrase_scan_pushes_terms_and_matches_meta(spark, tmp_path_factory):
     """phrase_search's sidecar scan must push the phrase terms down;
     the persisted sidecar must round-trip pos_meta (analyzer + its own
