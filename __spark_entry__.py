@@ -315,6 +315,48 @@ LIMIT 15
 """
 
 
+def q_msearch_sorted(spark, sf_dir):
+    """B46: sorted bodies in the batched path (ES _msearch with sort
+    clauses) — every sorted entry of the batch shares ONE cogroup job
+    (postings pruned to the union of their terms, each term's doc list
+    decoded once, predicates on the doc_stats columns), each doc_part
+    returns only its per-entry top-k by the sort key, and scores are
+    NULL (ES null _score under field sorts; dropped here so the oracle
+    compares the ordering itself)."""
+    out = q.search_many(_shared_index(spark, sf_dir), {
+        "e1": {"q": "table scan", "sort": "dl:desc",
+               "repo": ["src3", "src7"]},
+        "e2": {"q": "merge", "sort": "id", "lang": ["en"]},
+    }, k=10)
+    return out.select("query_id", "rank", "id")
+
+
+SQL_MSEARCH_SORTED = f"""
+WITH {_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents),
+m1 AS (SELECT DISTINCT id FROM tok WHERE term IN ('table', 'scan')),
+m2 AS (SELECT DISTINCT id FROM tok WHERE term = 'merge'),
+e1 AS (
+    SELECT 'e1' AS query_id,
+           row_number() OVER (ORDER BY dl.dl DESC, m1.id ASC)::INTEGER AS rank,
+           m1.id AS id
+    FROM m1 JOIN dl USING (id) JOIN meta USING (id)
+    WHERE meta.repo IN ('src3', 'src7')
+    QUALIFY rank <= 10
+),
+e2 AS (
+    SELECT 'e2' AS query_id,
+           row_number() OVER (ORDER BY m2.id ASC)::INTEGER AS rank,
+           m2.id AS id
+    FROM m2 JOIN meta USING (id)
+    WHERE meta.lang = 'en'
+    QUALIFY rank <= 10
+)
+SELECT * FROM e1 UNION ALL SELECT * FROM e2
+"""
+
+
 def q_min_should_match(spark, sf_dir):
     """ES minimum_should_match: hits must match at least 2 of the 3
     analyzed query terms — the middle ground between OR (any term) and
@@ -2810,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b43_more_like_this": q_more_like_this,
         "b44_sort_search": q_sort_search,
         "b45_range_filter": q_range_filter,
+        "b46_msearch_sorted": q_msearch_sorted,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -2910,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "b43_more_like_this": SQL_MORE_LIKE_THIS,
         "b44_sort_search": SQL_SORT_SEARCH,
         "b45_range_filter": SQL_RANGE_FILTER,
+        "b46_msearch_sorted": SQL_MSEARCH_SORTED,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -496,8 +496,12 @@ def main(argv: list[str] | None = None) -> int:
             mode="bmw" if args.bmw else "exhaustive",
         ).orderBy("query_id", "rank").collect()
         for r in rows:
+            # sorted bodies carry NULL scores (ES returns null _score
+            # when sorting by field)
             print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
-                              "id": r["id"], "score": round(r["score"], 6)}))
+                              "id": r["id"],
+                              "score": (None if r["score"] is None
+                                        else round(r["score"], 6))}))
     elif args.cmd == "update-delta":
         changes = spark.read.parquet(args.changes)
         blob_type = _read_index_meta(spark, args.index).get("blob_type", "blob")

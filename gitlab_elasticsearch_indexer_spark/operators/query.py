@@ -1713,6 +1713,10 @@ def search_many(
     "max_expansions": int, "prefix_length": int,
     "operator": "or"|"and", "must_not": str,
     "minimum_should_match": int, "dl_range": [lo, hi],
+    "sort": "FIELD[:asc|desc]" (the ES sorted body: field-ordered hits,
+    NO scores — all sorted entries share ONE cogroup job over the union
+    of their terms, each part returning its per-entry top-k by the key;
+    their search_after cursor is [sort_value, id]),
     "search_after": [score, id]}``, or a ``{"qs": str}`` entry holding
     a full simple_query_string body (pure-term/pure-phrase forms lower
     onto the shared batch jobs; a mixed phrase+term body runs the
@@ -1760,6 +1764,8 @@ def search_many(
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
     msm_by_query: dict[str, int] = {}  # qid -> minimum_should_match (>1)
     dlr_by_query: dict[str, tuple[int, int]] = {}  # qid -> dl range
+    sort_specs: dict[str, tuple[str, bool]] = {}  # qid -> (field, asc)
+    sort_after: dict[str, tuple] = {}  # qid -> (sort_value, id)
     cursor_specs: dict[str, tuple[float, str]] = {}  # qid -> (score, id)
     mixed_qs: dict[str, dict] = {}  # qid -> parsed mixed qs entry
     for qid, spec in queries.items():
@@ -1819,11 +1825,38 @@ def search_many(
             if sum(map(bool, (spec.get("phrase"), spec.get("fields"),
                               spec.get("prefix"), spec.get("fuzzy"),
                               spec.get("wildcard"), spec.get("regexp"),
-                              spec.get("phrase_prefix")))) > 1:
+                              spec.get("phrase_prefix"),
+                              spec.get("sort")))) > 1:
                 raise ValueError(
                     "an entry is phrase OR multi-field OR prefix OR fuzzy "
-                    "OR wildcard OR regexp OR phrase_prefix, not several"
+                    "OR wildcard OR regexp OR phrase_prefix OR sort, not "
+                    "several"
                 )
+            if spec.get("sort") is not None:
+                # ES sorted body: field order, no scores — handled by
+                # ONE shared sort job below, never the scoring jobs
+                field, _, direction = str(spec["sort"]).partition(":")
+                if field not in SORT_FIELDS:
+                    raise ValueError(
+                        f"batch entry {qid!r}: sort must be one of "
+                        f"{SORT_FIELDS}"
+                    )
+                if direction not in ("", "asc", "desc"):
+                    raise ValueError(
+                        f"batch entry {qid!r}: sort direction must be "
+                        "asc or desc"
+                    )
+                sort_specs[qid] = (field, direction != "desc")
+                if spec.get("search_after") is not None:
+                    if spec.get("from"):
+                        raise ValueError(
+                            f"batch entry {qid!r}: from and search_after "
+                            "are mutually exclusive"
+                        )
+                    sv, sid = spec["search_after"]
+                    sort_after[qid] = (
+                        int(sv) if field == "dl" else str(sv), str(sid)
+                    )
             op = spec.get("operator", "or")
             if op not in ("or", "and"):
                 raise ValueError(
@@ -1880,7 +1913,8 @@ def search_many(
                 op_by_query[qid] = op
             if spec.get("must_not"):
                 negq_by_query[qid] = str(spec["must_not"])
-            if spec.get("search_after") is not None:
+            if (spec.get("search_after") is not None
+                    and spec.get("sort") is None):
                 if spec.get("from"):
                     raise ValueError(
                         f"batch entry {qid!r}: from and search_after are "
@@ -1925,6 +1959,7 @@ def search_many(
         and qid not in mixed_qs and qid not in prefix_specs
         and qid not in fuzzy_specs and qid not in wild_specs
         and qid not in regexp_specs and qid not in pprefix_specs
+        and qid not in sort_specs
     }
     # prefix/fuzzy/wildcard/regexp entries expand driver-side (one shared
     # vocab
@@ -2084,7 +2119,46 @@ def search_many(
             if per_fld:
                 mf_q[qid] = per_fld
 
-    live = set(widf_by_query) | set(phrase_q) | set(mf_q)
+    # sorted entries (ES sort bodies): analyze + dead rules exactly like
+    # sort_search; live ones share ONE cogroup job over the union of
+    # their terms (field-ordered, no scores — see _make_batch_sort_kernel)
+    sort_q: dict[str, dict] = {}
+    if sort_specs:
+        s_terms_all = sorted({
+            t for qid in sort_specs
+            for t in analyze_query(specs[qid][0])
+        } | {
+            t for qid in sort_specs if qid in neg_by_query
+            for t in neg_by_query[qid]
+        })
+        s_idf = index.idf_map(s_terms_all)
+        for qid, (field, asc) in sort_specs.items():
+            terms = sorted(set(analyze_query(specs[qid][0])))
+            s_live = [t for t in terms if t in s_idf]
+            neg = neg_by_query.get(qid, frozenset())
+            op_and = qid in op_by_query
+            msm = msm_by_query.get(qid, 0)
+            if not s_live:
+                continue
+            n_required = 0
+            if op_and:
+                if (neg & set(terms)) or len(s_live) < len(terms):
+                    continue
+                n_required = len(s_live)
+            elif neg:
+                s_live = [t for t in s_live if t not in neg]
+                if not s_live:
+                    continue
+            if msm > 1 and msm > len(s_live):
+                continue
+            sort_q[qid] = {
+                "terms": s_live, "neg": neg, "n_required": n_required,
+                "min_match": msm if msm > 1 else 0,
+                "field": field, "asc": asc,
+                "after": sort_after.get(qid),
+            }
+
+    live = set(widf_by_query) | set(phrase_q) | set(mf_q) | set(sort_q)
     if not live and not mixed_qs:
         return empty
 
@@ -2137,7 +2211,9 @@ def search_many(
         }
         phrase_q = {qid: s for qid, s in phrase_q.items() if qid not in dead}
         mf_q = {qid: s for qid, s in mf_q.items() if qid not in dead}
-        if not widf_by_query and not phrase_q and not mf_q and not mixed_qs:
+        sort_q = {qid: s for qid, s in sort_q.items() if qid not in dead}
+        if (not widf_by_query and not phrase_q and not mf_q and not sort_q
+                and not mixed_qs):
             return empty
 
     out_schema = "query_id string, doc_idx long, score double"
@@ -2306,6 +2382,60 @@ def search_many(
             )
         rows.extend(mf_scored.collect())
 
+    # sorted entries: ONE additional cogroup job orders EVERY sort
+    # body — the postings scan is pruned to the union of their terms,
+    # each term's doc list decodes once and is shared by all entries
+    # containing it, predicates evaluate directly on the doc_stats
+    # metadata columns (no sidecar), and each part emits only its own
+    # per-entry top-k by the sort key (the ES sorted-search shard
+    # plan).  Sorted hits skip the score-based fetch phase entirely —
+    # the kernel already resolves ids from the cogrouped doc_stats.
+    sorted_out: list[tuple] = []
+    if sort_q:
+        s_scan_terms = sorted({
+            t for s in sort_q.values()
+            for t in list(s["terms"]) + sorted(s["neg"])
+        })
+        s_cand = index.postings.filter(
+            F.col("term").isin(s_scan_terms)
+        ).select("doc_part", "term", "docs_bin")
+        s_stats = index.doc_stats.select(
+            "doc_part", "doc_idx", "id", "repo", "path", "lang", "dl"
+        )
+        s_scan = _scan_parts_for(set(sort_q))
+        if s_scan is not None:
+            s_cand = s_cand.filter(F.col("doc_part").isin(s_scan))
+            s_stats = s_stats.filter(F.col("doc_part").isin(s_scan))
+        s_kernel = _make_batch_sort_kernel(
+            sort_q, preds_by_query, parts_by_query, n_by_query,
+            index.docs_per_part, dlr_by_query,
+        )
+        s_rows = (
+            s_cand.groupBy("doc_part")
+            .cogroup(s_stats.groupBy("doc_part"))
+            .applyInPandas(
+                s_kernel,
+                schema="query_id string, id string, skey string, dl long",
+            )
+        ).collect()
+        s_by_q: dict[str, list] = {}
+        for r in s_rows:
+            s_by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in s_by_q.items():
+            field, asc = sort_specs[qid]
+            fkey = ((lambda r: int(r["dl"])) if field == "dl"
+                    else (lambda r: r["skey"] or ""))
+            if asc:
+                rs.sort(key=lambda r: (fkey(r), r["id"]))
+            else:
+                rs.sort(key=lambda r: r["id"])
+                rs.sort(key=fkey, reverse=True)
+            off = off_by_query[qid]
+            sorted_out.extend(
+                (qid, rank, r["id"], None)
+                for rank, r in enumerate(rs[off:off + k], off + 1)
+            )
+
     # mixed simple_query_string entries: each runs the combined bool
     # kernel as its own job (an ES _msearch body is a full search), then
     # joins the same shared fetch phase below
@@ -2325,7 +2455,8 @@ def search_many(
     # only — point reads (auto) or one doc_part-pruned join (spark) —
     # same pruning argument as the single-query path.
     if not rows:
-        return empty
+        return (_local_result(spark, sorted_out, _BATCH_FIELDS)
+                if sorted_out else empty)
     by_q: dict[str, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r)
@@ -2360,7 +2491,7 @@ def search_many(
                     resolved[off:off + k], off + 1
                 )
             )
-        return _local_result(spark, out_rows, _BATCH_FIELDS)
+        return _local_result(spark, out_rows + sorted_out, _BATCH_FIELDS)
 
     local = spark.createDataFrame(
         [
@@ -2381,13 +2512,124 @@ def search_many(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
-    return (
+    scored_df = (
         F.broadcast(local)
         .join(ds.select("doc_idx", "id"), "doc_idx")
         .withColumn("rank", F.row_number().over(w))
         .filter((F.col("rank") > F.col("off")) & (F.col("rank") <= F.col("off") + F.lit(k)))
         .select("query_id", "rank", "id", "score")
     )
+    if sorted_out:
+        scored_df = scored_df.unionByName(
+            _local_result(spark, sorted_out, _BATCH_FIELDS)
+        )
+    return scored_df
+
+
+def _make_batch_sort_kernel(
+    sort_q: dict[str, dict],
+    preds_by_query: dict[str, list[tuple[str, tuple[str, ...]]]],
+    parts_by_query: dict[str, set[int]],
+    n_by_query: dict[str, int],
+    docs_per_part: int,
+    dlr_by_query: dict[str, tuple[int, int]] | None = None,
+):
+    """Per-doc_part kernel for EVERY sorted msearch entry (cogroup
+    signature: postings, doc_stats): each term's doc list decodes once
+    and is shared by all entries containing it; per entry the matched
+    mask follows the facet-kernel bool logic, predicates and the dl
+    range evaluate directly on the metadata columns, the cursor filters,
+    and only the entry's top-k by (sort key, id) leaves the part.
+    Output rows carry the sort key (``skey`` for keyword fields, ``dl``
+    for the numeric one) so the driver merge is key-exact."""
+    dlr_by_query = dlr_by_query or {}
+    from ..functions.codecs import delta_decode, varint_decode
+
+    def kernel(post_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "id": [], "skey": [], "dl": []})
+        if len(post_pdf) == 0 or len(stats_pdf) == 0:
+            return empty
+        part = int(post_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        masks: dict[str, np.ndarray] = {}
+        for row in post_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+            m = np.zeros(docs_per_part, dtype=bool)
+            m[docs.astype(np.int64) - base] = True
+            masks[row.term] = m
+
+        local_all = stats_pdf["doc_idx"].to_numpy(np.int64) - base
+        out = []
+        for qid, s in sort_q.items():
+            pq = parts_by_query.get(qid)
+            if pq is not None and part not in pq:
+                continue
+            matched = None
+            counts = (np.zeros(docs_per_part, dtype=np.int32)
+                      if s["min_match"] > 1 else None)
+            for t in s["terms"]:
+                m = masks.get(t)
+                if m is None:
+                    m = np.zeros(docs_per_part, dtype=bool)
+                if counts is not None:
+                    counts += m
+                elif matched is None:
+                    matched = m.copy()
+                elif s["n_required"]:
+                    matched &= m
+                else:
+                    matched |= m
+            if counts is not None:
+                matched = counts >= s["min_match"]
+            if matched is None or not matched.any():
+                continue
+            for t in sorted(s["neg"]):
+                m = masks.get(t)
+                if m is not None:
+                    matched &= ~m
+            sel = stats_pdf[matched[local_all]]
+            if not len(sel):
+                continue
+            for f, vals in preds_by_query.get(qid) or []:
+                sel = sel[sel[f].isin(vals)]
+                if not len(sel):
+                    break
+            if not len(sel):
+                continue
+            dlr = dlr_by_query.get(qid)
+            if dlr is not None:
+                dlv = sel["dl"].to_numpy(np.int64)
+                sel = sel[(dlv >= dlr[0]) & (dlv <= dlr[1])]
+                if not len(sel):
+                    continue
+            field, asc = s["field"], s["asc"]
+            if field != "dl":
+                sel = sel.assign(**{field: sel[field].fillna("")})
+            if s["after"] is not None:
+                av, aid = s["after"]
+                col, ids = sel[field], sel["id"]
+                keep = (((col > av) | ((col == av) & (ids > aid)))
+                        if asc else
+                        ((col < av) | ((col == av) & (ids > aid))))
+                sel = sel[keep]
+                if not len(sel):
+                    continue
+            sel = sel.sort_values(
+                [field, "id"], ascending=[asc, True], kind="stable"
+            ).head(n_by_query[qid])
+            skey = (np.full(len(sel), "", dtype=object) if field == "dl"
+                    else sel[field].to_numpy(dtype=object))
+            out.append(pd.DataFrame({
+                "query_id": qid,
+                "id": sel["id"].to_numpy(dtype=object),
+                "skey": skey,
+                "dl": sel["dl"].to_numpy(np.int64),
+            }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return kernel
 
 
 def _make_batch_kernel(

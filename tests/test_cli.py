@@ -356,6 +356,32 @@ def test_cli_dl_range_filter(spark, tmp_path, capsys):
               "--dl-min", "1"])
 
 
+def test_cli_msearch_sorted_entries(spark, dirs, capsys, tmp_path):
+    """msearch bodies with a sort clause (ES sorted _msearch): field
+    order, null scores, mixed with scored entries in one batch."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx]) == 0
+    _lines(capsys)
+
+    qfile = str(tmp_path / "sorted_queries.json")
+    with open(qfile, "w") as fh:
+        json.dump({
+            "by_path": {"q": "def", "sort": "path"},
+            "scored": "def",
+        }, fh)
+    assert main(["msearch", "--index", idx, "--queries", qfile]) == 0
+    rows = _lines(capsys)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    sorted_rows = sorted(by_q["by_path"], key=lambda r: r["rank"])
+    # "def" matches app.py (src/app.py) and util.rb (lib/util.rb)
+    assert [r["id"] for r in sorted_rows] == ["repo2_lib/util.rb",
+                                              "repo1_src/app.py"]
+    assert all(r["score"] is None for r in sorted_rows)
+    assert all(r["score"] is not None for r in by_q["scored"])
+
+
 def test_cli_more_like_this(spark, dirs, capsys):
     """search --like DOC_ID (ES more_like_this analog): similar docs by
     shared interesting terms, the source doc excluded."""

@@ -567,6 +567,69 @@ def test_dl_range_filter_matches_referee(index, oracle):
         search(index, "if", dl_range=(10, 5))
 
 
+def test_search_many_sorted_entries_match_single(index):
+    """Sorted msearch bodies (ES sort in _msearch): every sorted entry
+    reproduces sort_search exactly — mixed with scored entries, bool
+    knobs, filters, from, and the (sort_value, id) cursor; scores are
+    NULL for sorted hits as in ES."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        search_many,
+        sort_search,
+    )
+
+    p1 = sort_search(index, "get user", sort="path", k=4).collect()
+    cur = [p1[-1]["path"], p1[-1]["id"]]
+    qs = {
+        "s0": {"q": "get user", "sort": "path"},
+        "s1": {"q": "if", "sort": "dl:desc", "lang": "Python"},
+        "s2": {"q": "def return", "sort": "id", "operator": "and"},
+        "s3": {"q": "get user if", "sort": "repo:desc",
+               "minimum_should_match": 2},
+        "s4": {"q": "get user", "sort": "path", "from": 3},
+        "s5": {"q": "get user", "sort": "path", "search_after": cur},
+        "s6": {"q": "zzz_nope", "sort": "path"},
+        "t0": "get user",  # a scored entry shares the batch
+    }
+    rows = search_many(index, qs, k=4).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    singles = {
+        "s0": sort_search(index, "get user", sort="path", k=4),
+        "s1": sort_search(index, "if", sort="dl", ascending=False, k=4,
+                          lang="Python"),
+        "s2": sort_search(index, "def return", sort="id", k=4,
+                          operator="and"),
+        "s3": sort_search(index, "get user if", sort="repo",
+                          ascending=False, k=4, minimum_should_match=2),
+        "s4": sort_search(index, "get user", sort="path", k=4, offset=3),
+        "s5": sort_search(index, "get user", sort="path", k=4,
+                          search_after=(cur[0], cur[1])),
+        "s6": sort_search(index, "zzz_nope", sort="path", k=4),
+    }
+    for qid, single in singles.items():
+        exp_ids = [r["id"] for r in single.collect()]
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["id"] for r in got] == exp_ids, (qid, got, exp_ids)
+        assert all(r["score"] is None for r in got), qid
+        off = qs[qid].get("from", 0) if isinstance(qs[qid], dict) else 0
+        assert [r["rank"] for r in got] == list(
+            range(off + 1, off + 1 + len(exp_ids)))
+    # the scored entry is unaffected
+    from gitlab_elasticsearch_indexer_spark.operators.query import search
+
+    exp = [(r["id"], round(r["score"], 9)) for r in
+           search(index, "get user", k=4).collect()]
+    got = sorted(by_q["t0"], key=lambda r: r["rank"])
+    assert [(r["id"], round(r["score"], 9)) for r in got] == exp
+
+    with pytest.raises(ValueError, match="sort"):
+        search_many(index, {"a": {"q": "if", "sort": "path",
+                                  "phrase": True}})
+    with pytest.raises(ValueError, match="sort must be"):
+        search_many(index, {"a": {"q": "if", "sort": "score"}})
+
+
 def test_bool_validation_errors(index):
     from gitlab_elasticsearch_indexer_spark.operators.query import search_many
 
