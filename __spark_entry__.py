@@ -357,6 +357,83 @@ SELECT * FROM e1 UNION ALL SELECT * FROM e2
 """
 
 
+def q_explain_fields(spark, sf_dir):
+    """B47: ES _explain on the multi-field bool-should shape — per
+    (field, term) clause rows for a pinned doc (the lowest-id doc NAMED
+    merge.txt whose content also contains 'sort', so BOTH fields
+    contribute), with the file_name field boosted 2×.  Contributions
+    sum exactly to the doc's multi_search score (pytest-pinned); the
+    oracle replays every clause column per field, boost folded in."""
+    idx = _mf_index(spark, sf_dir)
+    d = _docs_mf(spark, sf_dir)
+    did = (
+        d.filter(F.col("path").endswith("/merge.txt"))
+        .filter(F.array_contains(F.split(F.lower("content"), r"\s+"), "sort"))
+        .agg(F.min("id")).collect()[0][0]
+    )
+    ex = q.explain_fields(idx, "merge.txt sort", did,
+                          fields=("content", "file_name^2"))
+    return ex.select(
+        "field", "term", "occurrences",
+        F.round("idf", 4).alias("idf"), "tf", "dl",
+        F.round("tfn", 4).alias("tfn"),
+        F.round("contribution", 4).alias("contribution"),
+    )
+
+
+SQL_EXPLAIN_FIELDS = f"""
+WITH {_TOK_CTE.strip()},
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+fn AS (
+    SELECT {_DOC_ID_SQL} AS id,
+           lower(string_split_regex(text, '\\s+')[1]) || '.txt' AS name
+    FROM documents
+),
+fn_n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fdf AS (SELECT name, count(*)::DOUBLE AS df FROM fn GROUP BY 1),
+pin AS (
+    SELECT min(fn.id) AS id FROM fn
+    WHERE fn.name = 'merge.txt'
+      AND EXISTS (SELECT 1 FROM tok
+                  WHERE tok.id = fn.id AND tok.term = 'sort')
+),
+content_rows AS (
+    SELECT 'content' AS field, tf.term, 1 AS occurrences,
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS idf,
+           tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+           tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS tfn
+    FROM pin JOIN tf ON tf.id = pin.id
+    JOIN df USING (term) JOIN dl ON dl.id = pin.id
+    CROSS JOIN stats s
+    WHERE tf.term IN ('merge.txt', 'sort')
+),
+name_rows AS (
+    SELECT 'file_name' AS field, fn.name AS term, 1 AS occurrences,
+           ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5)) AS idf,
+           1::BIGINT AS tf, 1::BIGINT AS dl,
+           1.0 / (1.0 + {K1}) AS tfn
+    FROM pin JOIN fn ON fn.id = pin.id JOIN fdf USING (name)
+    CROSS JOIN fn_n s
+    WHERE fn.name IN ('merge.txt', 'sort')
+),
+clauses AS (
+    SELECT field, term, occurrences, idf, tf, dl, tfn,
+           occurrences * idf * 1.0 * tfn AS contribution
+    FROM content_rows
+    UNION ALL
+    SELECT field, term, occurrences, idf, tf, dl, tfn,
+           occurrences * idf * 2.0 * tfn AS contribution
+    FROM name_rows
+)
+SELECT field, term, occurrences, round(idf, 4) AS idf, tf, dl,
+       round(tfn, 4) AS tfn, round(contribution, 4) AS contribution
+FROM clauses ORDER BY field, term
+"""
+
+
 def q_min_should_match(spark, sf_dir):
     """ES minimum_should_match: hits must match at least 2 of the 3
     analyzed query terms — the middle ground between OR (any term) and
@@ -2853,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b44_sort_search": q_sort_search,
         "b45_range_filter": q_range_filter,
         "b46_msearch_sorted": q_msearch_sorted,
+        "b47_explain_fields": q_explain_fields,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -2954,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
         "b44_sort_search": SQL_SORT_SEARCH,
         "b45_range_filter": SQL_RANGE_FILTER,
         "b46_msearch_sorted": SQL_MSEARCH_SORTED,
+        "b47_explain_fields": SQL_EXPLAIN_FIELDS,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

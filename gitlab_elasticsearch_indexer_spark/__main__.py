@@ -257,6 +257,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("--id", required=True, dest="doc_id")
     ex.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
+    ex.add_argument("--fields", default=None,
+                    help="explain the multi-field bool-should score "
+                         "instead: comma-separated field list, boost "
+                         "suffixes allowed (content,file_name^2)")
 
     c = sub.add_parser("count", help="total matching documents (ES _count "
                                      "analog): partition-local popcounts, "
@@ -586,9 +590,16 @@ def main(argv: list[str] | None = None) -> int:
         root = (args.index if args.doc_type == "blob"
                 else f"{args.index}/commit_index")
         idx = inc.load_versioned(spark, root)
-        rows = q.explain(idx, args.query, args.doc_id).collect()
+        if args.fields:
+            rows = q.explain_fields(
+                idx, args.query, args.doc_id,
+                fields=tuple(args.fields.split(",")),
+            ).collect()
+        else:
+            rows = q.explain(idx, args.query, args.doc_id).collect()
         clauses = [
-            {"term": r["term"], "occurrences": r["occurrences"],
+            {**({"field": r["field"]} if args.fields else {}),
+             "term": r["term"], "occurrences": r["occurrences"],
              "idf": r["idf"], "tf": r["tf"], "dl": r["dl"], "tfn": r["tfn"],
              "contribution": r["contribution"]}
             for r in rows

@@ -3688,6 +3688,77 @@ def explain(index: InvertedIndex, query: str, doc_id: str) -> DataFrame:
     return _local_result(spark, out, EXPLAIN_FIELDS)
 
 
+EXPLAIN_MF_FIELDS = [("field", "string")] + EXPLAIN_FIELDS
+
+
+def explain_fields(
+    index: InvertedIndex,
+    query: str,
+    doc_id: str,
+    fields: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """ES ``_explain`` for the multi-field bool-should shape: one row
+    per (field, matching analyzed term) with the same clause columns as
+    :func:`explain` — each field analyzes the query with ITS chain and
+    normalizes with ITS avgdl/idf; a ``^boost`` suffix folds into the
+    contribution exactly as :func:`multi_score_plan` folds it into the
+    clause weight.  Summing ``contribution`` reproduces the doc's
+    :func:`multi_search` score exactly.
+
+    Same point plan as :func:`explain`, once per involved field: a
+    pushed doc_stats id lookup, then per-field postings scans pruned to
+    that field's query terms AND the doc's single doc_part."""
+    spark = index.postings.sparkSession
+    built = index.fields or {}
+    if fields is None:
+        fields = ("content", *sorted(built))
+    boosted = _parse_field_boosts(fields)
+    unknown = [f for f, _ in boosted if f != "content" and f not in built]
+    if unknown:
+        raise ValueError(f"index has no field(s) {unknown!r}")
+    drows = index.doc_stats.filter(F.col("id") == doc_id).select(
+        "doc_idx", "doc_part"
+    ).collect()
+    if not drows:
+        raise ValueError(f"doc id {doc_id!r} not found in the index")
+    doc_idx, doc_part = int(drows[0]["doc_idx"]), int(drows[0]["doc_part"])
+
+    out = []
+    for f, boost in boosted:
+        if f == "content":
+            chain = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+            weights = Counter(chain(query))
+            idf = index.idf_map(list(weights))
+            post, avgdl = index.postings, index.avgdl
+        else:
+            fh = built[f]
+            chain = FIELD_QUERY_ANALYZERS.get(fh.analyzer,
+                                              code_search_analyze)
+            weights = Counter(chain(query))
+            idf = index.field_idf(f, list(weights))
+            post, avgdl = fh.postings, fh.avgdl
+        live = [t for t in weights if t in idf]
+        if not live:
+            continue
+        prows = post.filter(
+            (F.col("term").isin(live)) & (F.col("doc_part") == doc_part)
+        ).select("term", "docs_bin", "tfs_bin", "dls_bin").collect()
+        for r in prows:
+            docs, tfs, dls = unpack_postings(
+                bytes(r["docs_bin"]), bytes(r["tfs_bin"]), bytes(r["dls_bin"])
+            )
+            pos = int(np.searchsorted(docs, doc_idx))
+            if pos >= len(docs) or int(docs[pos]) != doc_idx:
+                continue
+            tf, dl = int(tfs[pos]), int(dls[pos])
+            tfn = float(_tfn(np.array([tf]), np.array([dl]), avgdl)[0])
+            occ = int(weights[r["term"]])
+            out.append((f, r["term"], occ, float(idf[r["term"]]), tf, dl,
+                        tfn, occ * idf[r["term"]] * boost * tfn))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return _local_result(spark, out, EXPLAIN_MF_FIELDS)
+
+
 def _make_facet_kernel(
     fields: tuple[str, ...],
     predicates: list[tuple[str, tuple[str, ...]]],

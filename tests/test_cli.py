@@ -769,6 +769,17 @@ def test_cli_fields_sha_and_msearch_fields(spark, dirs, capsys, tmp_path):
     rows = _lines(capsys)
     assert [r["id"] for r in rows] == ["repo1_" + "e" * 40]
 
+    # explain --fields: per-(field, term) clause rows reassemble the
+    # multi-field score the search reported (boost syntax included)
+    assert main(["search", "--index", idx, "--query", "util.rb merge",
+                 "--fields", "content,file_name^2", "--k", "1"]) == 0
+    hit = _lines(capsys)[0]
+    assert main(["explain", "--index", idx, "--query", "util.rb merge",
+                 "--fields", "content,file_name^2", "--id", hit["id"]]) == 0
+    ex = _lines(capsys)[0]
+    assert abs(ex["score"] - hit["score"]) < 1e-4
+    assert all("field" in c for c in ex["clauses"])
+
     # msearch with a fields entry mixed with a plain term entry
     qf = tmp_path / "q.json"
     qf.write_text(json.dumps({

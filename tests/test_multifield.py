@@ -549,6 +549,33 @@ def test_field_boosts_batch_parity_and_validation(mf_index):
         multi_search(mf_index, "x", fields=("nope^2",))
 
 
+def test_explain_fields_reassembles_multi_search_score(mf_index):
+    """ES _explain on the bool-should multi-field shape: per (field,
+    term) clause rows whose contributions sum EXACTLY to the doc's
+    multi_search score — boosts folded into the contribution the same
+    way the scorer folds them into clause weights."""
+    import math as _m
+
+    for flds in (("content", "file_name"), ("content", "file_name^3"),
+                 ("content", "path", "file_name")):
+        hits = q.multi_search(mf_index, "user_controller.rb handler",
+                              k=5, fields=flds).collect()
+        assert hits
+        for h in hits[:2]:
+            rows = q.explain_fields(mf_index, "user_controller.rb handler",
+                                    h["id"], fields=flds).collect()
+            total = sum(r["contribution"] for r in rows)
+            assert _m.isclose(total, h["score"], rel_tol=1e-12), (
+                flds, h["id"], total, h["score"])
+            assert all(r["field"] in {f.partition("^")[0] for f in flds}
+                       for r in rows)
+
+    with pytest.raises(ValueError, match="not found"):
+        q.explain_fields(mf_index, "x", "no_such_doc")
+    with pytest.raises(ValueError, match="no field"):
+        q.explain_fields(mf_index, "x", DOCS[0][0], fields=("nope",))
+
+
 def test_search_many_rejects_phrase_plus_fields(mf_index):
     import pytest as _pt
 
