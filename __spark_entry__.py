@@ -315,6 +315,86 @@ LIMIT 15
 """
 
 
+def q_match_all_sort(spark, sf_dir):
+    """B48: ES match_all + sort — the filter-only browse query (GitLab's
+    file listing: every doc in the repo scope, field-ordered, no
+    scores).  The plan is PURE Catalyst: a column-pruned doc_stats scan
+    with the repo/dl predicates pushed to parquet feeding a native
+    orderBy+limit, which Spark executes as TakeOrderedAndProject —
+    per-partition top-k then a driver merge (the ES sorted-search shard
+    plan) with zero Python and no postings touched."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.sort_search(idx, None, sort="dl", ascending=True, k=20,
+                         repo=["src3", "src7"], dl_range=(32, None))
+    return hits.select("id", "repo", "lang",
+                       F.col("dl").cast("long").alias("dl"))
+
+
+SQL_MATCH_ALL_SORT = f"""
+WITH {_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents)
+SELECT meta.id AS id, meta.repo AS repo, meta.lang AS lang,
+       coalesce(dl.dl, 0) AS dl
+FROM meta LEFT JOIN dl ON dl.id = meta.id
+WHERE meta.repo IN ('src3', 'src7') AND coalesce(dl.dl, 0) >= 32
+ORDER BY coalesce(dl.dl, 0) ASC, meta.id ASC LIMIT 20
+"""
+
+
+def q_match_all_facets(spark, sf_dir):
+    """B49: ES match_all + terms aggregation — GitLab's repository
+    language-statistics chart: per-language doc counts over EVERY live
+    doc in the repo scope, plus the ``_total`` row (the _count analog).
+    Pure Catalyst: filtered doc_stats scan → native groupBy — no
+    postings, no Python, whole-stage codegen end to end."""
+    idx = _shared_index(spark, sf_dir)
+    return q.facet_counts(idx, None, fields=("lang",),
+                          repo=["src1", "src2", "src5"], include_total=True)
+
+
+SQL_MATCH_ALL_FACETS = f"""
+WITH base AS (
+    SELECT {_DOC_ID_SQL} AS id, lang FROM documents
+    WHERE source IN ('src1', 'src2', 'src5')
+)
+SELECT * FROM (
+    SELECT 'lang' AS field, lang AS value, count(*)::BIGINT AS n
+    FROM base GROUP BY lang
+    UNION ALL
+    SELECT '_total' AS field, '' AS value, count(*)::BIGINT AS n FROM base
+)
+WHERE n > 0
+ORDER BY n DESC, field, value
+"""
+
+
+def q_match_all_must_not(spark, sf_dir):
+    """B50: ES bool { must_not } with no scoring clause — match_all
+    minus the docs containing an excluded term ("files WITHOUT X", the
+    missing-license-header query), sorted by dl desc.  The excluded
+    term's postings cogroup with the natively-filtered doc_stats; the
+    per-part kernel subtracts the decoded doc set before its top-k, so
+    nothing per-doc leaves a partition."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.sort_search(idx, None, sort="dl", ascending=False, k=15,
+                         must_not="merge")
+    return hits.select("id", "repo", "lang",
+                       F.col("dl").cast("long").alias("dl"))
+
+
+SQL_MATCH_ALL_MUST_NOT = f"""
+WITH {_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents)
+SELECT meta.id AS id, meta.repo AS repo, meta.lang AS lang,
+       coalesce(dl.dl, 0) AS dl
+FROM meta LEFT JOIN dl ON dl.id = meta.id
+WHERE meta.id NOT IN (SELECT DISTINCT id FROM tok WHERE term = 'merge')
+ORDER BY coalesce(dl.dl, 0) DESC, meta.id ASC LIMIT 15
+"""
+
+
 def q_msearch_sorted(spark, sf_dir):
     """B46: sorted bodies in the batched path (ES _msearch with sort
     clauses) — every sorted entry of the batch shares ONE cogroup job
@@ -2931,6 +3011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b45_range_filter": q_range_filter,
         "b46_msearch_sorted": q_msearch_sorted,
         "b47_explain_fields": q_explain_fields,
+        "b48_match_all_sort": q_match_all_sort,
+        "b49_match_all_facets": q_match_all_facets,
+        "b50_match_all_must_not": q_match_all_must_not,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3033,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
         "b45_range_filter": SQL_RANGE_FILTER,
         "b46_msearch_sorted": SQL_MSEARCH_SORTED,
         "b47_explain_fields": SQL_EXPLAIN_FIELDS,
+        "b48_match_all_sort": SQL_MATCH_ALL_SORT,
+        "b49_match_all_facets": SQL_MATCH_ALL_FACETS,
+        "b50_match_all_must_not": SQL_MATCH_ALL_MUST_NOT,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -117,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--query", default=None)
+    s.add_argument("--match-all", action="store_true", dest="match_all",
+                   help="ES match_all in filter context: every live doc "
+                        "passing --lang/--repo/--not/--dl-min/--dl-max — "
+                        "use with --sort (browse, e.g. a repo's files by "
+                        "path) and/or --stats/--histogram/--facet (corpus "
+                        "aggregations, e.g. the per-language doc counts); "
+                        "hits are not scored")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--from", dest="offset", type=int, default=0,
                    help="pagination offset (the ES from analog)")
@@ -266,7 +273,10 @@ def main(argv: list[str] | None = None) -> int:
                                      "analog): partition-local popcounts, "
                                      "no scoring, no fetch")
     c.add_argument("--index", required=True)
-    c.add_argument("--query", required=True)
+    c.add_argument("--query", default=None)
+    c.add_argument("--match-all", action="store_true", dest="match_all",
+                   help="count every live doc passing the filters "
+                        "(ES match_all; composes with --not)")
     c.add_argument("--lang", action="append", default=None,
                    help="language filter; repeatable (ES terms filter)")
     c.add_argument("--repo", action="append", default=None,
@@ -609,6 +619,14 @@ def main(argv: list[str] | None = None) -> int:
                           "matched": len(clauses), "clauses": clauses}))
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
+        if (args.query is None) == (not args.match_all):
+            ap.error("count needs exactly one of --query / --match-all")
+        if args.match_all and (args.prefix or args.fuzzy or args.wildcard
+                               or args.regexp or args.operator != "or"
+                               or args.min_should_match > 1):
+            ap.error("--match-all composes with --lang/--repo/--not/"
+                     "--dl-min/--dl-max only (no should clauses to "
+                     "rewrite or match)")
         if sum(map(bool, (args.prefix, args.fuzzy, args.wildcard,
                           args.regexp))) > 1:
             ap.error("--prefix, --fuzzy, --wildcard, and --regexp are "
@@ -650,8 +668,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"count": n}))
     else:  # search
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
-        if sum(x is not None for x in (args.query, args.sha, args.like)) != 1:
-            ap.error("search needs exactly one of --query / --sha / --like")
+        n_src = (sum(x is not None for x in (args.query, args.sha, args.like))
+                 + bool(args.match_all))
+        if n_src != 1:
+            ap.error("search needs exactly one of --query / --sha / --like "
+                     "/ --match-all")
+        if args.match_all and (args.phrase or args.fields or args.prefix
+                               or args.fuzzy or args.wildcard or args.regexp
+                               or args.phrase_prefix or args.qs or args.bmw
+                               or args.highlight or args.operator != "or"
+                               or args.min_should_match > 1):
+            ap.error("--match-all composes with --sort, the aggregations "
+                     "(--stats/--histogram/--facet), --lang/--repo/--not/"
+                     "--dl-min/--dl-max, --from and --after (no should "
+                     "clauses — nothing to score, analyze, or rewrite)")
+        if args.match_all and not (args.sort or args.stats or args.histogram
+                                   or args.facet):
+            ap.error("--match-all needs --sort and/or an aggregation "
+                     "(--stats/--histogram/--facet): ES match_all hits "
+                     "carry no relevance order")
         if sum(map(bool, (args.sha, args.like, args.phrase, args.fields,
                           args.prefix, args.fuzzy, args.wildcard,
                           args.regexp, args.phrase_prefix))) > 1:
@@ -726,6 +761,8 @@ def main(argv: list[str] | None = None) -> int:
                 offset=args.offset, search_after=sort_after,
                 dl_range=dl_range,
             )
+        elif args.match_all:
+            hits = None  # aggregation-only match_all: no hit list
         elif args.like is not None:
             hits = q.more_like_this(
                 idx, args.like, k=args.k, lang=args.lang, repo=args.repo,
@@ -863,7 +900,7 @@ def main(argv: list[str] | None = None) -> int:
             for r in fc.collect():
                 facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])
             print(json.dumps({"facets": facets}))
-        rows = hits.collect()
+        rows = hits.collect() if hits is not None else []
         frags: dict = {}
         if args.highlight:
             from .operators.highlight import highlight_hits

@@ -1765,6 +1765,7 @@ def search_many(
     msm_by_query: dict[str, int] = {}  # qid -> minimum_should_match (>1)
     dlr_by_query: dict[str, tuple[int, int]] = {}  # qid -> dl range
     sort_specs: dict[str, tuple[str, bool]] = {}  # qid -> (field, asc)
+    match_all_qids: set[str] = set()  # sorted match_all bodies
     sort_after: dict[str, tuple] = {}  # qid -> (sort_value, id)
     cursor_specs: dict[str, tuple[float, str]] = {}  # qid -> (score, id)
     mixed_qs: dict[str, dict] = {}  # qid -> parsed mixed qs entry
@@ -1819,6 +1820,27 @@ def search_many(
             specs[qid] = (spec, None, None)
             off_by_query[qid] = offset
         else:
+            if spec.get("match_all"):
+                # ES match_all body: only meaningful sorted (no scores);
+                # rides the shared sort job with an all-docs mask
+                if spec.get("sort") is None:
+                    raise ValueError(
+                        f"batch entry {qid!r}: match_all needs a sort "
+                        "(match_all hits carry no relevance order)"
+                    )
+                if (spec.get("q") or spec.get("phrase") or spec.get("fields")
+                        or spec.get("prefix") or spec.get("fuzzy")
+                        or spec.get("wildcard") or spec.get("regexp")
+                        or spec.get("phrase_prefix")
+                        or spec.get("operator", "or") != "or"
+                        or spec.get("minimum_should_match", 0)):
+                    raise ValueError(
+                        f"batch entry {qid!r}: match_all composes with "
+                        "sort/lang/repo/must_not/dl_range/from/search_after "
+                        "only"
+                    )
+                match_all_qids.add(qid)
+                spec = {**spec, "q": ""}
             specs[qid] = (spec["q"], _norm_kw(spec.get("lang")),
                           _norm_kw(spec.get("repo")))
             off_by_query[qid] = int(spec.get("from", offset))
@@ -2133,6 +2155,14 @@ def search_many(
         })
         s_idf = index.idf_map(s_terms_all)
         for qid, (field, asc) in sort_specs.items():
+            if qid in match_all_qids:
+                sort_q[qid] = {
+                    "terms": [], "neg": neg_by_query.get(qid, frozenset()),
+                    "n_required": 0, "min_match": 0, "match_all": True,
+                    "field": field, "asc": asc,
+                    "after": sort_after.get(qid),
+                }
+                continue
             terms = sorted(set(analyze_query(specs[qid][0])))
             s_live = [t for t in terms if t in s_idf]
             neg = neg_by_query.get(qid, frozenset())
@@ -2545,11 +2575,13 @@ def _make_batch_sort_kernel(
     dlr_by_query = dlr_by_query or {}
     from ..functions.codecs import delta_decode, varint_decode
 
+    any_match_all = any(s.get("match_all") for s in sort_q.values())
+
     def kernel(post_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "id": [], "skey": [], "dl": []})
-        if len(post_pdf) == 0 or len(stats_pdf) == 0:
+        if len(stats_pdf) == 0 or (len(post_pdf) == 0 and not any_match_all):
             return empty
-        part = int(post_pdf["doc_part"].iloc[0])
+        part = int(stats_pdf["doc_part"].iloc[0])
         base = part * docs_per_part
         masks: dict[str, np.ndarray] = {}
         for row in post_pdf.itertuples(index=False):
@@ -2581,6 +2613,8 @@ def _make_batch_sort_kernel(
                     matched |= m
             if counts is not None:
                 matched = counts >= s["min_match"]
+            if s.get("match_all"):
+                matched = np.ones(docs_per_part, dtype=bool)
             if matched is None or not matched.any():
                 continue
             for t in sorted(s["neg"]):
@@ -2902,9 +2936,194 @@ def mget(index: InvertedIndex, doc_ids: list[str]) -> DataFrame:
 FACET_SCHEMA = "field string, value string, n long"
 
 
+_MATCH_ALL_FACET_FIELDS = ("lang", "repo")
+
+
+def _match_all_docs(index, predicates, repo_t, dl_range):
+    """Pure-Catalyst relation of every live doc passing the keyword
+    filters / routing / dl range — the ES ``match_all`` query in filter
+    context.  One column-pruned ``doc_stats`` scan with every predicate
+    pushed to parquet (In/EqualTo/range reach the reader); no postings,
+    no Python.  Returns ``None`` when routing proves nothing matches.
+    ``dl_range`` is pre-normalized concrete bounds (or None)."""
+    stats = index.doc_stats.select(
+        "doc_part", "doc_idx", "id", "repo", "path", "lang", "dl"
+    )
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return None
+        stats = stats.filter(F.col("doc_part").isin(parts))
+    for f, vals in predicates:
+        stats = stats.filter(F.col(f).isin(list(vals)))
+    if dl_range is not None:
+        stats = stats.filter(
+            (F.col("dl") >= int(dl_range[0])) & (F.col("dl") <= int(dl_range[1]))
+        )
+    return stats
+
+
+def _match_all_neg(index, must_not: str | None):
+    """Analyzed live must_not terms for a match_all query (dead terms
+    exclude nothing)."""
+    if not must_not:
+        return []
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    neg = sorted(set(analyze_query(must_not)))
+    idf = index.idf_map(neg)
+    return [t for t in neg if t in idf]
+
+
+def _excluded_sel(postings_pdf, stats_pdf: pd.DataFrame, docs_per_part: int):
+    """Shared by the match_all must_not kernels: this doc_part's
+    doc_stats rows minus the docs matching any excluded term (decoded
+    from the cogrouped neg-pruned postings rows).  Predicates/dl-range
+    are already pushed into the stats scan natively."""
+    from ..functions.codecs import delta_decode, varint_decode
+
+    if postings_pdf is None or not len(postings_pdf):
+        return stats_pdf
+    part = int(stats_pdf["doc_part"].iloc[0])
+    base = part * docs_per_part
+    excl = np.zeros(docs_per_part, dtype=bool)
+    for row in postings_pdf.itertuples(index=False):
+        docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+        excl[docs.astype(np.int64) - base] = True
+    return stats_pdf[~excl[stats_pdf["doc_idx"].to_numpy(np.int64) - base]]
+
+
+def _make_match_all_facet_kernel(
+    fields: tuple[str, ...], docs_per_part: int, include_total: bool
+):
+    """match_all + must_not facet kernel (cogroup signature: neg-pruned
+    postings, natively-filtered doc_stats): per-part (field, value, n)
+    partials from the surviving metadata rows — nothing per-doc leaves
+    the partition."""
+
+    def kernel(postings_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"field": [], "value": [], "n": []})
+        if not len(stats_pdf):
+            return empty
+        sel = _excluded_sel(postings_pdf, stats_pdf, docs_per_part)
+        if not len(sel):
+            return empty
+        frames = []
+        for f in fields:
+            vc = sel[f].fillna("").value_counts()
+            frames.append(pd.DataFrame({
+                "field": f,
+                "value": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy(np.int64),
+            }))
+        if include_total:
+            frames.append(pd.DataFrame(
+                {"field": ["_total"], "value": [""], "n": [len(sel)]}
+            ))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return kernel
+
+
+def _make_match_all_metric_kernel(docs_per_part: int, interval: int | None):
+    """match_all + must_not stats/histogram kernel: dl partials from the
+    surviving doc_stats rows (dl is a doc_stats column — no posting
+    payloads needed)."""
+
+    def kernel(postings_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"bucket": [], "n": [], "sum_dl": [], "min_dl": [], "max_dl": []}
+        )
+        if not len(stats_pdf):
+            return empty
+        sel = _excluded_sel(postings_pdf, stats_pdf, docs_per_part)
+        if not len(sel):
+            return empty
+        d = sel["dl"].to_numpy(np.int64)
+        if interval:
+            b = (d // interval) * interval
+            ub, cnt = np.unique(b, return_counts=True)
+            z = np.zeros(len(ub), dtype=np.int64)
+            return pd.DataFrame({"bucket": ub, "n": cnt.astype(np.int64),
+                                 "sum_dl": z, "min_dl": z, "max_dl": z})
+        return pd.DataFrame({
+            "bucket": [0], "n": [int(d.size)], "sum_dl": [int(d.sum())],
+            "min_dl": [int(d.min())], "max_dl": [int(d.max())],
+        })
+
+    return kernel
+
+
+def _match_all_cogroup(index, neg_live, stats, kernel, schema):
+    """Cogroup plan of the match_all must_not paths: the postings scan
+    pruned to ONLY the excluded terms (column-pruned to docs_bin)
+    against the natively-filtered doc_stats; per-part partial rows are
+    the only shuffle."""
+    cand = index.postings.filter(
+        F.col("term").isin(list(neg_live))
+    ).select("doc_part", "term", "docs_bin")
+    return (
+        cand.groupBy("doc_part")
+        .cogroup(stats.groupBy("doc_part"))
+        .applyInPandas(kernel, schema=schema)
+    )
+
+
+def _facet_counts_match_all(
+    index, fields, lang, repo, include_total, must_not, dl_range
+) -> DataFrame:
+    """match_all facet/count plan (see :func:`facet_counts`)."""
+    for f in fields:
+        if f not in _MATCH_ALL_FACET_FIELDS:
+            raise ValueError(
+                f"match_all facets support fields {_MATCH_ALL_FACET_FIELDS}, "
+                f"got {f!r}"
+            )
+    spark = index.postings.sparkSession
+    empty = _local_result(
+        spark, [], [("field", "string"), ("value", "string"), ("n", "long")]
+    )
+    predicates, repo_t = _kw_predicates(lang, repo)
+    dlr = _norm_dl_range(dl_range)
+    stats = _match_all_docs(index, predicates, repo_t, dlr)
+    if stats is None:
+        return empty
+    neg_live = _match_all_neg(index, must_not)
+    if neg_live:
+        partial = _match_all_cogroup(
+            index, neg_live, stats,
+            _make_match_all_facet_kernel(
+                tuple(fields), index.docs_per_part, include_total
+            ),
+            FACET_SCHEMA,
+        )
+    else:
+        pieces = [
+            stats.groupBy(
+                F.lit(f).alias("field"),
+                F.coalesce(F.col(f), F.lit("")).alias("value"),
+            ).agg(F.count(F.lit(1)).alias("n"))
+            for f in fields
+        ]
+        if include_total:
+            pieces.append(stats.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("_total").alias("field"), F.lit("").alias("value"), "n"
+            ))
+        if not pieces:
+            return empty
+        partial = pieces[0]
+        for p in pieces[1:]:
+            partial = partial.unionByName(p)
+    return (
+        partial.groupBy("field", "value")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+        .orderBy(F.col("n").desc(), F.col("field"), F.col("value"))
+    )
+
+
 def facet_counts(
     index: InvertedIndex,
-    query: str,
+    query: str | None,
     fields: tuple[str, ...] = ("lang",),
     lang: str | list[str] | None = None,
     repo: str | list[str] | None = None,
@@ -2950,9 +3169,25 @@ def facet_counts(
     clause counts instead of the boolean union).  ``dl_range`` mirrors
     the ES range filter the same way (the scan then also reads
     dls_bin).
+
+    ``query=None`` (with ``pre_terms=None``) is the ES **match_all**
+    query in filter context — aggregations over EVERY live document
+    passing the filters (GitLab's repository language-statistics chart
+    is exactly this shape).  Without ``must_not`` the whole plan is
+    pure Catalyst: a column-pruned doc_stats scan with the predicates
+    pushed to parquet, a native groupBy per facet field — no postings,
+    no Python, whole-stage codegen end to end.  With ``must_not`` the
+    excluded terms' postings cogroup with the filtered doc_stats and a
+    per-part kernel subtracts them before the partial counts.  The
+    ``operator``/``minimum_should_match`` knobs are ignored for
+    match_all (no should clauses to apply them to — ES semantics).
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    if pre_terms is None and query is None:
+        return _facet_counts_match_all(
+            index, fields, lang, repo, include_total, must_not, dl_range
+        )
     msm = int(minimum_should_match or 0)
     if msm < 0:
         raise ValueError("minimum_should_match must be >= 0")
@@ -3036,7 +3271,7 @@ def facet_counts(
 
 def match_count(
     index: InvertedIndex,
-    query: str,
+    query: str | None,
     lang: str | list[str] | None = None,
     repo: str | list[str] | None = None,
     operator: str = "or",
@@ -3051,7 +3286,9 @@ def match_count(
     filters) — same partitioned popcount plan as :func:`facet_counts`,
     no scoring, no fetch.  ``pre_terms`` counts docs matching ANY of
     the given already-analyzed terms (a prefix/fuzzy/wildcard/regexp
-    expansion), ignoring ``query``."""
+    expansion), ignoring ``query``.  ``query=None`` counts every live
+    doc passing the filters (ES match_all — pure Catalyst unless
+    ``must_not`` is given; see :func:`facet_counts`)."""
     rows = facet_counts(
         index, query, fields=(), lang=lang, repo=repo, include_total=True,
         operator=operator, must_not=must_not, pre_terms=pre_terms,
@@ -3083,7 +3320,15 @@ def _metric_partials(
     doc's dl for BM25), so NO doc_stats join and nothing per-doc ever
     leaves a partition.  Only ≤ n_parts (stats) or ≤ n_parts·n_buckets
     (histogram) tiny partial rows shuffle.  ``None`` means nothing can
-    match."""
+    match.
+
+    ``query=None`` (with ``pre_terms=None``) aggregates over EVERY live
+    doc passing the filters (ES match_all): without ``must_not`` the
+    partials are a native Catalyst aggregation of the doc_stats ``dl``
+    column (predicates pushed to parquet, no postings, no Python); with
+    ``must_not`` the excluded terms' postings cogroup with the filtered
+    doc_stats and a per-part kernel subtracts them.  The bool knobs are
+    ignored for match_all (no should clauses — ES semantics)."""
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     msm = int(minimum_should_match or 0)
@@ -3091,6 +3336,32 @@ def _metric_partials(
         raise ValueError("minimum_should_match must be >= 0")
     if msm > 1 and operator == "and":
         raise ValueError("minimum_should_match applies to operator='or'")
+    if pre_terms is None and query is None:
+        predicates, repo_t = _kw_predicates(lang, repo)
+        stats = _match_all_docs(index, predicates, repo_t,
+                                _norm_dl_range(dl_range))
+        if stats is None:
+            return None
+        neg_live = _match_all_neg(index, must_not)
+        if neg_live:
+            return _match_all_cogroup(
+                index, neg_live, stats,
+                _make_match_all_metric_kernel(index.docs_per_part, interval),
+                METRIC_PARTIAL_SCHEMA,
+            )
+        z = F.lit(0).cast("long")
+        if interval:
+            return stats.groupBy(
+                (F.floor(F.col("dl") / interval) * interval)
+                .cast("long").alias("bucket")
+            ).agg(F.count(F.lit(1)).alias("n"),
+                  z.alias("sum_dl"), z.alias("min_dl"), z.alias("max_dl"))
+        return stats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+            F.min("dl").alias("min_dl"), F.max("dl").alias("max_dl"),
+        ).select(F.lit(0).cast("long").alias("bucket"),
+                 "n", "sum_dl", "min_dl", "max_dl")
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     terms = (sorted(set(analyze_query(query))) if pre_terms is None
              else sorted(set(pre_terms)))
@@ -3229,7 +3500,7 @@ _SORT_HIT_FIELDS = [("id", "string"), ("repo", "string"), ("path", "string"),
 
 def sort_search(
     index: InvertedIndex,
-    query: str,
+    query: str | None,
     sort: str = "path",
     ascending: bool = True,
     k: int = 10,
@@ -3259,7 +3530,19 @@ def sort_search(
     knobs (operator / must_not / minimum_should_match) reuse the facet
     kernel's mask logic.  ``search_after=(sort_value, id)`` pages the
     sorted order with the usual O(k)-per-page cursor (ES search_after
-    over sort values); mutually exclusive with ``offset``."""
+    over sort values); mutually exclusive with ``offset``.
+
+    ``query=None`` is the ES **match_all** + sort shape — "browse every
+    file in this repo ordered by path" (the GitLab file listing).
+    Without ``must_not`` the plan is pure Catalyst: the filtered
+    doc_stats scan feeds a native orderBy+limit, which Spark executes
+    as TakeOrderedAndProject — per-partition top-k then a driver merge,
+    exactly the ES sorted-search shard plan, with zero Python and the
+    cursor predicate pushed into the scan.  With ``must_not`` the
+    excluded terms' postings cogroup with doc_stats and the kernel
+    subtracts them before its per-part top-k.  The ``operator``/
+    ``minimum_should_match`` knobs are ignored for match_all (no
+    should clauses — ES semantics)."""
     if sort not in SORT_FIELDS:
         raise ValueError(f"sort must be one of {SORT_FIELDS}, got {sort!r}")
     if operator not in ("or", "and"):
@@ -3271,6 +3554,9 @@ def sort_search(
         raise ValueError("minimum_should_match applies to operator='or'")
     if search_after is not None and offset:
         raise ValueError("offset and search_after are mutually exclusive")
+    if query is None:
+        return _sort_search_match_all(index, sort, ascending, k, lang, repo,
+                                      must_not, offset, search_after, dl_range)
     spark = index.postings.sparkSession
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     terms = sorted(set(analyze_query(query)))
@@ -3337,6 +3623,93 @@ def sort_search(
     return _local_result(spark, out, _SORT_HIT_FIELDS)
 
 
+def match_all_sorted_plan(
+    index,
+    sort: str = "path",
+    ascending: bool = True,
+    n: int = 10,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    dl_range: tuple[int | None, int | None] | None = None,
+    search_after: tuple | None = None,
+) -> DataFrame | None:
+    """Lazy native plan of the no-must_not match_all browse (exposed so
+    plan invariants can be asserted): the filtered doc_stats scan —
+    predicates pushed to parquet — feeding orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition top-n, driver
+    merge; zero Python).  ``None`` when routing proves nothing
+    matches."""
+    predicates, repo_t = _kw_predicates(lang, repo)
+    stats = _match_all_docs(index, predicates, repo_t, _norm_dl_range(dl_range))
+    if stats is None:
+        return None
+    if sort != "dl":
+        # NULL keywords sort as "" — same rule as the kernel path
+        stats = stats.withColumn(sort, F.coalesce(F.col(sort), F.lit("")))
+    key = F.col(sort)
+    if search_after is not None:
+        cv, cid = search_after
+        tie = (key == F.lit(cv)) & (F.col("id") > F.lit(cid))
+        cond = ((key > F.lit(cv)) if ascending else (key < F.lit(cv))) | tie
+        stats = stats.filter(cond)
+    return (
+        stats.orderBy(key.asc() if ascending else key.desc(),
+                      F.col("id").asc())
+        .limit(n)
+        .select("id", "repo", "path", "lang", "dl")
+    )
+
+
+def _sort_search_match_all(
+    index, sort, ascending, k, lang, repo, must_not, offset, search_after,
+    dl_range,
+) -> DataFrame:
+    """match_all sorted browse (see :func:`sort_search`): native
+    TakeOrderedAndProject over the filtered doc_stats, or the cogroup
+    kernel when must_not terms must be subtracted."""
+    spark = index.postings.sparkSession
+    empty = _local_result(spark, [], _SORT_HIT_FIELDS)
+    cursor = None
+    if search_after is not None:
+        cv, cid = search_after
+        cursor = (int(cv) if sort == "dl" else str(cv), str(cid))
+    neg_live = _match_all_neg(index, must_not)
+    if neg_live:
+        predicates, repo_t = _kw_predicates(lang, repo)
+        stats = _match_all_docs(index, predicates, repo_t,
+                                _norm_dl_range(dl_range))
+        if stats is None:
+            return empty
+        kernel = _make_sort_kernel(
+            sort, ascending, k + offset, index.docs_per_part, [],
+            neg_terms=frozenset(neg_live), after=cursor, match_all=True,
+        )
+        rows = _match_all_cogroup(
+            index, neg_live, stats, kernel,
+            "id string, repo string, path string, lang string, dl long",
+        ).collect()
+    else:
+        plan = match_all_sorted_plan(
+            index, sort, ascending, offset + k, lang=lang, repo=repo,
+            dl_range=dl_range, search_after=cursor,
+        )
+        if plan is None:
+            return empty
+        rows = plan.collect()
+    # global merge of the per-part top-k (the native path is already
+    # ordered; resorting ≤ offset+k rows is free)
+    fkey = ((lambda r: int(r["dl"])) if sort == "dl"
+            else (lambda r: r[sort] or ""))
+    if ascending:
+        rows.sort(key=lambda r: (fkey(r), r["id"]))
+    else:
+        rows.sort(key=lambda r: r["id"])
+        rows.sort(key=fkey, reverse=True)
+    out = [(r["id"], r["repo"], r["path"], r["lang"], int(r["dl"]))
+           for r in rows[offset:offset + k]]
+    return _local_result(spark, out, _SORT_HIT_FIELDS)
+
+
 def _make_sort_kernel(
     sort: str,
     ascending: bool,
@@ -3348,11 +3721,14 @@ def _make_sort_kernel(
     min_match: int = 0,
     after: tuple | None = None,
     dl_range: tuple[int, int] | None = None,
+    match_all: bool = False,
 ):
     """Per-doc_part sorted-search kernel (cogroup signature: postings,
     doc_stats): matched mask via the facet-kernel bool logic, predicate
     filters directly on the metadata columns, per-part top-k by
-    (sort key, id) — ≤ k rows leave each part."""
+    (sort key, id) — ≤ k rows leave each part.  ``match_all=True``
+    starts from every doc in the part (the postings side then carries
+    ONLY excluded terms, possibly none for this part)."""
     from ..functions.codecs import delta_decode, varint_decode
 
     pred_vals = {f: frozenset(vals) for f, vals in predicates}
@@ -3361,9 +3737,10 @@ def _make_sort_kernel(
         empty = pd.DataFrame(
             {"id": [], "repo": [], "path": [], "lang": [], "dl": []}
         )
-        if len(postings_pdf) == 0 or len(stats_pdf) == 0:
+        if len(stats_pdf) == 0 or (not match_all and len(postings_pdf) == 0):
             return empty
-        part = int(postings_pdf["doc_part"].iloc[0])
+        part = int(stats_pdf["doc_part"].iloc[0] if match_all
+                   else postings_pdf["doc_part"].iloc[0])
         base = part * docs_per_part
         matched = None
         counts = (np.zeros(docs_per_part, dtype=np.int32)
@@ -3386,7 +3763,9 @@ def _make_sort_kernel(
                 matched &= mask
             else:
                 matched |= mask
-        if counts is not None:
+        if match_all:
+            matched = np.ones(docs_per_part, dtype=bool)
+        elif counts is not None:
             if n_pos_seen < min_match:
                 return empty
             matched = counts >= min_match

@@ -1023,3 +1023,60 @@ def test_cli_phrase_prefix_search(spark, dirs, capsys):
                  "--phrase-prefix"]) == 0
     got = {h["id"] for h in _lines(capsys)}
     assert got == {"repo1_src/db.py", "repo2_lib/util.rb"}  # merge, method
+
+
+def test_cli_match_all(spark, dirs, capsys):
+    """search --match-all: the filter-only browse (sorted listing) and
+    corpus aggregations; count --match-all with --not."""
+    src, _, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    capsys.readouterr()
+
+    # sorted repo browse: every repo1 file by path, no scores
+    assert main(["search", "--index", idx, "--match-all", "--sort", "path",
+                 "--repo", "repo1"]) == 0
+    hits = _lines(capsys)
+    assert [h["id"] for h in hits] == ["repo1_src/app.py", "repo1_src/db.py"]
+    assert all("score" not in h for h in hits)
+
+    # language-statistics chart + total + stats in one request
+    assert main(["search", "--index", idx, "--match-all", "--facet", "lang",
+                 "--stats"]) == 0
+    out = _lines(capsys)
+    stats = next(o["stats"] for o in out if "stats" in o)
+    facets = next(o["facets"] for o in out if "facets" in o)
+    assert stats["count"] == 3
+    assert facets["lang"] == {"Python": 2, "Ruby": 1}
+
+    # match_all minus an excluded term ("files without X")
+    assert main(["count", "--index", idx, "--match-all", "--not",
+                 "merge"]) == 0
+    assert _lines(capsys)[-1]["count"] == 2
+
+    # msearch match_all body beside a scored one
+    import json as _json
+    qfile = src + "_matchall_queries.json"
+    with open(qfile, "w") as f:
+        _json.dump({"browse": {"q": "", "match_all": True,
+                               "sort": "path:desc"},
+                    "scored": "table scan"}, f)
+    assert main(["msearch", "--index", idx, "--queries", qfile,
+                 "--k", "2"]) == 0
+    rows = _lines(capsys)
+    browse = [r for r in rows if r["query_id"] == "browse"]
+    # paths are src/db.py > src/app.py > lib/util.rb descending
+    assert [r["id"] for r in sorted(browse, key=lambda r: r["rank"])] == [
+        "repo1_src/db.py", "repo1_src/app.py"]
+    assert all(r["score"] is None for r in browse)
+
+    # rejected shapes
+    for bad in (["search", "--index", idx, "--match-all"],
+                ["search", "--index", idx, "--match-all", "--query", "x",
+                 "--sort", "path"],
+                ["search", "--index", idx, "--match-all", "--sort", "path",
+                 "--bmw"],
+                ["count", "--index", idx],
+                ["count", "--index", idx, "--match-all", "--prefix"]):
+        with pytest.raises(SystemExit):
+            main(bad)

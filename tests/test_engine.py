@@ -1577,3 +1577,210 @@ def test_search_many_terms_filter_entries_match_single(index):
         assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got, exp)
         assert np.allclose([g[2] for g in got] or [0.0],
                            [e[2] for e in exp] or [0.0], rtol=1e-12)
+
+
+# --- match_all (filter-only) queries --------------------------------------
+
+
+def _brute_match_all(oracle, paths, lang=None, repo=None, must_not=None,
+                     dl_range=None):
+    """Referee match set for ES match_all in filter context: every doc
+    passing the keyword / dl filters, minus docs containing any
+    must_not term."""
+    langs = {lang} if isinstance(lang, str) else (set(lang) if lang else None)
+    repos = {repo} if isinstance(repo, str) else (set(repo) if repo else None)
+    excluded = set()
+    if must_not:
+        excluded = {d for d, _ in oracle.search(must_not, k=10**6)}
+    out = []
+    for d in oracle.dls:
+        m = oracle.meta[d]
+        if langs is not None and m.get("lang") not in langs:
+            continue
+        if repos is not None and m.get("repo") not in repos:
+            continue
+        if dl_range is not None:
+            lo, hi = dl_range
+            if lo is not None and oracle.dls[d] < lo:
+                continue
+            if hi is not None and oracle.dls[d] > hi:
+                continue
+        if d in excluded:
+            continue
+        out.append(d)
+    return out
+
+
+MATCH_ALL_SHAPES = [
+    # (sort, asc, kwargs)
+    ("path", True, {}),                                  # native browse
+    ("path", False, {"repo": "repo-001"}),               # native + routing
+    ("dl", False, {"lang": ["Python", "Ruby"]}),         # native + terms filter
+    ("dl", True, {"dl_range": (10, 200)}),               # native + range
+    ("dl", False, {"must_not": "if"}),                   # kernel path
+    ("lang", True, {"must_not": "get user",
+                    "repo": ["repo-000", "repo-002"]}),  # kernel + filters
+    ("id", True, {"must_not": "zzz_no_such_term"}),      # dead neg → native
+    ("path", True, {"repo": "no-such-repo"}),            # routed to nothing
+]
+
+
+def test_match_all_sort_matches_referee(index, oracle, documents):
+    """ES match_all + sort (the GitLab file-browse shape): field-ordered
+    listing of EVERY doc passing the filters matches the brute-force
+    referee across the native (no must_not → TakeOrderedAndProject) and
+    kernel (must_not subtraction) paths."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import sort_search
+
+    paths = {r["id"]: r["path"] for r in
+             documents.select("id", "path").collect()}
+    for sort, asc, kw in MATCH_ALL_SHAPES:
+        docs = _brute_match_all(oracle, paths, **kw)
+
+        def keyf(d):
+            return {"id": d, "repo": oracle.meta[d].get("repo") or "",
+                    "lang": oracle.meta[d].get("lang") or "",
+                    "path": paths[d], "dl": oracle.dls[d]}[sort]
+
+        if asc:
+            docs.sort(key=lambda d: (keyf(d), d))
+        else:
+            docs.sort()
+            docs.sort(key=keyf, reverse=True)
+        exp = [(d, oracle.meta[d].get("repo"), paths[d],
+                oracle.meta[d].get("lang"), oracle.dls[d])
+               for d in docs[:12]]
+        got = [(r["id"], r["repo"], r["path"], r["lang"], r["dl"])
+               for r in sort_search(index, None, sort=sort, ascending=asc,
+                                    k=12, **kw).collect()]
+        assert got == exp, (sort, asc, kw)
+
+
+def test_match_all_paging(index, oracle, documents):
+    """offset and the (sort_value, id) cursor page the match_all order
+    exactly, on both the native and the must_not kernel paths."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import sort_search
+
+    for kw in ({}, {"must_not": "if"}):
+        full = [(r["id"], r["dl"]) for r in
+                sort_search(index, None, sort="dl", ascending=False,
+                            k=30, **kw).collect()]
+        off = [(r["id"], r["dl"]) for r in
+               sort_search(index, None, sort="dl", ascending=False, k=5,
+                           offset=5, **kw).collect()]
+        assert off == full[5:10], kw
+        p1 = sort_search(index, None, sort="dl", ascending=False, k=5,
+                         **kw).collect()
+        cur = (int(p1[-1]["dl"]), p1[-1]["id"])
+        p2 = [(r["id"], r["dl"]) for r in
+              sort_search(index, None, sort="dl", ascending=False, k=5,
+                          search_after=cur, **kw).collect()]
+        assert p2 == full[5:10], kw
+
+
+def test_match_all_aggregations_match_referee(index, oracle, documents):
+    """match_all facets / _count / dl stats / histogram (the GitLab
+    language-statistics chart shape) equal the referee's corpus-wide
+    numbers under filters and must_not, on both the native-Catalyst and
+    the kernel paths."""
+    from collections import Counter
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        dl_histogram,
+        dl_stats,
+        facet_counts,
+        match_count,
+    )
+
+    paths = {r["id"]: r["path"] for r in
+             documents.select("id", "path").collect()}
+    shapes = [
+        {},
+        {"repo": ["repo-001", "repo-004"]},
+        {"lang": "Python", "dl_range": (5, None)},
+        {"must_not": "if"},
+        {"must_not": "return", "lang": ["Python", "Go"]},
+        {"repo": "no-such-repo"},
+    ]
+    for kw in shapes:
+        docs = _brute_match_all(oracle, paths, **kw)
+        assert match_count(index, None, **kw) == len(docs), kw
+
+        exp_fc = Counter(oracle.meta[d].get("lang") or "" for d in docs)
+        got_fc = {r["value"]: r["n"] for r in
+                  facet_counts(index, None, fields=("lang",), **kw).collect()}
+        assert got_fc == {v: n for v, n in exp_fc.items() if n}, kw
+
+        dls = [oracle.dls[d] for d in docs]
+        row = dl_stats(index, None, **kw).collect()[0]
+        if not dls:
+            assert row["count"] == 0 and row["min_dl"] is None
+        else:
+            assert (row["count"], row["sum_dl"], row["min_dl"],
+                    row["max_dl"]) == (len(dls), sum(dls), min(dls),
+                                       max(dls)), kw
+            assert abs(row["avg_dl"] - sum(dls) / len(dls)) < 1e-9
+        got_h = {int(r["bucket"]): int(r["n"]) for r in
+                 dl_histogram(index, None, 25, **kw).collect()}
+        assert got_h == dict(Counter((dl // 25) * 25 for dl in dls)), kw
+    # the _total row is the _count analog
+    from gitlab_elasticsearch_indexer_spark.operators.query import facet_counts
+    rows = facet_counts(index, None, fields=("lang",),
+                        include_total=True).collect()
+    total = [r for r in rows if r["field"] == "_total"]
+    assert total and total[0]["n"] == len(oracle.dls)
+
+
+def test_match_all_batch_entries_match_single(index):
+    """msearch {"match_all": true, "sort": ...} bodies equal the
+    single-query match_all browse, mixed with scored entries."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        search_many,
+        sort_search,
+    )
+
+    qs = {
+        "a": {"q": "", "match_all": True, "sort": "path"},
+        "b": {"q": "", "match_all": True, "sort": "dl:desc",
+              "must_not": "if", "repo": ["repo-001", "repo-003"]},
+        "c": {"q": "", "match_all": True, "sort": "dl",
+              "dl_range": [5, 150], "from": 3},
+        "scored": "if return",
+    }
+    by_q: dict[str, list] = {}
+    for r in search_many(index, qs, k=6).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    singles = {
+        "a": sort_search(index, None, sort="path", k=6),
+        "b": sort_search(index, None, sort="dl", ascending=False, k=6,
+                         must_not="if", repo=["repo-001", "repo-003"]),
+        "c": sort_search(index, None, sort="dl", k=6, dl_range=(5, 150),
+                         offset=3),
+    }
+    for qid, single in singles.items():
+        exp = [r["id"] for r in single.collect()]
+        got = [r["id"] for r in sorted(by_q.get(qid, []),
+                                       key=lambda r: r["rank"])]
+        assert got == exp and exp, qid
+        assert all(r["score"] is None for r in by_q[qid])  # ES null _score
+    assert by_q["scored"] and all(
+        r["score"] is not None for r in by_q["scored"]
+    )
+
+
+def test_match_all_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        facet_counts,
+        search_many,
+        sort_search,
+    )
+
+    with pytest.raises(ValueError, match="match_all facets"):
+        facet_counts(index, None, fields=("path",))
+    with pytest.raises(ValueError, match="sort must be"):
+        sort_search(index, None, sort="score")
+    with pytest.raises(ValueError, match="match_all needs a sort"):
+        search_many(index, {"x": {"match_all": True}}, k=5).collect()
+    with pytest.raises(ValueError, match="match_all composes"):
+        search_many(index, {"x": {"q": "if", "match_all": True,
+                                  "sort": "path"}}, k=5).collect()

@@ -595,3 +595,75 @@ def test_mget_broadcasts_hits_and_pushes_ids(saved_index):
     assert_pushed_filter(out, "In(id")
     rows = {r["id"]: r["found"] for r in out.collect()}
     assert rows == {"r_001": True, "r_042": True, "nope": False}
+
+
+@pytest.fixture(scope="module")
+def meta_index(spark, tmp_path_factory):
+    """An index whose docs carry the keyword metadata (repo/path/lang)
+    the match_all surfaces filter and sort on."""
+    docs = spark.createDataFrame(
+        [(f"r_{i:03d}", f"if return getUser{i} token{i % 7}",
+          f"repo{i % 3}", f"p/{i}.py", "Python") for i in range(200)],
+        "id string, content string, repo string, path string, lang string",
+    )
+    idx = build_index(spark, docs, analyzer="simple", docs_per_part=64)
+    path = str(tmp_path_factory.mktemp("metaidx"))
+    idx.save(path)
+    return load_index(spark, path)
+
+
+def test_match_all_browse_plan_is_native(meta_index):
+    """The no-must_not match_all browse must be PURE Catalyst: the
+    doc_stats scan carries the pushed keyword/range predicates and the
+    routing PartitionFilters, the sort executes as TakeOrderedAndProject
+    (per-partition top-k + driver merge — the ES sorted-search shard
+    plan), and NO Python evaluation appears anywhere."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        match_all_sorted_plan,
+    )
+
+    out = match_all_sorted_plan(meta_index, sort="dl", ascending=False,
+                                n=10, repo="repo1", dl_range=(1, 500))
+    plan = formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "FlatMapCoGroups" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("EqualTo(repo,repo1)" in l for l in pushed), plan
+    assert any("GreaterThanOrEqual(dl,1)" in l for l in pushed), plan
+    parts = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert parts and any("doc_part" in l and "IN" in l for l in parts), plan
+
+
+def test_match_all_agg_plans_are_native(meta_index):
+    """match_all facets / stats / histogram without must_not must stay
+    JVM-side: native groupBy over the filtered doc_stats scan, no
+    postings relation, no Python kernels."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        dl_histogram,
+        facet_counts,
+    )
+
+    for out in (
+        facet_counts(meta_index, None, fields=("lang",), repo="repo2",
+                     include_total=True),
+        dl_histogram(meta_index, None, 16, lang="Python"),
+    ):
+        plan = formatted_plan(out)
+        assert "EvalPython" not in plan and "FlatMapCoGroups" not in plan
+        assert "postings" not in plan  # doc_stats only
+        assert "HashAggregate" in plan
+
+
+def test_match_all_must_not_plan_is_bounded(meta_index):
+    """The must_not kernel path must prune the postings scan to ONLY the
+    excluded terms (pushed In) — never a full postings read, never an
+    anti-join shuffle of per-doc rows."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import facet_counts
+
+    out = facet_counts(meta_index, None, fields=("lang",), must_not="if")
+    plan = formatted_plan(out)
+    post = [l for l in plan.splitlines()
+            if "PushedFilters" in l and "term" in l]
+    assert post and any("In(term" in l or "EqualTo(term,if)" in l
+                        for l in post), plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
