@@ -395,6 +395,49 @@ ORDER BY coalesce(dl.dl, 0) DESC, meta.id ASC LIMIT 15
 """
 
 
+def q_term_vectors(spark, sf_dir):
+    """B51: ES _termvectors with term_statistics=true — per-term
+    (tf, df, ttf) of one document, re-derived from the inverted index
+    the way Lucene serves the API without stored vectors: a
+    single-doc_part postings scan for the doc's own terms + ONE
+    term-pruned term_stats lookup for the collection statistics."""
+    idx = _shared_index(spark, sf_dir)
+    return q.term_vectors(idx, "doc_000042")
+
+
+SQL_TERM_VECTORS = f"""
+WITH {_TOK_CTE.strip()},
+tv AS (SELECT term, count(*)::BIGINT AS tf FROM tok
+       WHERE id = 'doc_000042' GROUP BY term),
+stats AS (SELECT term, count(DISTINCT id)::BIGINT AS df,
+                 count(*)::BIGINT AS ttf
+          FROM tok GROUP BY term)
+SELECT tv.term AS term, tv.tf AS tf, stats.df AS df, stats.ttf AS ttf
+FROM tv JOIN stats USING (term)
+ORDER BY term
+"""
+
+
+def q_commit_date_histogram(spark, sf_dir):
+    """B52: ES date_histogram (calendar_interval=day) in filter
+    context over commit documents — the commit-activity graph GitLab
+    renders, rid terms-filtered.  Pure Catalyst end to end: pruned
+    scan → Person.time parse → date_trunc → native partial groupBy
+    (≤ n_buckets rows cross the shuffle)."""
+    docs = pl.build_commit_documents(_commit_corpus(spark, sf_dir))
+    return q.date_histogram(docs, field="author.time", interval="day",
+                            rid=["r3", "r7"])
+
+
+SQL_COMMIT_DATE_HISTOGRAM = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS n
+FROM events
+WHERE (user_id % 20) IN (3, 7)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_msearch_sorted(spark, sf_dir):
     """B46: sorted bodies in the batched path (ES _msearch with sort
     clauses) — every sorted entry of the batch shares ONE cogroup job
@@ -3014,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b48_match_all_sort": q_match_all_sort,
         "b49_match_all_facets": q_match_all_facets,
         "b50_match_all_must_not": q_match_all_must_not,
+        "b51_term_vectors": q_term_vectors,
+        "b52_commit_date_histogram": q_commit_date_histogram,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3119,6 +3164,8 @@ def oracle_sql() -> dict[str, str]:
         "b48_match_all_sort": SQL_MATCH_ALL_SORT,
         "b49_match_all_facets": SQL_MATCH_ALL_FACETS,
         "b50_match_all_must_not": SQL_MATCH_ALL_MUST_NOT,
+        "b51_term_vectors": SQL_TERM_VECTORS,
+        "b52_commit_date_histogram": SQL_COMMIT_DATE_HISTOGRAM,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -345,6 +345,14 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--index", required=True)
     mg.add_argument("ids", nargs="+", help="document ids (e.g. 'repo1_a.py')")
 
+    tv = sub.add_parser("termvectors", help="per-term tf/df/ttf statistics "
+                                            "of one document (ES "
+                                            "_termvectors analog, "
+                                            "term_statistics=true)")
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
+    tv.add_argument("doc_id", help="document id (e.g. 'repo1_a.py')")
+
     an = sub.add_parser("analyze", help="run text through an analysis chain "
                                         "and print (term, tf) — the ES "
                                         "_analyze API analog for debugging "
@@ -617,6 +625,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"id": args.doc_id,
                           "score": sum(c["contribution"] for c in clauses),
                           "matched": len(clauses), "clauses": clauses}))
+    elif args.cmd == "termvectors":
+        root = (args.index if args.doc_type == "blob"
+                else f"{args.index}/commit_index")
+        idx = inc.load_versioned(spark, root)
+        try:
+            rows = q.term_vectors(idx, args.doc_id).collect()
+        except ValueError:
+            print(json.dumps({"id": args.doc_id, "found": False}))
+            return 0
+        print(json.dumps({
+            "id": args.doc_id, "found": True,
+            "terms": {r["term"]: {"term_freq": r["tf"], "doc_freq": r["df"],
+                                  "ttf": r["ttf"]}
+                      for r in rows},
+        }))
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         if (args.query is None) == (not args.match_all):

@@ -3869,6 +3869,94 @@ def _term_dfs(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+TERMVECTOR_FIELDS = [("term", "string"), ("tf", "long"),
+                     ("df", "long"), ("ttf", "long")]
+
+
+def term_vectors(index: InvertedIndex, doc_id: str) -> DataFrame:
+    """ES ``_termvectors`` (``term_statistics: true``) analog: one row
+    per analyzed term of ``doc_id`` with ``tf`` (term_freq in the doc),
+    ``df`` (doc_freq) and ``ttf`` (total term frequency across the
+    collection) — re-derived from the inverted index exactly as Lucene
+    serves the API without stored term vectors.
+
+    Cost is a point plan: the :func:`term_vector` single-doc_part
+    postings scan, then ONE term_stats lookup pruned to the doc's own
+    terms (term_bucket + ``In(term)`` both reach the parquet scan —
+    the same pruning as :meth:`InvertedIndex.idf_map`).  Rows are
+    term-ascending; a doc that indexed zero terms returns an empty
+    frame; an unknown id raises (as ES returns ``found: false``)."""
+    tv = term_vector(index, doc_id)
+    spark = index.postings.sparkSession
+    if not tv:
+        return _local_result(spark, [], TERMVECTOR_FIELDS)
+    terms = [t for t, _ in tv]
+    ts = index.term_stats
+    if "term_bucket" in ts.columns:
+        from ..functions.hashing import term_bucket_py
+        from .index_build import TERM_BUCKETS
+
+        bks = sorted({term_bucket_py(t, TERM_BUCKETS) for t in set(terms)})
+        ts = ts.filter(F.col("term_bucket").isin(bks))
+    stat = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in ts.filter(F.col("term").isin(terms))
+        .select("term", "df", "cf")
+        .collect()
+    }
+    rows = [(t, tf, *stat.get(t, (0, 0))) for t, tf in tv]
+    return _local_result(spark, rows, TERMVECTOR_FIELDS)
+
+
+_DH_INTERVALS = ("minute", "hour", "day", "week", "month", "quarter",
+                 "year")
+
+# the reference's Person.time wire format (indexer/person.go:10,
+# "20060102T150405-0700" = basic_date_time_no_millis in the mapping,
+# elastic/index.go:189-192)
+PERSON_TIME_FMT = "yyyyMMdd'T'HHmmssZ"
+
+
+def date_histogram(
+    docs: DataFrame,
+    field: str = "author.time",
+    interval: str = "month",
+    rid: str | list[str] | None = None,
+) -> DataFrame:
+    """ES ``date_histogram`` (``calendar_interval``) analog over a
+    document table in filter context — the commit-activity-graph shape
+    GitLab renders: rows ``(bucket, n)`` where bucket is the
+    ``date_trunc(interval)`` of the parsed time field, empty buckets
+    omitted (``min_doc_count: 1``), with an optional ``rid`` terms
+    filter (the routing key).  ``field`` may be a struct path
+    (``author.time``); the value is a Person.time string in the
+    reference's wire format (:data:`PERSON_TIME_FMT`).
+
+    Pure Catalyst: a column-pruned scan → timestamp parse →
+    ``date_trunc`` → map-side partial groupBy, so ≤ n_buckets tiny rows
+    per partition cross the one shuffle regardless of corpus size —
+    the same 100-TB shape as a native count aggregation."""
+    if interval not in _DH_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {_DH_INTERVALS}, got {interval!r}"
+        )
+    out = docs
+    r = _norm_kw(rid)
+    if r:
+        out = out.filter(F.col("rid").isin(list(r)))
+    ts = F.to_timestamp(F.col(field), PERSON_TIME_FMT)
+    return (
+        out.select(
+            F.date_format(
+                F.date_trunc(interval, ts), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def more_like_this(
     index: InvertedIndex,
     doc_id: str,

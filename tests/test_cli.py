@@ -1080,3 +1080,27 @@ def test_cli_match_all(spark, dirs, capsys):
                 ["count", "--index", idx, "--match-all", "--prefix"]):
         with pytest.raises(SystemExit):
             main(bad)
+
+
+def test_cli_termvectors(spark, dirs, capsys):
+    """ES _termvectors analog: per-term tf/df/ttf of one stored doc
+    through the CLI; found=false for an unknown id."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+
+    # default code analyzer: 'def getUserById if return' emits the
+    # original tokens plus pattern_capture splits; spot-check stable ones
+    assert main(["termvectors", "--index", idx, "repo1_src/app.py"]) == 0
+    out = _lines(capsys)[-1]
+    assert out["found"] is True
+    terms = out["terms"]
+    # 'def' appears once here and once in repo2's doc → df 2, ttf 2
+    assert terms["def"] == {"term_freq": 1, "doc_freq": 2, "ttf": 2}
+    assert terms["getuserbyid"]["doc_freq"] == 1
+    # capture-split fragments of getUserById are indexed too
+    assert "user" in terms and "by" in terms
+
+    assert main(["termvectors", "--index", idx, "repo9_no/such.file"]) == 0
+    assert _lines(capsys)[-1] == {"id": "repo9_no/such.file", "found": False}

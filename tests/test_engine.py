@@ -1784,3 +1784,72 @@ def test_match_all_validation(index):
     with pytest.raises(ValueError, match="match_all composes"):
         search_many(index, {"x": {"q": "if", "match_all": True,
                                   "sort": "path"}}, k=5).collect()
+
+
+def test_term_vectors_matches_oracle(index, oracle, documents):
+    """ES _termvectors (term_statistics=true): per-term tf/df/ttf of a
+    doc re-derived from the index equals the oracle's postings view."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        term_vectors,
+    )
+
+    doc_ids = [r["id"] for r in
+               documents.select("id").orderBy("id").limit(2).collect()]
+    for doc_id in doc_ids:
+        got = [(r["term"], r["tf"], r["df"], r["ttf"])
+               for r in term_vectors(index, doc_id).collect()]
+        exp = sorted(
+            (t, pl[doc_id], len(pl), sum(pl.values()))
+            for t, pl in oracle.postings.items()
+            if doc_id in pl
+        )
+        assert got == exp, doc_id
+    with pytest.raises(ValueError, match="not found"):
+        term_vectors(index, "no_such_doc")
+
+
+def test_date_histogram_buckets(spark):
+    """ES date_histogram (calendar_interval) over commit documents:
+    day buckets count per-truncated-day, rid terms filter applies,
+    empty buckets are omitted (min_doc_count: 1)."""
+    from gitlab_elasticsearch_indexer_spark.operators.pipeline import (
+        build_commit_documents,
+    )
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        date_histogram,
+    )
+
+    rows = [
+        ("r1", "s1", "2024-03-01 10:00:00", "fix a"),
+        ("r1", "s2", "2024-03-01 23:59:59", "fix b"),
+        ("r1", "s3", "2024-03-02 00:00:01", "fix c"),
+        ("r2", "s4", "2024-03-05 12:00:00", "fix d"),
+        ("r3", "s5", "2024-04-01 08:00:00", "fix e"),
+    ]
+    commits = spark.createDataFrame(
+        rows, "repo string, sha string, t string, message string"
+    ).select(
+        "repo", "sha",
+        F.lit("a").alias("author_name"),
+        F.lit("a@x").alias("author_email"),
+        F.col("t").cast("timestamp").alias("author_time"),
+        F.lit("c").alias("committer_name"),
+        F.lit("c@x").alias("committer_email"),
+        F.col("t").cast("timestamp").alias("committer_time"),
+        "message",
+    )
+    docs = build_commit_documents(commits)
+
+    got = [(r["bucket"], r["n"])
+           for r in date_histogram(docs, interval="day").collect()]
+    assert got == [("2024-03-01 00:00:00", 2), ("2024-03-02 00:00:00", 1),
+                   ("2024-03-05 00:00:00", 1), ("2024-04-01 00:00:00", 1)]
+
+    got = [(r["bucket"], r["n"])
+           for r in date_histogram(docs, interval="month",
+                                   rid=["r1", "r2"]).collect()]
+    assert got == [("2024-03-01 00:00:00", 4)]
+
+    # ES calendar_interval validation
+    with pytest.raises(ValueError, match="interval"):
+        date_histogram(docs, interval="fortnight")
