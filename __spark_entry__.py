@@ -2815,6 +2815,19 @@ FROM summed ORDER BY raw DESC, id ASC LIMIT 15
 """
 
 
+def q_dismax_search(spark, sf_dir):
+    """B53: ES multi_match type=best_fields (Lucene DisjunctionMaxQuery)
+    — a doc's score is its BEST field's BM25 plus tie_breaker × the
+    other fields', not the bool-should sum.  tie_breaker=0.3, content +
+    file_name; the oracle replays both per-field BM25 CTEs and combines
+    greatest + 0.3·(sum − greatest)."""
+    idx = _mf_index(spark, sf_dir)
+    hits = q.multi_search(idx, "merge.txt sort table", k=15,
+                          fields=("content", "file_name"),
+                          mode="dis_max", tie_breaker=0.3)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
 def q_multifield_search_after(spark, sf_dir):
     """search_after on a MULTI-FIELD bool-should query: page 1 (k=5) of
     the summed per-field BM25 ranking seeds a cursor; page 2 (k=10)
@@ -2858,6 +2871,26 @@ summed AS (
 SELECT id, round(raw, 4) AS score
 FROM summed ORDER BY raw DESC, id ASC LIMIT 15
 """
+
+# dis_max combine over the same two per-field CTEs: greatest +
+# tie_breaker·(sum − greatest); contributions are ≥ 0 so coalesce(,0)
+# is the identity for a missing field
+SQL_DISMAX = SQL_MULTIFIELD.replace(
+    """summed AS (
+    SELECT coalesce(c.id, f.id) AS id,
+           coalesce(c.raw, 0) + coalesce(f.raw, 0) AS raw
+    FROM scored c FULL OUTER JOIN fscore f ON c.id = f.id
+)""",
+    """summed AS (
+    SELECT coalesce(c.id, f.id) AS id,
+           greatest(coalesce(c.raw, 0), coalesce(f.raw, 0))
+           + 0.3 * (coalesce(c.raw, 0) + coalesce(f.raw, 0)
+                    - greatest(coalesce(c.raw, 0), coalesce(f.raw, 0)))
+               AS raw
+    FROM scored c FULL OUTER JOIN fscore f ON c.id = f.id
+)""",
+)
+assert "greatest" in SQL_DISMAX  # the replace anchored
 
 
 def q_fields_delta_search(spark, sf_dir):
@@ -3059,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b50_match_all_must_not": q_match_all_must_not,
         "b51_term_vectors": q_term_vectors,
         "b52_commit_date_histogram": q_commit_date_histogram,
+        "b53_dismax_search": q_dismax_search,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3166,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         "b50_match_all_must_not": SQL_MATCH_ALL_MUST_NOT,
         "b51_term_vectors": SQL_TERM_VECTORS,
         "b52_commit_date_histogram": SQL_COMMIT_DATE_HISTOGRAM,
+        "b53_dismax_search": SQL_DISMAX,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -1100,6 +1100,8 @@ def multi_search(
     fetch: str = "auto",
     offset: int = 0,
     search_after: tuple[float, str] | None = None,
+    mode: str = "sum",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """Multi-field search — see :func:`multi_score_plan` for the lazy
     scoring phase this consumes (split out so plan tests can assert the
@@ -1108,7 +1110,15 @@ def multi_search(
     ``search_after=(score, id)`` pages the multi-field ranking with the
     same O(k)-per-page cursor as :func:`search` (ES supports
     search_after on any query shape); mutually exclusive with
-    ``offset``."""
+    ``offset``.
+
+    ``mode``: how per-field scores combine per document —
+    ``"sum"`` (ES ``multi_match type=most_fields`` / the bool-should
+    sum GitLab's blob query uses, the default) or ``"dis_max"``
+    (ES ``type=best_fields``, Lucene DisjunctionMaxQuery: the BEST
+    field's score wins, plus ``tie_breaker`` × the other fields' —
+    the ES default multi_match type, tuned for "one field should
+    match well" rather than "many fields each match a bit")."""
     spark = index.postings.sparkSession
     cursor = None
     if search_after is not None:
@@ -1116,7 +1126,8 @@ def multi_search(
             raise ValueError("offset and search_after are mutually exclusive")
         cursor = _resolve_cursors(index, {"_": search_after})["_"]
     scored = multi_score_plan(index, query, k=k + offset, fields=fields,
-                              lang=lang, repo=repo, after_cursor=cursor)
+                              lang=lang, repo=repo, after_cursor=cursor,
+                              mode=mode, tie_breaker=tie_breaker)
     if scored is None:
         return _local_result(spark, [], _HITS_FIELDS)
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
@@ -1158,6 +1169,8 @@ def multi_score_plan(
     lang: str | list[str] | None = None,
     repo: str | list[str] | None = None,
     after_cursor: tuple[float, int] | None = None,
+    mode: str = "sum",
+    tie_breaker: float = 0.0,
 ) -> DataFrame | None:
     """Multi-field search — the ES bool-should shape GitLab issues over
     blobs (content + file_name + path, elastic/index.go:137-168): each
@@ -1177,7 +1190,21 @@ def multi_score_plan(
     and only ≤ (offset+k)·n_parts candidate rows leave the partitions;
     keyword filters/routing ride the same sidecar bitmaps and part_meta
     pruning.
+
+    ``mode="dis_max"`` switches the per-doc combine from the
+    bool-should SUM to Lucene's DisjunctionMaxQuery: score =
+    max(field scores) + tie_breaker · (sum − max).  ES ``multi_match``
+    defaults to exactly this (``type=best_fields``, tie_breaker 0);
+    the physical plan is identical — the kernel just keys its local
+    accumulation by (doc, field) before combining, so the same
+    ≤ k·n_parts candidate rows leave the partitions.
     """
+    if mode not in ("sum", "dis_max"):
+        raise ValueError(f"mode must be 'sum' or 'dis_max', got {mode!r}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    if mode == "sum" and tie_breaker:
+        raise ValueError("tie_breaker only applies to mode='dis_max'")
     built = index.fields or {}
     if fields is None:
         fields = ("content", *sorted(built))
@@ -1237,6 +1264,7 @@ def multi_score_plan(
     kernel = _make_multifield_kernel(
         widf_by_fld, avgdl_by_fld, k, index.docs_per_part,
         len(predicates), after=after_cursor,
+        mode=mode, tie_breaker=tie_breaker,
     )
     if predicates:
         fsel = index.filters.filter(_filters_cond(predicates)).select(
@@ -1263,13 +1291,19 @@ def _make_multifield_kernel(
     docs_per_part: int,
     n_predicates: int,
     after: tuple[float, int] | None = None,
+    mode: str = "sum",
+    tie_breaker: float = 0.0,
 ):
     """Per-doc_part multi-field kernel: decode every (field, term)
     posting row, weight by that field's idf and normalize by that
-    field's avgdl, accumulate SUMS per doc, local top-k.  Same masking
-    and candidate-bound arguments as the single-field kernel; ``after``
-    is the resolved search_after cursor (cursor filtering happens in
+    field's avgdl, accumulate per doc, local top-k.  ``mode="sum"``
+    accumulates the bool-should SUM; ``mode="dis_max"`` accumulates
+    per (doc, field) first and combines max + tie_breaker·(sum − max)
+    (Lucene DisjunctionMaxQuery).  Same masking and candidate-bound
+    arguments as the single-field kernel; ``after`` is the resolved
+    search_after cursor (cursor filtering happens in
     :func:`_topk_arrays`, identical semantics to every other kernel)."""
+    n_flds = max(widf_by_fld, default=0) + 1
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_idx": [], "score": []})
@@ -1286,7 +1320,8 @@ def _make_multifield_kernel(
         all_docs: list[np.ndarray] = []
         all_contrib: list[np.ndarray] = []
         for row in post_pdf.itertuples(index=False):
-            w = widf_by_fld[int(row.fld)].get(row.term)
+            fld = int(row.fld)
+            w = widf_by_fld[fld].get(row.term)
             if w is None:
                 continue
             docs, tfs, dls = unpack_postings(
@@ -1298,13 +1333,25 @@ def _make_multifield_kernel(
                 if not keep.any():
                     continue
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-            all_docs.append(docs)
-            all_contrib.append(w * _tfn(tfs, dls, avgdl_by_fld[int(row.fld)]))
+            if mode == "dis_max":
+                # key accumulation by (doc, field) so the combine can
+                # see each field's clause-sum separately
+                all_docs.append(docs * n_flds + fld)
+            else:
+                all_docs.append(docs)
+            all_contrib.append(w * _tfn(tfs, dls, avgdl_by_fld[fld]))
         if not all_docs:
             return empty
         uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inv, np.concatenate(all_contrib))
+        if mode == "dis_max":
+            uniq, inv2 = np.unique(uniq // n_flds, return_inverse=True)
+            mx = np.zeros(len(uniq), dtype=np.float64)
+            np.maximum.at(mx, inv2, acc)  # BM25 contribs are ≥ 0
+            sm = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sm, inv2, acc)
+            acc = mx + tie_breaker * (sm - mx)
         doc_idx, score = _topk_arrays(uniq, acc, k, after=after)
         return pd.DataFrame({"doc_idx": doc_idx, "score": score})
 

@@ -618,3 +618,101 @@ def test_normalize_fields_unknown_name_raises():
 
     with _pt.raises(ValueError):
         ib.normalize_fields(["filename"])  # typo for file_name
+
+
+def _expect_dismax(query, fields, tie_breaker, lang=None, repo=None, k=10):
+    """Referee for mode='dis_max': per-field BM25 scores computed
+    independently (single-field runs of the summed referee), combined
+    max + tie_breaker·(sum − max) per doc, Lucene DisjunctionMaxQuery."""
+    fa = {"content": "code", "file_name": "code", "path": "path",
+          "oid": "sha"}
+    per = [dict(brute_multi_scores(DOCS, query, (f,), fa,
+                                   lang=lang, repo=repo))
+           for f in fields]
+    out = []
+    for i in set().union(*[p.keys() for p in per]):
+        vals = [p.get(i, 0.0) for p in per]
+        mx, sm = max(vals), sum(vals)
+        s = mx + tie_breaker * (sm - mx)
+        if s > 0:
+            out.append((i, s))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return [(i, round(s, 9)) for i, s in out[:k]]
+
+
+def test_dismax_matches_brute_force(mf_index):
+    """ES multi_match type=best_fields: score = best field's BM25 +
+    tie_breaker × the rest — pinned exactly against the referee at
+    tie_breaker 0 (pure DisMax) and 0.3 (the commonly tuned value)."""
+    query = "user_controller.rb handler"
+    flds = ("content", "file_name", "path")
+    for tb in (0.0, 0.3):
+        hits = _hits(q.multi_search(mf_index, query, k=10, fields=flds,
+                                    mode="dis_max", tie_breaker=tb))
+        assert hits == _expect_dismax(query, flds, tb)
+    # a doc matching in ONE field only scores identically under sum
+    # and dis_max; a doc matching in BOTH scores lower under dis_max
+    summed = dict(_hits(q.multi_search(mf_index, query, k=10, fields=flds)))
+    dismax = dict(_hits(q.multi_search(mf_index, query, k=10, fields=flds,
+                                       mode="dis_max")))
+    assert any(dismax[i] < summed[i] for i in dismax)
+    assert all(dismax[i] <= summed[i] + 1e-9 for i in dismax)
+
+
+def test_dismax_tie_breaker_one_equals_sum(mf_index):
+    """tie_breaker=1 degenerates DisMax to the bool-should sum —
+    max + 1·(sum − max) = sum; rankings and scores are identical."""
+    query = "user_controller.rb handler"
+    flds = ("content", "file_name", "path")
+    assert _hits(q.multi_search(mf_index, query, k=10, fields=flds,
+                                mode="dis_max", tie_breaker=1.0)) == \
+        _hits(q.multi_search(mf_index, query, k=10, fields=flds))
+
+
+def test_dismax_filters_cursor_and_boosts(mf_index):
+    """dis_max composes with the rest of the surface: keyword filters
+    ride the same bitmaps, field boosts fold into the per-field clause
+    weights BEFORE the max, and search_after pages the dis_max ranking
+    exactly."""
+    query = "handler order.rb"
+    flds = ("content", "file_name")
+    got = _hits(q.multi_search(mf_index, query, k=10, fields=flds,
+                               mode="dis_max", tie_breaker=0.3, lang="Ruby"))
+    assert got == _expect_dismax(query, flds, 0.3, lang="Ruby")
+
+    # boosts: referee with the boosted field scaled inside its own run
+    boosted = _hits(q.multi_search(mf_index, query, k=10,
+                                   fields=("content", "file_name^3"),
+                                   mode="dis_max", tie_breaker=0.3))
+    per_c = dict(brute_multi_scores(
+        DOCS, query, ("content",), {"content": "code"}))
+    per_f = {i: 3.0 * s for i, s in brute_multi_scores(
+        DOCS, query, ("file_name",), {"file_name": "code"})}
+    exp = []
+    for i in set(per_c) | set(per_f):
+        vals = [per_c.get(i, 0.0), per_f.get(i, 0.0)]
+        mx, sm = max(vals), sum(vals)
+        exp.append((i, mx + 0.3 * (sm - mx)))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    assert boosted == [(i, round(s, 9)) for i, s in exp[:10]]
+
+    # search_after pages the dis_max ranking
+    full = [(r["id"], r["score"])
+            for r in q.multi_search(mf_index, query, k=10, fields=flds,
+                                    mode="dis_max").collect()]
+    assert len(full) >= 2
+    cur = (full[0][1], full[0][0])
+    page2 = [(r["id"], r["score"])
+             for r in q.multi_search(mf_index, query, k=10, fields=flds,
+                                     mode="dis_max",
+                                     search_after=cur).collect()]
+    assert page2 == full[1:]
+
+
+def test_dismax_validation(mf_index):
+    with pytest.raises(ValueError, match="mode must be"):
+        q.multi_search(mf_index, "x", mode="max")
+    with pytest.raises(ValueError, match="tie_breaker must be"):
+        q.multi_search(mf_index, "x", mode="dis_max", tie_breaker=1.5)
+    with pytest.raises(ValueError, match="only applies"):
+        q.multi_search(mf_index, "x", mode="sum", tie_breaker=0.3)
