@@ -418,6 +418,46 @@ ORDER BY term
 """
 
 
+def q_suggest(spark, sf_dir):
+    """B54: ES term suggester ("did you mean") — for misspelled query
+    terms, vocabulary candidates within 2 Levenshtein edits sharing
+    the first char, suggest_mode=missing, ranked by DirectSpellChecker
+    similarity 1 − d/min(len), then df desc, then term asc.  The
+    oracle replays the vocabulary + df from the shared token CTE with
+    DuckDB's levenshtein and the same rank/caps."""
+    idx = _shared_index(spark, sf_dir)
+    sg = q.suggest_terms(idx, "querry mergex tabel windoo scann", size=5,
+                         suggest_mode="missing")
+    return sg.select("term", "suggestion",
+                     F.round("score", 4).alias("score"), "df")
+
+
+SQL_SUGGEST = f"""
+WITH {_TOK_CTE.strip()},
+tf AS (SELECT id, term FROM tok GROUP BY 1, 2),
+vdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+inp AS (SELECT unnest(['querry', 'mergex', 'tabel', 'windoo', 'scann']) AS term),
+cand AS (
+    SELECT inp.term AS term, v.term AS suggestion,
+           1.0 - levenshtein(v.term, inp.term)::DOUBLE
+                 / least(length(v.term), length(inp.term)) AS score,
+           v.df AS df
+    FROM inp JOIN vdf v
+      ON substr(v.term, 1, 1) = substr(inp.term, 1, 1)
+     AND levenshtein(v.term, inp.term) <= 2
+     AND v.term <> inp.term
+    WHERE NOT EXISTS (SELECT 1 FROM vdf x WHERE x.term = inp.term)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, df DESC, suggestion ASC
+    ) AS rn FROM cand
+)
+SELECT term, suggestion, round(score, 4) AS score, df
+FROM ranked WHERE rn <= 5
+"""
+
+
 def q_commit_date_histogram(spark, sf_dir):
     """B52: ES date_histogram (calendar_interval=day) in filter
     context over commit documents — the commit-activity graph GitLab
@@ -3093,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b51_term_vectors": q_term_vectors,
         "b52_commit_date_histogram": q_commit_date_histogram,
         "b53_dismax_search": q_dismax_search,
+        "b54_suggest": q_suggest,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3201,6 +3242,7 @@ def oracle_sql() -> dict[str, str]:
         "b51_term_vectors": SQL_TERM_VECTORS,
         "b52_commit_date_histogram": SQL_COMMIT_DATE_HISTOGRAM,
         "b53_dismax_search": SQL_DISMAX,
+        "b54_suggest": SQL_SUGGEST,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

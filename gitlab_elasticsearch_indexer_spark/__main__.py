@@ -353,6 +353,21 @@ def main(argv: list[str] | None = None) -> int:
     tv.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
     tv.add_argument("doc_id", help="document id (e.g. 'repo1_a.py')")
 
+    sg = sub.add_parser("suggest", help="spelling suggestions from the index "
+                                        "vocabulary (ES term suggester / "
+                                        "'did you mean' analog)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--doc-type", choices=["blob", "commit"], default="blob")
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--prefix-length", type=int, default=1)
+    sg.add_argument("--suggest-mode", default="missing",
+                    choices=["missing", "popular", "always"])
+    sg.add_argument("--sort", default="score",
+                    choices=["score", "frequency"])
+    sg.add_argument("text", help="text to spell-check (analyzed with the "
+                                 "index's query chain)")
+
     an = sub.add_parser("analyze", help="run text through an analysis chain "
                                         "and print (term, tf) — the ES "
                                         "_analyze API analog for debugging "
@@ -640,6 +655,21 @@ def main(argv: list[str] | None = None) -> int:
                                   "ttf": r["ttf"]}
                       for r in rows},
         }))
+    elif args.cmd == "suggest":
+        root = (args.index if args.doc_type == "blob"
+                else f"{args.index}/commit_index")
+        idx = inc.load_versioned(spark, root)
+        rows = q.suggest_terms(
+            idx, args.text, size=args.size, max_edits=args.max_edits,
+            prefix_length=args.prefix_length,
+            suggest_mode=args.suggest_mode, sort=args.sort,
+        ).collect()
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(
+                {"text": r["suggestion"], "score": round(r["score"], 6),
+                 "freq": r["df"]})
+        print(json.dumps({"suggest": by_term}))
     elif args.cmd == "count":
         root = args.index if args.doc_type == "blob" else f"{args.index}/commit_index"
         if (args.query is None) == (not args.match_all):

@@ -1104,3 +1104,21 @@ def test_cli_termvectors(spark, dirs, capsys):
 
     assert main(["termvectors", "--index", idx, "repo9_no/such.file"]) == 0
     assert _lines(capsys)[-1] == {"id": "repo9_no/such.file", "found": False}
+
+
+def test_cli_suggest(spark, dirs, capsys):
+    """`suggest` (ES term suggester analog): misspelled term → ranked
+    vocabulary candidates with similarity + df; in-vocab terms get no
+    entry under the default missing mode."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+    assert main(["suggest", "--index", idx, "--size", "3", "mergq"]) == 0
+    out = _lines(capsys)[0]
+    sugg = out["suggest"]["mergq"]
+    assert any(s["text"] == "merge" for s in sugg)
+    assert all(s["freq"] >= 1 and 0 < s["score"] <= 1 for s in sugg)
+
+    assert main(["suggest", "--index", idx, "merge"]) == 0
+    assert _lines(capsys)[0]["suggest"] == {}
