@@ -199,6 +199,41 @@ FROM matched JOIN dl USING (id)
 """
 
 
+def q_dl_percentiles(spark, sf_dir):
+    """B55: ES percentiles-aggregation analog over dl — EXACT discrete
+    (nearest-rank / quantile_disc) percentiles of the token counts of
+    ALL docs matching any query term under a repo terms-filter, read
+    off the bounded global (dl, n) histogram (≤ distinct-dl rows at
+    any corpus size — the histogram IS the sketch ES approximates
+    with a t-digest)."""
+    idx = _shared_index(spark, sf_dir)
+    return q.dl_percentiles(idx, "table scan merge",
+                            repo=["src3", "src7"])
+
+
+SQL_DL_PERCENTILES = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+meta AS (SELECT {_DOC_ID_SQL} AS id, source AS repo FROM documents),
+matched AS (
+    SELECT DISTINCT tok.id FROM tok JOIN q USING (term)
+    JOIN meta ON meta.id = tok.id
+    WHERE meta.repo IN ('src3', 'src7')
+),
+qd AS (
+    SELECT quantile_disc(dl.dl, [0.01, 0.05, 0.25, 0.50, 0.75, 0.95,
+                                 0.99]) AS vs
+    FROM matched JOIN dl USING (id)
+),
+p AS (SELECT unnest([1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]) AS percent,
+             generate_subscripts([1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0],
+                                 1) AS i)
+SELECT p.percent AS percent, qd.vs[p.i]::BIGINT AS value
+FROM p CROSS JOIN qd
+"""
+
+
 def q_dl_histogram(spark, sf_dir):
     """B42: ES histogram-aggregation analog over dl — (bucket, n) rows
     with bucket = floor(dl/16)·16 over ALL docs matching any query
@@ -455,6 +490,31 @@ ranked AS (
 )
 SELECT term, suggestion, round(score, 4) AS score, df
 FROM ranked WHERE rn <= 5
+"""
+
+
+def q_field_cardinality(spark, sf_dir):
+    """B56: ES cardinality aggregation — DISTINCT repo and lang values
+    among ALL docs matching any query term ("hits span how many
+    projects/languages", the GitLab scope counts).  Exact via the
+    facet partials (one tiny (field, value) row per part, then
+    countDistinct); approx_count_distinct (HLL++) is the documented
+    extreme-cardinality path."""
+    idx = _shared_index(spark, sf_dir)
+    return q.field_cardinality(idx, "table scan merge",
+                               fields=("lang", "repo"))
+
+
+SQL_FIELD_CARDINALITY = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_TOK_CTE.strip()},
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents),
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term))
+SELECT 'lang' AS field, count(DISTINCT meta.lang)::BIGINT AS cardinality
+FROM matched JOIN meta USING (id)
+UNION ALL
+SELECT 'repo' AS field, count(DISTINCT meta.repo)::BIGINT AS cardinality
+FROM matched JOIN meta USING (id)
 """
 
 
@@ -3134,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b52_commit_date_histogram": q_commit_date_histogram,
         "b53_dismax_search": q_dismax_search,
         "b54_suggest": q_suggest,
+        "b55_dl_percentiles": q_dl_percentiles,
+        "b56_field_cardinality": q_field_cardinality,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3243,6 +3305,8 @@ def oracle_sql() -> dict[str, str]:
         "b52_commit_date_histogram": SQL_COMMIT_DATE_HISTOGRAM,
         "b53_dismax_search": SQL_DISMAX,
         "b54_suggest": SQL_SUGGEST,
+        "b55_dl_percentiles": SQL_DL_PERCENTILES,
+        "b56_field_cardinality": SQL_FIELD_CARDINALITY,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

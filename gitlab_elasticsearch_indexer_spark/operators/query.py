@@ -35,6 +35,7 @@ matches the oracle.
 from __future__ import annotations
 
 import heapq
+import math
 from collections import Counter
 
 import numpy as np
@@ -3436,6 +3437,56 @@ def match_count(
     return int(rows[0]["n"]) if rows else 0
 
 
+def field_cardinality(
+    index: InvertedIndex,
+    query: str | None,
+    fields: tuple[str, ...] = ("repo",),
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    pre_terms: list[str] | None = None,
+    minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
+    approximate: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation analog: the number of DISTINCT
+    values of a keyword field among ALL documents matching the query —
+    "this search hits files in how many projects / languages" (the
+    GitLab scope counts), under the full bool + keyword-filter +
+    dl_range surface of :func:`facet_counts` (``query=None`` =
+    match_all).  One row (field, cardinality) per requested field;
+    zero matches returns cardinality 0, as ES does.
+
+    Physical plan: rides the facet partials — per doc_part one tiny
+    (field, value) row per value present among that part's matches
+    (nothing per-doc leaves a partition), then a countDistinct over
+    ≤ n_parts·n_values rows.  EXACT by default (the value domain is
+    the keyword sidecar's, already materialized per part); pass
+    ``approximate=True`` for Spark's native HyperLogLog++
+    (``approx_count_distinct`` with relative error ``rsd``) — the
+    ES-parity sketch path for extreme-cardinality fields, where the
+    partial rows themselves would be the bottleneck."""
+    fc = facet_counts(
+        index, query, fields=fields, lang=lang, repo=repo,
+        operator=operator, must_not=must_not, pre_terms=pre_terms,
+        minimum_should_match=minimum_should_match, dl_range=dl_range,
+    )
+    agg = (F.approx_count_distinct("value", rsd) if approximate
+           else F.count_distinct("value")).alias("cardinality")
+    got = fc.groupBy("field").agg(agg)
+    # guarantee one row per requested field (ES returns 0 on no match)
+    spark = index.postings.sparkSession
+    want = spark.createDataFrame([(f,) for f in fields], "field string")
+    return (
+        want.join(got, "field", "left")
+        .select("field",
+                F.coalesce("cardinality", F.lit(0)).alias("cardinality"))
+        .orderBy("field")
+    )
+
+
 def _metric_partials(
     index: InvertedIndex,
     query: str,
@@ -3597,6 +3648,63 @@ def dl_stats(
         F.max("max_dl").alias("max_dl"),
         (F.sum("sum_dl") / F.sum("n")).alias("avg_dl"),
     )
+
+
+_PCT_FIELDS = [("percent", "double"), ("value", "long")]
+
+
+def dl_percentiles(
+    index: InvertedIndex,
+    query: str | None,
+    percents: tuple[float, ...] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    pre_terms: list[str] | None = None,
+    dl_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation analog over ``dl`` — the default
+    percent set is ES's own ([1, 5, 25, 50, 75, 95, 99]).  One row
+    (percent, value) per requested percentile over ALL docs matching
+    the query, under the full bool + keyword-filter + dl_range surface
+    (``query=None`` = match_all, like the other dl aggregations).
+
+    Where ES approximates with a t-digest sketch, this computes the
+    EXACT discrete (nearest-rank: value at ceil(p·n/100), DuckDB's
+    ``quantile_disc``) percentile — affordable because dl is a bounded
+    small-int domain: the same per-(part, dl) partial rows as
+    :func:`dl_histogram` at interval=1 aggregate to one global (dl, n)
+    histogram of ≤ distinct-dl tiny rows (≤ max doc length at ANY
+    corpus size — the histogram IS the sketch), and the percentiles
+    read off its cumulative counts driver-side.  Zero matches returns
+    NULL values, as ES does."""
+    ps = [float(p) for p in percents]
+    if not ps or any(not 0.0 < p <= 100.0 for p in ps):
+        raise ValueError("percents must be in (0, 100]")
+    if len(set(ps)) != len(ps):
+        raise ValueError("duplicate percents")
+    spark = index.postings.sparkSession
+    partial = _metric_partials(index, query, 1, lang, repo, operator,
+                               must_not, minimum_should_match, pre_terms,
+                               dl_range=dl_range)
+    nulls = _local_result(spark, [(p, None) for p in ps], _PCT_FIELDS)
+    if partial is None:
+        return nulls
+    hist = (
+        partial.groupBy("bucket").agg(F.sum("n").alias("n"))
+        .orderBy("bucket").collect()
+    )
+    if not hist:
+        return nulls
+    cum = np.cumsum([int(r["n"]) for r in hist])
+    n = int(cum[-1])
+    out = []
+    for p in ps:
+        rank = max(1, math.ceil(p / 100.0 * n))
+        out.append((p, int(hist[int(np.searchsorted(cum, rank))]["bucket"])))
+    return _local_result(spark, out, _PCT_FIELDS)
 
 
 def dl_histogram(

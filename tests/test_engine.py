@@ -1853,3 +1853,78 @@ def test_date_histogram_buckets(spark):
     # ES calendar_interval validation
     with pytest.raises(ValueError, match="interval"):
         date_histogram(docs, interval="fortnight")
+
+
+def test_dl_percentiles_match_referee(index, oracle):
+    """ES percentiles aggregation over dl — exact nearest-rank
+    (quantile_disc) percentiles from the bounded (dl, n) histogram,
+    matching the referee's sorted match-set dls under every bool
+    shape; match_all covers the native-partial path."""
+    import math as _m
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        dl_percentiles,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES:
+        hits = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                             minimum_should_match=msm, lang=lang)
+        dls = sorted(oracle.dls[d] for d, _ in hits)
+        rows = dl_percentiles(index, query, operator=op, must_not=neg,
+                              minimum_should_match=msm, lang=lang).collect()
+        assert [r["percent"] for r in rows] == \
+            [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+        for r in rows:
+            if not dls:
+                assert r["value"] is None
+            else:
+                rank = max(1, _m.ceil(r["percent"] / 100 * len(dls)))
+                assert r["value"] == dls[rank - 1], (query, r["percent"])
+
+    # match_all (query=None) rides the native partial path
+    all_dls = sorted(oracle.dls.values())
+    rows = dl_percentiles(index, None, percents=(50.0, 99.0)).collect()
+    for r in rows:
+        rank = max(1, _m.ceil(r["percent"] / 100 * len(all_dls)))
+        assert r["value"] == all_dls[rank - 1]
+
+    with pytest.raises(ValueError, match="percents"):
+        dl_percentiles(index, "if", percents=(0.0,))
+    with pytest.raises(ValueError, match="duplicate"):
+        dl_percentiles(index, "if", percents=(50.0, 50.0))
+
+
+def test_field_cardinality_matches_referee(index, oracle):
+    """ES cardinality aggregation: distinct repo/lang values among ALL
+    matching docs under every bool shape; zero matches → 0; match_all
+    covers the native path; the approximate flag rides HLL++."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        field_cardinality,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES:
+        hits = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                             minimum_should_match=msm, lang=lang)
+        ids = [d for d, _ in hits]
+        exp = {
+            "lang": len({oracle.meta[d].get("lang") for d in ids}),
+            "repo": len({oracle.meta[d].get("repo") for d in ids}),
+        }
+        rows = field_cardinality(index, query, fields=("lang", "repo"),
+                                 operator=op, must_not=neg,
+                                 minimum_should_match=msm,
+                                 lang=lang).collect()
+        got = {r["field"]: r["cardinality"] for r in rows}
+        assert got == exp, (query, op, neg)
+
+    # match_all: every live doc
+    rows = field_cardinality(index, None, fields=("repo",)).collect()
+    assert rows[0]["cardinality"] == \
+        len({m.get("repo") for m in oracle.meta.values()})
+
+    # HLL++ path returns a sane estimate on the small corpus
+    approx = field_cardinality(index, "if", fields=("repo",),
+                               approximate=True, rsd=0.01).collect()
+    exact = field_cardinality(index, "if", fields=("repo",)).collect()
+    assert abs(approx[0]["cardinality"] - exact[0]["cardinality"]) <= \
+        max(1, exact[0]["cardinality"] // 10)
