@@ -518,6 +518,45 @@ FROM matched JOIN meta USING (id)
 """
 
 
+def q_grouped_search(spark, sf_dir):
+    """B57: ES field collapsing / top_hits aggregation — the best 2
+    hits per repo for the top 5 repos (groups ordered by best-hit
+    score), one job over the postings scan cogrouped with the filters
+    sidecar's per-value doc-sets; ≤ n_values·2 rows leave each part.
+    The oracle replays per-group row_number windows over the shared
+    BM25 CTEs."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.grouped_search(idx, "table scan merge", by="repo",
+                            k_per_group=2, groups=5)
+    return hits.select("value", "rank", "id",
+                       F.round("score", 4).alias("score"))
+
+
+SQL_GROUPED_SEARCH = f"""
+WITH q AS (SELECT unnest(['table', 'scan', 'merge']) AS term),
+{_BM25_CTES.removeprefix("WITH ")},
+ranked AS (
+    SELECT meta.repo AS value, scored.id, scored.raw,
+           row_number() OVER (
+               PARTITION BY meta.repo
+               ORDER BY scored.raw DESC, scored.id ASC
+           ) AS rank
+    FROM scored JOIN meta USING (id)
+),
+grp AS (
+    SELECT value, max(raw) AS best FROM ranked GROUP BY value
+),
+top_grp AS (
+    SELECT value, row_number() OVER (ORDER BY best DESC, value ASC) AS g
+    FROM grp
+)
+SELECT r.value AS value, r.rank::INT AS rank, r.id AS id,
+       round(r.raw, 4) AS score
+FROM ranked r JOIN top_grp USING (value)
+WHERE r.rank <= 2 AND top_grp.g <= 5
+"""
+
+
 def q_commit_date_histogram(spark, sf_dir):
     """B52: ES date_histogram (calendar_interval=day) in filter
     context over commit documents — the commit-activity graph GitLab
@@ -3196,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b54_suggest": q_suggest,
         "b55_dl_percentiles": q_dl_percentiles,
         "b56_field_cardinality": q_field_cardinality,
+        "b57_grouped_search": q_grouped_search,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3307,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "b54_suggest": SQL_SUGGEST,
         "b55_dl_percentiles": SQL_DL_PERCENTILES,
         "b56_field_cardinality": SQL_FIELD_CARDINALITY,
+        "b57_grouped_search": SQL_GROUPED_SEARCH,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

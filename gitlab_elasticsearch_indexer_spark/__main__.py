@@ -257,6 +257,14 @@ def main(argv: list[str] | None = None) -> int:
                         "field (lang/repo; repeatable — the ES terms-"
                         "aggregation analog GitLab renders as per-language "
                         "hit counts)")
+    s.add_argument("--collapse", default=None, metavar="FIELD",
+                   help="group hits by this keyword field (lang/repo) and "
+                        "return the best --collapse-size hits per group for "
+                        "the top -k groups (ES collapse / top_hits "
+                        "aggregation — 'group results by project')")
+    s.add_argument("--collapse-size", type=int, default=1,
+                   help="hits per collapsed group (ES inner_hits size; "
+                        "default 1 = pure field collapsing)")
 
     ex = sub.add_parser("explain", help="per-term BM25 score breakdown of "
                         "one (query, doc) pair (ES _explain analog)")
@@ -780,6 +788,16 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--min-should-match applies to --operator or")
         if args.after and args.offset:
             ap.error("--after and --from are mutually exclusive")
+        if args.collapse and (args.sha or args.like or args.phrase
+                              or args.fields or args.prefix or args.fuzzy
+                              or args.wildcard or args.regexp
+                              or args.phrase_prefix or args.qs or args.sort
+                              or args.match_all or args.bmw
+                              or args.highlight or args.offset
+                              or args.after):
+            ap.error("--collapse groups plain term queries (bool knobs, "
+                     "--lang/--repo, --dl-min/--dl-max compose; the group "
+                     "list has no flat pagination)")
         if args.qs and (args.sha or args.phrase or args.fields
                         or args.prefix or args.fuzzy or args.wildcard
                         or args.regexp or args.phrase_prefix
@@ -812,6 +830,16 @@ def main(argv: list[str] | None = None) -> int:
                           if args.must_not else None),
                 minimum_should_match=args.min_should_match,
                 offset=args.offset, search_after=sort_after,
+                dl_range=dl_range,
+            )
+        elif args.collapse:
+            hits = q.grouped_search(
+                idx, args.query, by=args.collapse,
+                k_per_group=args.collapse_size, groups=args.k,
+                lang=args.lang, repo=args.repo, operator=args.operator,
+                must_not=(" ".join(args.must_not)
+                          if args.must_not else None),
+                minimum_should_match=args.min_should_match,
                 dl_range=dl_range,
             )
         elif args.match_all:
@@ -970,7 +998,12 @@ def main(argv: list[str] | None = None) -> int:
             # score is for display only.  Field-sorted hits carry the
             # sort-key value instead of a score (ES computes no scores
             # when sorting by field).
-            if sort_field:
+            if args.collapse:
+                d = {"id": r["id"], "score": round(r["score"], 6),
+                     "repo": r["repo"], "path": r["path"], "lang": r["lang"],
+                     "fields": {args.collapse: r["value"]},
+                     "inner_rank": int(r["rank"])}
+            elif sort_field:
                 d = {"id": r["id"], "repo": r["repo"], "path": r["path"],
                      "lang": r["lang"], "dl": int(r["dl"]),
                      "sort": [r[sort_field], r["id"]]}

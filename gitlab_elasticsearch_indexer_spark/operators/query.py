@@ -3437,6 +3437,283 @@ def match_count(
     return int(rows[0]["n"]) if rows else 0
 
 
+GROUPED_SCHEMA = "value string, doc_idx long, score double"
+_GROUPED_HIT_FIELDS = [("value", "string"), ("rank", "int"),
+                       ("id", "string"), ("score", "double"),
+                       ("repo", "string"), ("path", "string"),
+                       ("lang", "string")]
+
+
+def grouped_search(
+    index: InvertedIndex,
+    query: str,
+    by: str = "repo",
+    k_per_group: int = 1,
+    groups: int = 10,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """ES field collapsing + top_hits aggregation in one operator:
+    the best ``k_per_group`` hits per distinct value of keyword field
+    ``by``, for the top ``groups`` groups.  ``k_per_group=1`` is ES
+    ``collapse: {field}`` (one best hit per project — the GitLab
+    "group results by project" view); ``k_per_group>1`` is the
+    ``terms`` aggregation with a ``top_hits`` sub-aggregation
+    (``inner_hits`` size).  Groups order by their best hit's score
+    (desc, value asc — how ES orders collapsed hits), hits within a
+    group by (score desc, id asc); full bool
+    (operator/must_not/minimum_should_match) + keyword-filter +
+    dl_range surface of :func:`search`.
+
+    Physical plan: ONE job over the term-pruned postings scan
+    cogrouped with the filters sidecar (the ``by`` field's packed
+    per-value doc-sets ride the SAME sidecar rows the facet kernel
+    reads — no doc_stats join, no per-doc shuffle).  Per doc_part the
+    kernel scores the bool-filtered matches once, then intersects the
+    score vector with each value's bitmap for a per-(part, value)
+    top-k — ≤ n_values_present·k_per_group tiny rows leave each
+    partition.  The driver merges per value (a doc lives in exactly
+    one part, so per-part per-value top-k's merge exactly), orders
+    groups, and point-reads metadata for only the winners — the same
+    O(hit parts) fetch as :func:`search`."""
+    if by not in _MATCH_ALL_FACET_FIELDS:
+        raise ValueError(
+            f"by must be one of {_MATCH_ALL_FACET_FIELDS}, got {by!r}"
+        )
+    if k_per_group < 1 or groups < 1:
+        raise ValueError("k_per_group >= 1 and groups >= 1 required")
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    msm = int(minimum_should_match or 0)
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError("minimum_should_match applies to operator='or'")
+    if index.filters is None:
+        raise ValueError(
+            "grouped_search needs the index's filters sidecar "
+            "(rebuild or re-save the index with this version)"
+        )
+    spark = index.postings.sparkSession
+    empty = _local_result(spark, [], _GROUPED_HIT_FIELDS)
+
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = Counter(analyze_query(query))
+    idf = index.idf_map(list(weights))
+    widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
+    if not widf:
+        return empty
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    n_required = 0
+    if operator == "and":
+        if (neg & set(weights)) or len(widf) < len(weights):
+            return empty
+        n_required = len(widf)
+    elif neg:
+        widf = {t: w for t, w in widf.items() if t not in neg}
+        if not widf:
+            return empty
+    if msm > 1 and msm > len(widf):
+        return empty
+
+    scan_terms = list(widf) + sorted(neg)
+    cand = index.postings.filter(F.col("term").isin(scan_terms)).select(
+        "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"
+    )
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    fcond = F.col("field") == by
+    if predicates:
+        fcond = fcond | _filters_cond(predicates)
+    fsel = index.filters.filter(fcond).select(
+        "doc_part", "field", "value", "bits"
+    )
+    if parts is not None:
+        fsel = fsel.filter(F.col("doc_part").isin(parts))
+
+    kernel = _make_grouped_kernel(
+        widf, index.avgdl, k_per_group, index.docs_per_part, by,
+        predicates, neg_terms=neg, n_required=n_required,
+        min_match=msm if msm > 1 else 0, dl_range=_norm_dl_range(dl_range),
+    )
+    scored = (
+        cand.groupBy("doc_part")
+        .cogroup(fsel.groupBy("doc_part"))
+        .applyInPandas(kernel, schema=GROUPED_SCHEMA)
+    )
+
+    # driver merge: per-part per-value top-k's combine exactly (a doc
+    # lives in one part); ≤ n_parts·n_values·k bounded rows
+    by_value: dict[str, list[tuple[float, int]]] = {}
+    for r in scored.collect():
+        by_value.setdefault(r["value"], []).append(
+            (float(r["score"]), int(r["doc_idx"]))
+        )
+    if not by_value:
+        return empty
+    winners: list[tuple[str, list[tuple[float, int]]]] = []
+    for v, cands in by_value.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        winners.append((v, cands[:k_per_group]))
+    winners.sort(key=lambda g: (-g[1][0][0], g[0]))
+    winners = winners[:groups]
+
+    idxs = [d for _, hits in winners for _, d in hits]
+    meta = _fetch_doc_meta(index, idxs, ["id", "repo", "path", "lang"])
+    if meta is None:
+        ds = index.doc_stats
+        if index.docs_per_part > 0:
+            hit_parts = sorted({i // index.docs_per_part for i in idxs})
+            ds = ds.filter(F.col("doc_part").isin(hit_parts))
+        meta = {
+            int(r["doc_idx"]): r.asDict()
+            for r in ds.filter(F.col("doc_idx").isin(idxs))
+            .select("doc_idx", "id", "repo", "path", "lang").collect()
+        }
+    rows = [
+        (v, rank, m["id"], s, m["repo"], m["path"], m["lang"])
+        for v, hits in winners
+        for rank, (s, d) in enumerate(hits, 1)
+        if (m := meta.get(d)) is not None
+    ]
+    return _local_result(spark, rows, _GROUPED_HIT_FIELDS)
+
+
+def _make_grouped_kernel(
+    widf: dict[str, float],
+    avgdl: float,
+    k_per_group: int,
+    docs_per_part: int,
+    by_field: str,
+    predicates: list[tuple[str, tuple[str, ...]]],
+    neg_terms: frozenset[str] = frozenset(),
+    n_required: int = 0,
+    min_match: int = 0,
+    dl_range: tuple[int, int] | None = None,
+):
+    """Per-doc_part grouped-top-k kernel (cogroup: postings, filters —
+    where the filter side carries BOTH the predicate rows and the
+    ``by`` field's per-value doc-set rows).  Scores the bool-filtered
+    matches ONCE (exhaustive accumulate + clause counting for the
+    and/msm modes), then per ``by`` value intersects with its bitmap
+    and emits that value's local top ``k_per_group``."""
+    from ..functions.codecs import unpack_doc_set
+
+    pred_pairs = {(f, v) for f, vals in predicates for v in vals}
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"value": pd.Series([], dtype=object),
+                              "doc_idx": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+        if len(post_pdf) == 0 or filter_pdf is None or len(filter_pdf) == 0:
+            return empty
+        base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
+        by_rows = filter_pdf[filter_pdf["field"] == by_field]
+        if not len(by_rows):
+            return empty
+        bits = None
+        if predicates:
+            keep = [
+                (f, v) in pred_pairs
+                for f, v in zip(filter_pdf["field"], filter_pdf["value"])
+            ]
+            bits = _fold_filter_bits(filter_pdf[keep], len(predicates),
+                                     docs_per_part)
+            if bits is None:
+                return empty
+
+        excl = None
+        if neg_terms:
+            neg_docs = [
+                unpack_postings(
+                    bytes(row.docs_bin), bytes(row.tfs_bin),
+                    bytes(row.dls_bin)
+                )[0].astype(np.int64)
+                for row in post_pdf.itertuples(index=False)
+                if row.term in neg_terms
+            ]
+            if neg_docs:
+                excl = np.unique(np.concatenate(neg_docs))
+
+        all_docs: list[np.ndarray] = []
+        all_contrib: list[np.ndarray] = []
+        n_live = 0
+        for row in post_pdf.itertuples(index=False):
+            if row.term in neg_terms:
+                continue
+            w = widf.get(row.term)
+            if w is None:
+                continue
+            n_live += 1
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            if dl_range is not None:
+                m = (dls >= dl_range[0]) & (dls <= dl_range[1])
+                if not m.any():
+                    continue
+                docs, tfs, dls = docs[m], tfs[m], dls[m]
+            if bits is not None:
+                m = bits[docs - base]
+                if not m.any():
+                    continue
+                docs, tfs, dls = docs[m], tfs[m], dls[m]
+            if excl is not None:
+                m = ~_sorted_member(docs, excl)
+                if not m.any():
+                    continue
+                docs, tfs, dls = docs[m], tfs[m], dls[m]
+            all_docs.append(docs)
+            all_contrib.append(w * _tfn(tfs, dls, avgdl))
+        if not all_docs:
+            return empty
+        if n_required and n_live < n_required:
+            return empty
+        uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_contrib))
+        need = n_required or min_match
+        if need > 1:
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            ok = cnt >= need
+            if not ok.any():
+                return empty
+            uniq, acc = uniq[ok], acc[ok]
+
+        out_v: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for row in by_rows.itertuples(index=False):
+            vb = unpack_doc_set(bytes(row.bits), docs_per_part)
+            m = vb[uniq - base]
+            if not m.any():
+                continue
+            d, s = _topk_arrays(uniq[m], acc[m], k_per_group)
+            out_v.extend([row.value] * len(d))
+            out_d.append(d)
+            out_s.append(s)
+        if not out_v:
+            return empty
+        return pd.DataFrame({
+            "value": out_v,
+            "doc_idx": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        })
+
+    return kernel
+
+
 def field_cardinality(
     index: InvertedIndex,
     query: str | None,

@@ -1122,3 +1122,24 @@ def test_cli_suggest(spark, dirs, capsys):
 
     assert main(["suggest", "--index", idx, "merge"]) == 0
     assert _lines(capsys)[0]["suggest"] == {}
+
+
+def test_cli_collapse(spark, dirs, capsys):
+    """`search --collapse repo` (ES field collapsing): one best hit per
+    repo ordered by best score; --collapse-size widens the inner hits."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--collapse", "repo"]) == 0
+    out = _lines(capsys)
+    repos = [d["fields"]["repo"] for d in out]
+    assert len(repos) == len(set(repos)) and set(repos) == {"repo1", "repo2"}
+    assert all(d["inner_rank"] == 1 for d in out)
+
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--collapse", "repo", "--collapse-size", "2"]) == 0
+    out = _lines(capsys)
+    assert [d["inner_rank"] for d in out
+            if d["fields"]["repo"] == "repo1"] == [1]  # repo1 has 1 'def' doc

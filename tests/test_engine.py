@@ -1928,3 +1928,55 @@ def test_field_cardinality_matches_referee(index, oracle):
     exact = field_cardinality(index, "if", fields=("repo",)).collect()
     assert abs(approx[0]["cardinality"] - exact[0]["cardinality"]) <= \
         max(1, exact[0]["cardinality"] // 10)
+
+
+def test_grouped_search_matches_referee(index, oracle):
+    """ES collapse / top_hits: best k hits per repo/lang group, groups
+    ordered by best-hit score — matches the referee's full-match-set
+    grouping under every bool shape."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        grouped_search,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES:
+        for by in ("repo", "lang"):
+            for kpg in (1, 3):
+                hits = oracle.search(query, k=10**6, operator=op,
+                                     must_not=neg,
+                                     minimum_should_match=msm, lang=lang)
+                by_v: dict = {}
+                for d, s in hits:
+                    by_v.setdefault(oracle.meta[d].get(by), []).append(
+                        (d, s))
+                exp_groups = []
+                for v, g in by_v.items():
+                    g.sort(key=lambda t: (-t[1], t[0]))
+                    exp_groups.append((v, g[:kpg]))
+                exp_groups.sort(key=lambda t: (-t[1][0][1], t[0]))
+                exp = [
+                    (v, rank, d, round(s, 9))
+                    for v, g in exp_groups[:5]
+                    for rank, (d, s) in enumerate(g, 1)
+                ]
+                got = [
+                    (r["value"], r["rank"], r["id"], round(r["score"], 9))
+                    for r in grouped_search(
+                        index, query, by=by, k_per_group=kpg, groups=5,
+                        operator=op, must_not=neg,
+                        minimum_should_match=msm, lang=lang).collect()
+                ]
+                assert got == exp, (query, op, neg, by, kpg)
+
+
+def test_grouped_search_validation(index):
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        grouped_search,
+    )
+
+    with pytest.raises(ValueError, match="by must be"):
+        grouped_search(index, "if", by="path")
+    with pytest.raises(ValueError, match="k_per_group"):
+        grouped_search(index, "if", k_per_group=0)
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        grouped_search(index, "if user", operator="and",
+                       minimum_should_match=2)
