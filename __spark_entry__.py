@@ -557,6 +557,27 @@ WHERE r.rank <= 2 AND top_grp.g <= 5
 """
 
 
+def q_scan_all(spark, sf_dir):
+    """B58: ES scroll / PIT+search_after iteration — the ENTIRE match
+    set streamed in (score desc, id asc) order through O(page_size)
+    cursor pages; the oracle replays the full ranking with NO limit,
+    so a single dropped/duplicated/reordered doc at any page boundary
+    mismatches."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.scan_all(idx, "merge sort", page_size=150,
+                      lang=["en", "fr"])
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_SCAN_ALL = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_BM25_CTES.removeprefix("WITH ")}
+SELECT scored.id AS id, round(scored.raw, 4) AS score
+FROM scored JOIN meta ON meta.id = scored.id
+WHERE meta.lang IN ('en', 'fr')
+"""
+
+
 def q_commit_date_histogram(spark, sf_dir):
     """B52: ES date_histogram (calendar_interval=day) in filter
     context over commit documents — the commit-activity graph GitLab
@@ -3236,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b55_dl_percentiles": q_dl_percentiles,
         "b56_field_cardinality": q_field_cardinality,
         "b57_grouped_search": q_grouped_search,
+        "b58_scan_all": q_scan_all,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3348,6 +3370,7 @@ def oracle_sql() -> dict[str, str]:
         "b55_dl_percentiles": SQL_DL_PERCENTILES,
         "b56_field_cardinality": SQL_FIELD_CARDINALITY,
         "b57_grouped_search": SQL_GROUPED_SEARCH,
+        "b58_scan_all": SQL_SCAN_ALL,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

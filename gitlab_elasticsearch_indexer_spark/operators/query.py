@@ -3437,6 +3437,67 @@ def match_count(
     return int(rows[0]["n"]) if rows else 0
 
 
+def scan(
+    index: InvertedIndex,
+    query: str,
+    page_size: int = 1000,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
+    max_pages: int | None = None,
+):
+    """ES ``scroll`` / point-in-time + ``search_after`` iteration: a
+    generator yielding successive pages (lists of hit Rows) of the
+    ENTIRE match set in the global (score desc, id asc) order —
+    "export every hit", the shape ES now recommends implementing with
+    PIT + search_after rather than the legacy scroll API.  Each page
+    is one :func:`search` call seeded with the previous page's last
+    (score, id) cursor, so every page costs O(page_size) candidate
+    rows per partition at any depth (never offset-style deep paging),
+    and the full scan streams the match set through the driver one
+    bounded page at a time.  The index handle pins a snapshot
+    (versioned loads are immutable), giving the point-in-time
+    consistency ES scroll contexts exist for.  ``max_pages`` bounds a
+    runaway scan; iteration stops at the first short page."""
+    if page_size < 1:
+        raise ValueError("page_size must be >= 1")
+    cursor = None
+    pages = 0
+    while max_pages is None or pages < max_pages:
+        rows = search(
+            index, query, k=page_size, lang=lang, repo=repo,
+            operator=operator, must_not=must_not,
+            minimum_should_match=minimum_should_match,
+            dl_range=dl_range, search_after=cursor,
+        ).collect()
+        if not rows:
+            return
+        yield rows
+        pages += 1
+        if len(rows) < page_size:
+            return
+        last = rows[-1]
+        cursor = (float(last["score"]), last["id"])
+
+
+def scan_all(
+    index: InvertedIndex,
+    query: str,
+    page_size: int = 1000,
+    **knobs,
+) -> DataFrame:
+    """Materialize :func:`scan`'s pages into one DataFrame — the
+    whole match set in global order (the gate/test shape; real
+    exports consume the generator page by page)."""
+    spark = index.postings.sparkSession
+    rows = [tuple(r) for page in scan(index, query, page_size, **knobs)
+            for r in page]
+    return _local_result(spark, rows, _HITS_FIELDS)
+
+
 GROUPED_SCHEMA = "value string, doc_idx long, score double"
 _GROUPED_HIT_FIELDS = [("value", "string"), ("rank", "int"),
                        ("id", "string"), ("score", "double"),

@@ -1980,3 +1980,43 @@ def test_grouped_search_validation(index):
     with pytest.raises(ValueError, match="minimum_should_match"):
         grouped_search(index, "if user", operator="and",
                        minimum_should_match=2)
+
+
+def test_scan_streams_entire_match_set(index, oracle):
+    """ES scroll / PIT+search_after iteration: concatenated pages equal
+    the FULL match set in global (score desc, id asc) order, at several
+    page sizes, under filters and bool knobs; every page but the last
+    is exactly page_size."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        scan,
+        scan_all,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES[:4]:
+        exp = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                            minimum_should_match=msm, lang=lang)
+        # page sizes that exercise multi-page iteration without
+        # hundreds of 1-job pages (the hot term gets ps=50 below)
+        for ps in (7, 1000):
+            pages = list(scan(index, query, page_size=ps, operator=op,
+                              must_not=neg, minimum_should_match=msm,
+                              lang=lang))
+            got = [(r["id"], round(r["score"], 9))
+                   for page in pages for r in page]
+            assert got == [(d, round(s, 9)) for d, s in exp], (query, ps)
+            assert all(len(p) == ps for p in pages[:-1])
+
+    # the hot, multi-part term: full-corpus-wide scan in 50-doc pages
+    exp = oracle.search("if", k=10**6)
+    pages = list(scan(index, "if", page_size=50))
+    got = [(r["id"], round(r["score"], 9)) for page in pages for r in page]
+    assert got == [(d, round(s, 9)) for d, s in exp]
+    assert all(len(p) == 50 for p in pages[:-1])
+
+    # max_pages bounds the scan
+    pages = list(scan(index, "if", page_size=5, max_pages=2))
+    assert len(pages) == 2 and all(len(p) == 5 for p in pages)
+    full = scan_all(index, "if", page_size=64).collect()
+    assert len(full) == len(oracle.search("if", k=10**6))
+    with pytest.raises(ValueError, match="page_size"):
+        list(scan(index, "if", page_size=0))
