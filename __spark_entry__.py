@@ -1558,6 +1558,55 @@ ORDER BY raw DESC, id ASC LIMIT {k} OFFSET {offset}
 """
 
 
+def q_rescore_phrase(spark, sf_dir):
+    """B59: ES rescore with a match_phrase rescorer — the top-50 BM25
+    window re-ranks by primary + phrase-proximity (score_mode=total);
+    window docs the phrase misses keep their primary score.  Phase 2
+    folds the window ids into the phrase kernel's bitmap before any
+    position blob decodes (O(window) rescoring at any corpus size —
+    the point of the ES rescore API).  The oracle replays the window
+    selection, the positional adjacency join, and the sum."""
+    idx = _shared_index(spark, sf_dir, positions=True)
+    hits = q.rescore_phrase(idx, "merge sort table", "table hash",
+                            window_size=50, k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_RESCORE_PHRASE = f"""
+WITH q AS (SELECT unnest(['merge', 'sort', 'table']) AS term),
+{_BM25_CTES.removeprefix("WITH ")},
+pq(i, term) AS (SELECT * FROM (VALUES (0, 'table'), (1, 'hash'))
+                _pq(i, term)),
+toks2 AS (SELECT {_DOC_ID_SQL} AS id, string_split_regex(text, '\\s+') AS l
+          FROM documents),
+tp0 AS (SELECT id, lower(unnest(l)) AS term, unnest(range(len(l))) AS pos0
+        FROM toks2),
+tp AS (SELECT id, term,
+              (row_number() OVER (PARTITION BY id ORDER BY pos0)) - 1 AS pos
+       FROM tp0 WHERE term <> ''),
+pdf AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM tp
+        WHERE term IN (SELECT term FROM pq) GROUP BY 1),
+pidf AS (SELECT sum(ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS v
+         FROM pq JOIN pdf USING (term) CROSS JOIN stats s),
+pm AS (SELECT tp.id, tp.pos - pq.i AS start
+       FROM tp JOIN pq USING (term)
+       GROUP BY 1, 2 HAVING count(*) = (SELECT count(*) FROM pq)),
+phits AS (SELECT id, count(*)::DOUBLE AS pf FROM pm GROUP BY 1),
+pscored AS (
+    SELECT h.id,
+           (SELECT v FROM pidf)
+           * h.pf / (h.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS praw
+    FROM phits h JOIN dl USING (id) CROSS JOIN stats s),
+win AS (SELECT id, raw,
+               row_number() OVER (ORDER BY raw DESC, id ASC) AS rn
+        FROM scored)
+SELECT win.id AS id, round(win.raw + coalesce(p.praw, 0), 4) AS score
+FROM win LEFT JOIN pscored p USING (id)
+WHERE win.rn <= 50
+ORDER BY (win.raw + coalesce(p.praw, 0)) DESC, win.id ASC LIMIT 15
+"""
+
+
 def q_phrase_prefix_search(spark, sf_dir):
     """B38/ES match_phrase_prefix (search-as-you-type): 'table s' —
     the last token is a prefix whose top-5-by-df expansions may
@@ -3258,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b56_field_cardinality": q_field_cardinality,
         "b57_grouped_search": q_grouped_search,
         "b58_scan_all": q_scan_all,
+        "b59_rescore_phrase": q_rescore_phrase,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3371,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         "b56_field_cardinality": SQL_FIELD_CARDINALITY,
         "b57_grouped_search": SQL_GROUPED_SEARCH,
         "b58_scan_all": SQL_SCAN_ALL,
+        "b59_rescore_phrase": SQL_RESCORE_PHRASE,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

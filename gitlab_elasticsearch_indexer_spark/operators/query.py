@@ -5035,6 +5035,126 @@ def phrase_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
+_RESCORE_MODES = ("total", "multiply", "max", "min", "avg")
+
+
+def rescore_phrase(
+    index: InvertedIndex,
+    query: str,
+    phrase: str,
+    window_size: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    slop: int = 0,
+    score_mode: str = "total",
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    fetch: str = "auto",
+) -> DataFrame:
+    """ES ``rescore`` with a ``match_phrase`` rescorer — the classic
+    two-phase ranking: a cheap BM25 first pass selects the top
+    ``window_size`` docs, then ONLY those docs are re-scored by phrase
+    proximity and re-ranked by ``query_weight · primary  <score_mode>
+    rescore_query_weight · secondary`` (ES score_mode total/multiply/
+    max/min/avg; a window doc the phrase doesn't match keeps its
+    weighted primary score, as ES does).  ``slop`` passes through to
+    the sloppy-phrase matcher.
+
+    Physical plan: phase 1 is :func:`score_plan` (≤ window·n_parts
+    candidate rows); phase 2 prunes the positional scan to the WINDOW
+    DOCS' doc_parts and terms, and the phrase kernel folds the window
+    ids into its filter bitmap before any position blob decodes — so
+    rescoring costs O(window) regardless of how many docs match the
+    phrase corpus-wide.  That per-window cost bound is the entire
+    point of the ES rescore API, preserved here."""
+    import math as _m
+
+    if score_mode not in _RESCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_RESCORE_MODES}, "
+                         f"got {score_mode!r}")
+    if window_size < 1 or k < 1:
+        raise ValueError("window_size >= 1 and k >= 1 required")
+    if k > window_size:
+        raise ValueError("k must be <= window_size (ES returns the "
+                         "rescored window)")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    spark = index.postings.sparkSession
+    if index.pos_postings is None:
+        raise ValueError(
+            "rescore_phrase needs the positional-postings sidecar "
+            "(build_index(..., positions=True))"
+        )
+    empty = _local_result(spark, [], _HITS_FIELDS)
+
+    scored = score_plan(index, query, k=window_size, lang=lang, repo=repo)
+    if scored is None:
+        return empty
+    cand = [(float(r["score"]), int(r["doc_idx"])) for r in scored.collect()]
+    if not cand:
+        return empty
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    window = cand[:window_size]
+
+    analyze_pos = {"simple": code_search_analyze,
+                   "default": default_analyze}[index.pos_analyzer or "simple"]
+    terms = analyze_pos(phrase)
+    if slop and len(set(terms)) != len(terms):
+        raise ValueError(
+            "slop > 0 with a repeated analyzed term is not supported"
+        )
+    sec: dict[int, float] = {}
+    if terms:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in index.pos_postings.filter(
+                F.col("term").isin(sorted(set(terms))))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+        if all(t in dfs for t in terms):
+            n = float(index.n_docs)
+            idf_sum = float(sum(
+                _m.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in terms
+            ))
+            allowed: dict[int, list[int]] = {}
+            for _, d in window:
+                allowed.setdefault(d // index.docs_per_part, []).append(d)
+            allowed_np = {p: np.asarray(v, dtype=np.int64)
+                          for p, v in allowed.items()}
+            pcand = index.pos_postings.filter(
+                F.col("term").isin(sorted(set(terms)))
+                & F.col("doc_part").isin(sorted(allowed_np))
+            ).select("doc_part", "term", "docs_bin", "cnt_bin", "dls_bin",
+                     "pos_bin")
+            avgdl = (index.pos_avgdl if index.pos_avgdl is not None
+                     else index.avgdl)
+            kernel = _make_phrase_kernel(
+                list(terms), idf_sum, avgdl, window_size,
+                index.docs_per_part, 0, slop, allowed_by_part=allowed_np,
+            )
+            sec = {
+                int(r["doc_idx"]): float(r["score"])
+                for r in pcand.groupBy("doc_part")
+                .applyInPandas(_wrap_single(kernel), schema=TOPK_SCHEMA)
+                .collect()
+            }
+
+    qw, rw = float(query_weight), float(rescore_query_weight)
+    final: list[dict] = []
+    for orig, d in window:
+        p = qw * orig
+        if d in sec:
+            s = rw * sec[d]
+            v = {"total": p + s, "multiply": p * s, "max": max(p, s),
+                 "min": min(p, s), "avg": (p + s) / 2.0}[score_mode]
+        else:
+            v = p
+        final.append({"doc_idx": d, "score": v})
+    return _rank_and_fetch(index, final, k, fetch)
+
+
 def expand_phrase_prefix(
     index: InvertedIndex, prefix: str, max_expansions: int = 50
 ) -> list[tuple[str, int]]:
@@ -5662,8 +5782,14 @@ def _make_phrase_kernel(
     n_predicates: int,
     slop: int = 0,
     after: tuple[float, int] | None = None,
+    allowed_by_part: dict[int, np.ndarray] | None = None,
 ):
     """Per-doc_part phrase kernel, docs-first and positions-lazy.
+
+    ``allowed_by_part`` restricts evaluation to an explicit bounded
+    doc set (global doc_idx arrays keyed by doc_part) — the rescore
+    window: the allowed ids fold into the same bitmap the keyword
+    filters use, so only window docs' position blobs ever decode.
 
     The doc-id lists (one cheap delta+varint stream per term) and the
     keyword-filter bitmap intersect FIRST — like Lucene's conjunction
@@ -5688,6 +5814,13 @@ def _make_phrase_kernel(
             bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
             if bits is None:
                 return empty
+        if allowed_by_part is not None:
+            arr = allowed_by_part.get(part)
+            if arr is None or not len(arr):
+                return empty
+            abits = np.zeros(docs_per_part, dtype=bool)
+            abits[np.asarray(arr, dtype=np.int64) - base] = True
+            bits = abits if bits is None else (bits & abits)
 
         decoded = _phrase_cheap_decode(pos_pdf)
         hit = _phrase_hits(decoded, terms, base, bits, slop)

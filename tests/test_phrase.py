@@ -682,3 +682,76 @@ def test_phrase_prefix_validation(pidx):
     with pytest.raises(ValueError, match="not several"):
         search_many(pidx, {"x": {"q": "table h", "phrase_prefix": True,
                                  "phrase": True}}, k=5)
+
+
+def test_rescore_phrase_composes_primary_and_phrase(pidx):
+    """ES rescore with a match_phrase rescorer: the top window of the
+    BM25 first pass re-ranks by qw·primary <mode> rw·secondary, docs
+    the phrase misses keep their weighted primary — verified against
+    the composition of the two independently-gated rankings for every
+    score_mode, a sub-window, weights, and slop."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        rescore_phrase,
+        search,
+    )
+
+    query, phrase = "table user probe", "table hash"
+    prim = [(r["id"], r["score"])
+            for r in search(pidx, query, k=10).collect()]
+    ph = {r["id"]: r["score"]
+          for r in phrase_search(pidx, phrase, k=100).collect()}
+    assert prim and ph
+
+    def expect(window, k, qw, rw, mode, slop_ph=None):
+        src = slop_ph if slop_ph is not None else ph
+        out = []
+        for i, s in prim[:window]:
+            p = qw * s
+            if i in src:
+                sec = rw * src[i]
+                v = {"total": p + sec, "multiply": p * sec,
+                     "max": max(p, sec), "min": min(p, sec),
+                     "avg": (p + sec) / 2}[mode]
+            else:
+                v = p
+            out.append((i, v))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return [(i, round(v, 9)) for i, v in out[:k]]
+
+    for mode in ("total", "multiply", "max", "min", "avg"):
+        for qw, rw in ((1.0, 1.0), (0.7, 1.2)):
+            got = [(r["id"], round(r["score"], 9))
+                   for r in rescore_phrase(
+                       pidx, query, phrase, window_size=10, k=5,
+                       query_weight=qw, rescore_query_weight=rw,
+                       score_mode=mode).collect()]
+            assert got == expect(10, 5, qw, rw, mode), (mode, qw, rw)
+
+    # a SMALL window: docs outside it are never rescored (and never
+    # returned) even if the phrase matches them strongly
+    got = [(r["id"], round(r["score"], 9))
+           for r in rescore_phrase(pidx, query, phrase, window_size=2,
+                                   k=2).collect()]
+    assert got == expect(2, 2, 1.0, 1.0, "total")
+    assert {i for i, _ in got} <= {i for i, _ in prim[:2]}
+
+    # slop passes through to the sloppy matcher
+    slop_ph = {r["id"]: r["score"]
+               for r in phrase_search(pidx, phrase, k=100, slop=2).collect()}
+    got = [(r["id"], round(r["score"], 9))
+           for r in rescore_phrase(pidx, query, phrase, window_size=10,
+                                   k=5, slop=2).collect()]
+    assert got == expect(10, 5, 1.0, 1.0, "total", slop_ph=slop_ph)
+
+    # a phrase with a dead term: primary ranking survives, weighted
+    got = [(r["id"], round(r["score"], 9))
+           for r in rescore_phrase(pidx, query, "zzz_missing hash",
+                                   window_size=10, k=5,
+                                   query_weight=0.5).collect()]
+    assert got == [(i, round(0.5 * s, 9)) for i, s in prim[:5]]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="score_mode"):
+        rescore_phrase(pidx, query, phrase, score_mode="sum")
+    with _pt.raises(ValueError, match="k must be"):
+        rescore_phrase(pidx, query, phrase, window_size=5, k=10)
