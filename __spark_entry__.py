@@ -578,6 +578,42 @@ WHERE meta.lang IN ('en', 'fr')
 """
 
 
+def q_significant_terms(spark, sf_dir):
+    """B60: ES significant_terms — the "uncommonly common" terms of
+    the 'merge sort' match set under JLH ((fg%−bg%)·(fg%/bg%)), query
+    terms excluded, min_doc_count=3.  The one deliberately expensive
+    aggregation (per-part FULL postings scan against the matched
+    mask); the sampler knob (gated in pytest) bounds it the way ES's
+    sampler agg does.  The oracle recomputes fg/bg/JLH from the token
+    CTE."""
+    idx = _shared_index(spark, sf_dir)
+    sig = q.significant_terms(idx, "merge sort", size=10)
+    return sig.select("term", "fg", "bg",
+                      F.round("score", 4).alias("score"))
+
+
+SQL_SIGNIFICANT_TERMS = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_TOK_CTE.strip()},
+tset AS (SELECT DISTINCT id, term FROM tok),
+matched AS (SELECT DISTINCT id FROM tset JOIN q USING (term)),
+nm AS (SELECT count(*)::DOUBLE AS m FROM matched),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (SELECT term, count(*)::BIGINT AS fg FROM tset
+       JOIN matched USING (id) GROUP BY 1),
+bg AS (SELECT term, count(*)::BIGINT AS bg FROM tset GROUP BY 1),
+sc AS (
+    SELECT fg.term, fg.fg, bg.bg,
+           (fg.fg / nm.m - bg.bg / nd.n)
+           * ((fg.fg / nm.m) / (bg.bg / nd.n)) AS score
+    FROM fg JOIN bg USING (term) CROSS JOIN nm CROSS JOIN nd
+    WHERE fg.fg >= 3 AND fg.term NOT IN (SELECT term FROM q)
+)
+SELECT term, fg, bg, round(score, 4) AS score
+FROM sc ORDER BY sc.score DESC, term ASC LIMIT 10
+"""
+
+
 def q_commit_date_histogram(spark, sf_dir):
     """B52: ES date_histogram (calendar_interval=day) in filter
     context over commit documents — the commit-activity graph GitLab
@@ -3308,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b57_grouped_search": q_grouped_search,
         "b58_scan_all": q_scan_all,
         "b59_rescore_phrase": q_rescore_phrase,
+        "b60_significant_terms": q_significant_terms,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3422,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
         "b57_grouped_search": SQL_GROUPED_SEARCH,
         "b58_scan_all": SQL_SCAN_ALL,
         "b59_rescore_phrase": SQL_RESCORE_PHRASE,
+        "b60_significant_terms": SQL_SIGNIFICANT_TERMS,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

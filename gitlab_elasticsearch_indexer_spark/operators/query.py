@@ -3437,6 +3437,179 @@ def match_count(
     return int(rows[0]["n"]) if rows else 0
 
 
+_SIG_FIELDS = [("term", "string"), ("fg", "long"), ("bg", "long"),
+               ("score", "double")]
+
+
+def significant_terms(
+    index: InvertedIndex,
+    query: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    sample_parts: int | None = None,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation — the "uncommonly common"
+    terms of a query's match set: terms whose foreground rate (share
+    of MATCHING docs containing them) most exceeds their background
+    rate (share of ALL docs), scored with ES's JLH —
+    ``(fg% − bg%) · (fg% / bg%)`` — and ranked (score desc, term asc).
+    Returns (term, fg, bg, score) for the top ``size`` terms with
+    foreground df ≥ ``min_doc_count`` (the ES default 3), excluding
+    the query's own analyzed terms (they are trivially significant).
+
+    This is the one aggregation whose cost is a SCAN OF THE PART'S
+    WHOLE POSTINGS RELATION (every term's doc list intersects the
+    matched mask) — exactly why ES documents it as expensive and
+    pairs it with the ``sampler`` aggregation.  ``sample_parts=N``
+    is that sampler: the foreground restricts to the first N
+    doc_parts (a deterministic shard sample; ES samples per shard the
+    same way), while the background df stays corpus-global — so cost
+    is bounded by N parts' postings regardless of corpus size.  Per
+    part the kernel emits one (term, fg_n) row per term present in
+    its matches (≤ the matched docs' vocabulary — nothing per-doc
+    shuffles); the global sum joins term_stats for the background df.
+
+    Keyword filters compose (the mask ANDs the predicate bitmaps);
+    the background stays unfiltered, per ES's default background_set.
+    """
+    if size < 1 or min_doc_count < 1:
+        raise ValueError("size >= 1 and min_doc_count >= 1 required")
+    if sample_parts is not None and sample_parts < 1:
+        raise ValueError("sample_parts must be >= 1")
+    spark = index.postings.sparkSession
+    empty = _local_result(spark, [], _SIG_FIELDS)
+
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    qterms = sorted(set(analyze_query(query)))
+    idf = index.idf_map(qterms)
+    live = [t for t in qterms if t in idf]
+    if not live:
+        return empty
+
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if sample_parts is not None:
+        sampled = list(range(sample_parts))
+        parts = sampled if parts is None else sorted(
+            set(parts) & set(sampled))
+    if parts is not None and not parts:
+        return empty
+    if predicates and index.filters is None:
+        raise ValueError(
+            "filtered significant_terms needs the index's filters sidecar"
+        )
+
+    # the FULL per-part postings relation (column-pruned to the doc
+    # lists) — the documented expensive scan the sampler bounds
+    cand = index.postings.select("doc_part", "term", "docs_bin",
+                                 "tfs_bin", "dls_bin")
+    if parts is not None:
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    kernel = _make_sig_kernel(set(live), index.docs_per_part,
+                              len(predicates))
+    if predicates:
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        partial = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema="term string, fg long")
+        )
+    else:
+        partial = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema="term string, fg long"
+        )
+
+    agg = partial.groupBy("term").agg(F.sum("fg").alias("fg"))
+    # the matched-doc total rides the same aggregation as a sentinel
+    # row and rejoins via a broadcast cross join — ONE plan, and Spark
+    # reuses the shuffle exchange for both branches
+    total = (
+        agg.filter(F.col("term") == F.lit("\x00_total"))
+        .select(F.col("fg").cast("double").alias("n_matched"))
+    )
+    n_docs = float(index.n_docs)
+    joined = (
+        agg.filter((F.col("term") != F.lit("\x00_total"))
+                   & ~F.col("term").isin(qterms)
+                   & (F.col("fg") >= min_doc_count))
+        .join(index.term_stats.select("term", "df"), "term")
+        .crossJoin(F.broadcast(total))
+    )
+    fg_rate = F.col("fg") / F.col("n_matched")
+    bg_rate = F.col("df") / F.lit(n_docs)
+    return (
+        joined.select(
+            "term", "fg", F.col("df").cast("long").alias("bg"),
+            ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(size)
+    )
+
+
+def _make_sig_kernel(
+    query_terms: set[str], docs_per_part: int, n_predicates: int
+):
+    """Per-doc_part significant-terms kernel: build the matched mask
+    from the query terms' doc lists (AND the predicate bitmaps), then
+    intersect EVERY term's doc list with it — one (term, fg_n) row per
+    term present in the matches, plus a ``\\x00_total`` row carrying
+    the part's matched-doc count (the JLH denominator)."""
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                              "fg": pd.Series([], dtype=np.int64)})
+        if len(post_pdf) == 0:
+            return empty
+        part = int(post_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        bits = None
+        if n_predicates:
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
+                return empty
+
+        mask = np.zeros(docs_per_part, dtype=bool)
+        hit_any = False
+        for row in post_pdf.itertuples(index=False):
+            if row.term not in query_terms:
+                continue
+            docs = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )[0].astype(np.int64)
+            mask[docs - base] = True
+            hit_any = True
+        if not hit_any:
+            return empty
+        if bits is not None:
+            mask &= bits
+        n_matched = int(mask.sum())
+        if n_matched == 0:
+            return empty
+
+        terms: list[str] = ["\x00_total"]
+        fgs: list[int] = [n_matched]
+        for row in post_pdf.itertuples(index=False):
+            docs = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )[0].astype(np.int64)
+            n = int(mask[docs - base].sum())
+            if n:
+                terms.append(row.term)
+                fgs.append(n)
+        return pd.DataFrame({"term": terms,
+                             "fg": np.asarray(fgs, dtype=np.int64)})
+
+    return kernel
+
+
 def scan(
     index: InvertedIndex,
     query: str,

@@ -2020,3 +2020,75 @@ def test_scan_streams_entire_match_set(index, oracle):
     assert len(full) == len(oracle.search("if", k=10**6))
     with pytest.raises(ValueError, match="page_size"):
         list(scan(index, "if", page_size=0))
+
+
+def _sig_referee(oracle, query, size=10, min_doc_count=3,
+                 allowed_ids=None):
+    """Brute significant_terms: fg = matched docs containing the term,
+    bg = corpus df, JLH = (fg% − bg%)·(fg%/bg%); query terms excluded."""
+    from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+        code_search_analyze,
+    )
+
+    matched = {d for d, _ in oracle.search(query, k=10**6)}
+    if allowed_ids is not None:
+        matched &= allowed_ids
+    if not matched:
+        return []
+    qterms = set(code_search_analyze(query))
+    n_docs = len(oracle.dls)
+    out = []
+    for t, pl in oracle.postings.items():
+        if t in qterms:
+            continue
+        fg = len(matched & set(pl))
+        if fg < min_doc_count:
+            continue
+        bg = len(pl)
+        fr, br = fg / len(matched), bg / n_docs
+        out.append((t, fg, bg, (fr - br) * (fr / br)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return [(t, fg, bg, round(s, 9)) for t, fg, bg, s in out[:size]]
+
+
+def test_significant_terms_matches_referee(index, oracle):
+    """ES significant_terms: 'uncommonly common' terms of the match
+    set under JLH, query terms excluded, min_doc_count applied."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        significant_terms,
+    )
+
+    for query in ("get user", "if return", "window"):
+        got = [(r["term"], r["fg"], r["bg"], round(r["score"], 9))
+               for r in significant_terms(index, query, size=10).collect()]
+        assert got == _sig_referee(oracle, query, size=10), query
+    # the multi-term queries produce non-trivial rankings
+    assert _sig_referee(oracle, "get user", size=10)
+    assert _sig_referee(oracle, "if return", size=10)
+
+
+def test_significant_terms_sampler_and_validation(index, oracle):
+    """The sampler: sample_parts=N restricts the FOREGROUND to the
+    first N doc_parts (deterministic shard sample — doc_idx is the
+    rank of the string id) while the background df stays global."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        significant_terms,
+    )
+
+    all_ids = sorted(oracle.dls)
+    allowed = set(all_ids[: 2 * index.docs_per_part])
+    got = [(r["term"], r["fg"], r["bg"], round(r["score"], 9))
+           for r in significant_terms(index, "get user", size=10,
+                                      sample_parts=2).collect()]
+    assert got == _sig_referee(oracle, "get user", size=10,
+                               allowed_ids=allowed)
+    assert got
+
+    with pytest.raises(ValueError, match="size >= 1"):
+        significant_terms(index, "if", size=0)
+    with pytest.raises(ValueError, match="sample_parts"):
+        significant_terms(index, "if", sample_parts=0)
+    # a query with no live terms → empty, stable schema
+    df = significant_terms(index, "zzz_no_such_term")
+    assert df.columns == ["term", "fg", "bg", "score"]
+    assert df.count() == 0
