@@ -1900,6 +1900,7 @@ def search_many(
     wild_specs: dict[str, tuple[str, int]] = {}  # qid -> (pattern, cap)
     regexp_specs: dict[str, tuple[str, int]] = {}  # qid -> (pattern, cap)
     mf_specs: dict[str, tuple[str, ...]] = {}  # qid -> field names
+    mf_mode_by_query: dict[str, tuple[str, float]] = {}  # qid -> dis_max+tb
     op_by_query: dict[str, str] = {}  # qid -> "and" (default or omitted)
     negq_by_query: dict[str, str] = {}  # qid -> raw must_not string
     msm_by_query: dict[str, int] = {}  # qid -> minimum_should_match (>1)
@@ -2084,6 +2085,12 @@ def search_many(
                     )
                 sa = spec["search_after"]
                 cursor_specs[qid] = (float(sa[0]), str(sa[1]))
+            if ((spec.get("mode") or spec.get("tie_breaker"))
+                    and not spec.get("fields")):
+                raise ValueError(
+                    f"batch entry {qid!r}: mode/tie_breaker apply to "
+                    "multi-field entries"
+                )
             if spec.get("phrase"):
                 phrase_specs[qid] = (spec["q"], int(spec.get("slop", 0)))
             elif spec.get("phrase_prefix"):
@@ -2092,6 +2099,24 @@ def search_many(
                 )
             elif spec.get("fields"):
                 mf_specs[qid] = tuple(spec["fields"])
+                mode = spec.get("mode", "sum")
+                if mode not in ("sum", "dis_max"):
+                    raise ValueError(
+                        f"batch entry {qid!r}: mode must be 'sum' or "
+                        f"'dis_max', got {mode!r}"
+                    )
+                tb = float(spec.get("tie_breaker", 0.0))
+                if not 0.0 <= tb <= 1.0:
+                    raise ValueError(
+                        f"batch entry {qid!r}: tie_breaker must be in [0, 1]"
+                    )
+                if mode == "sum" and tb:
+                    raise ValueError(
+                        f"batch entry {qid!r}: tie_breaker only applies to "
+                        "mode='dis_max'"
+                    )
+                if mode == "dis_max":
+                    mf_mode_by_query[qid] = (mode, tb)
             elif spec.get("prefix"):
                 prefix_specs[qid] = (
                     spec["q"], int(spec.get("max_expansions", 50))
@@ -2538,6 +2563,7 @@ def search_many(
             after_by_query={
                 qid: a for qid, a in after_all.items() if qid in mf_q
             },
+            modes=mf_mode_by_query,
         )
         mf_fsel = _filters_for(set(mf_q), mf_scan)
         if mf_fsel is not None:
@@ -2963,14 +2989,19 @@ def _make_batch_mf_kernel(
     n_by_query: dict[str, int],
     docs_per_part: int,
     after_by_query: dict[str, tuple[float, int]] | None = None,
+    modes: dict[str, tuple[str, float]] | None = None,
 ):
     """Per-doc_part BATCHED multi-field kernel (ES ``_msearch`` with
     bool-should bodies): each (field, term) posting row decodes ONCE
     with its FIELD's avgdl; every entry sums w·idf·tfn over its
     (field, term) clauses — the same bool-should sum as
     :func:`multi_search`, amortized across the batch.  Entry-level
-    predicates/routing mask exactly like the term batch kernel."""
+    predicates/routing mask exactly like the term batch kernel.
+    ``modes`` marks dis_max entries (``{"mode": "dis_max",
+    "tie_breaker": t}`` bodies): those accumulate per (doc, field)
+    before combining max + t·(sum − max), sharing the same decodes."""
     after_by_query = after_by_query or {}
+    modes = modes or {}
     from ..functions.codecs import unpack_doc_set
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -3017,8 +3048,10 @@ def _make_batch_mf_kernel(
                 bits = fb if bits is None else (bits & fb)
             if missing_pred or (bits is not None and not bits.any()):
                 continue
+            dis_max = qid in modes
+            n_flds = len(per_fld)
             terms = []
-            for f, widf in per_fld.items():
+            for fi, (f, widf) in enumerate(per_fld.items()):
                 for t, w in widf.items():
                     ent = decoded.get((f, t))
                     if ent is None:
@@ -3029,11 +3062,34 @@ def _make_batch_mf_kernel(
                         if not keep.any():
                             continue
                         docs, tfn = docs[keep], tfn[keep]
+                    if dis_max:
+                        # key per (doc, field) so the combine sees each
+                        # field's clause-sum — same trick as the single
+                        # dis_max kernel
+                        docs = docs * n_flds + fi
                     terms.append({"w": w, "docs": docs, "tfn": tfn})
             if not terms:
                 continue
-            d, s = _exhaustive_topk(terms, n_by_query[qid],
+            if dis_max:
+                keys = np.concatenate([t["docs"] for t in terms])
+                contrib = np.concatenate(
+                    [t["w"] * t["tfn"] for t in terms])
+                uniqk, invk = np.unique(keys, return_inverse=True)
+                acc = np.zeros(len(uniqk), dtype=np.float64)
+                np.add.at(acc, invk, contrib)
+                uniq, inv2 = np.unique(uniqk // n_flds,
+                                       return_inverse=True)
+                mx = np.zeros(len(uniq), dtype=np.float64)
+                np.maximum.at(mx, inv2, acc)
+                sm = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(sm, inv2, acc)
+                tb = modes[qid][1]
+                d, s = _topk_arrays(uniq, mx + tb * (sm - mx),
+                                    n_by_query[qid],
                                     after=after_by_query.get(qid))
+            else:
+                d, s = _exhaustive_topk(terms, n_by_query[qid],
+                                        after=after_by_query.get(qid))
             qids.extend([qid] * len(d))
             didx.extend(d.tolist())
             scores.extend(s.tolist())

@@ -716,3 +716,58 @@ def test_dismax_validation(mf_index):
         q.multi_search(mf_index, "x", mode="dis_max", tie_breaker=1.5)
     with pytest.raises(ValueError, match="only applies"):
         q.multi_search(mf_index, "x", mode="sum", tie_breaker=0.3)
+
+
+def test_search_many_dismax_entries_match_single(mf_index):
+    """msearch parity for dis_max: `{"fields": ..., "mode": "dis_max",
+    "tie_breaker": t}` bodies score identically to multi_search
+    singles, mixed in one batch with sum-mode and term entries."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        search_many,
+    )
+
+    specs = {
+        "d0": {"q": "user_controller.rb handler",
+               "fields": ["content", "file_name"],
+               "mode": "dis_max", "tie_breaker": 0.3},
+        "d1": {"q": "handler order.rb",
+               "fields": ["content", "file_name^2"], "mode": "dis_max"},
+        "d2": {"q": "user_controller.rb handler",
+               "fields": ["content", "file_name"]},  # sum mode
+        "d3": {"q": "handler"},                      # plain term entry
+        "d4": {"q": "user_controller.rb handler",
+               "fields": ["content", "file_name"],
+               "mode": "dis_max", "tie_breaker": 0.3, "lang": "Ruby"},
+    }
+    rows = search_many(mf_index, specs, k=5).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], round(r["score"], 9)))
+    singles = {
+        "d0": q.multi_search(mf_index, specs["d0"]["q"], k=5,
+                             fields=("content", "file_name"),
+                             mode="dis_max", tie_breaker=0.3),
+        "d1": q.multi_search(mf_index, specs["d1"]["q"], k=5,
+                             fields=("content", "file_name^2"),
+                             mode="dis_max"),
+        "d2": q.multi_search(mf_index, specs["d2"]["q"], k=5,
+                             fields=("content", "file_name")),
+        "d4": q.multi_search(mf_index, specs["d4"]["q"], k=5,
+                             fields=("content", "file_name"),
+                             mode="dis_max", tie_breaker=0.3, lang="Ruby"),
+    }
+    for qid, df in singles.items():
+        exp = [(i + 1, r["id"], round(r["score"], 9))
+               for i, r in enumerate(df.collect())]
+        assert sorted(by_q[qid]) == exp, qid
+    assert by_q["d3"]  # the plain entry rode along
+
+    with pytest.raises(ValueError, match="mode must be"):
+        search_many(mf_index, {"x": {"q": "a", "fields": ["content"],
+                                     "mode": "max"}})
+    with pytest.raises(ValueError, match="apply to"):
+        search_many(mf_index, {"x": {"q": "a", "mode": "dis_max"}})
+    with pytest.raises(ValueError, match="tie_breaker only"):
+        search_many(mf_index, {"x": {"q": "a", "fields": ["content"],
+                                     "tie_breaker": 0.3}})
