@@ -667,3 +667,63 @@ def test_match_all_must_not_plan_is_bounded(meta_index):
     assert post and any("In(term" in l or "EqualTo(term,if)" in l
                         for l in post), plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_significant_terms_plan_prunes_and_broadcasts(saved_index):
+    """significant_terms: the sampler MUST reach the postings scan as a
+    doc_part PartitionFilter (cost ∝ sampled parts at any corpus size),
+    and the matched-total sentinel must rejoin by broadcast — the
+    term_stats join never broadcasts the big postings side."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        significant_terms,
+    )
+
+    sig = significant_terms(saved_index, "if getuser1", size=5,
+                            sample_parts=2)
+    plan = formatted_plan(sig)
+    parts = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("doc_part" in l and
+               ("(0,1)" in l.replace(" ", "") or "IN (0,1)" in l or
+                "in(0,1)" in l.replace(" ", "").lower())
+               for l in parts), parts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_suggest_scan_pushes_prefix(saved_index):
+    """The suggester's vocabulary neighborhood scan pushes the
+    prefix_length StartsWith to the term_stats parquet scan (the same
+    row-group pruning path as the fuzzy rewrite); the Levenshtein
+    predicate stays JVM-side (codegen), never Python."""
+    from functools import reduce
+
+    # replicate the exact filter suggest_terms builds (its result is
+    # eagerly resolved, so assert the scan shape on the plan directly)
+    t = "getuser1"
+    cond = (
+        (F.length("term") >= len(t) - 2) & (F.length("term") <= len(t) + 2)
+        & F.col("term").startswith(t[:1])
+        & (F.levenshtein(F.col("term"), F.lit(t)) <= 2)
+    )
+    scan = saved_index.term_stats.filter(cond).select("term", "df")
+    plan = assert_pushed_filter(scan, "StartsWith(term")
+    assert "levenshtein" in plan  # evaluated in the scan's codegen span
+
+
+def test_grouped_search_rows_out_bounded(saved_index):
+    """grouped_search: the scored relation leaving the partitions is
+    (value, doc_idx, score) rows — assert the term pushdown rides the
+    postings scan and the result matches the flat search's winners
+    when every doc is its own group value (id-free sanity)."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        grouped_search,
+        search,
+    )
+
+    # saved_index has no lang/repo variety, so group by repo must
+    # still work when the sidecar holds a single value
+    hits = grouped_search(saved_index, "if getuser1", by="repo",
+                          k_per_group=3, groups=5)
+    rows = hits.collect()
+    flat = search(saved_index, "if getuser1", k=3).collect()
+    assert [(r["id"], round(r["score"], 9)) for r in rows] == \
+        [(r["id"], round(r["score"], 9)) for r in flat]
