@@ -257,6 +257,23 @@ def main(argv: list[str] | None = None) -> int:
                         "field (lang/repo; repeatable — the ES terms-"
                         "aggregation analog GitLab renders as per-language "
                         "hit counts)")
+    s.add_argument("--percentiles", action="store_true",
+                   help="also print dl percentiles at the ES default "
+                        "percents [1,5,25,50,75,95,99] (ES percentiles "
+                        "aggregation analog — exact nearest-rank from the "
+                        "bounded dl histogram)")
+    s.add_argument("--cardinality", action="append", default=None,
+                   metavar="FIELD",
+                   help="also print the distinct-value count of this "
+                        "keyword field among matches (lang/repo; "
+                        "repeatable — ES cardinality aggregation analog)")
+    s.add_argument("--significant", type=int, default=None, metavar="SIZE",
+                   help="also print the top-SIZE significant terms of the "
+                        "match set (ES significant_terms, JLH-scored; "
+                        "expensive — see --sample-parts)")
+    s.add_argument("--sample-parts", type=int, default=None,
+                   help="bound --significant to the first N doc "
+                        "partitions (the ES sampler aggregation analog)")
     s.add_argument("--collapse", default=None, metavar="FIELD",
                    help="group hits by this keyword field (lang/repo) and "
                         "return the best --collapse-size hits per group for "
@@ -744,10 +761,24 @@ def main(argv: list[str] | None = None) -> int:
                      "--dl-min/--dl-max, --from and --after (no should "
                      "clauses — nothing to score, analyze, or rewrite)")
         if args.match_all and not (args.sort or args.stats or args.histogram
-                                   or args.facet):
+                                   or args.facet or args.percentiles
+                                   or args.cardinality):
             ap.error("--match-all needs --sort and/or an aggregation "
-                     "(--stats/--histogram/--facet): ES match_all hits "
-                     "carry no relevance order")
+                     "(--stats/--histogram/--facet/--percentiles/"
+                     "--cardinality): ES match_all hits carry no "
+                     "relevance order")
+        if args.significant is not None and (args.match_all or args.sha
+                                             or args.like or args.phrase
+                                             or args.fields or args.prefix
+                                             or args.fuzzy or args.wildcard
+                                             or args.regexp
+                                             or args.phrase_prefix
+                                             or args.qs):
+            ap.error("--significant applies to plain term queries "
+                     "(a match set is required; match_all's would be "
+                     "the whole corpus)")
+        if args.sample_parts is not None and args.significant is None:
+            ap.error("--sample-parts requires --significant")
         if sum(map(bool, (args.sha, args.like, args.phrase, args.fields,
                           args.prefix, args.fuzzy, args.wildcard,
                           args.regexp, args.phrase_prefix))) > 1:
@@ -916,7 +947,8 @@ def main(argv: list[str] | None = None) -> int:
                             search_after=after,
                             minimum_should_match=args.min_should_match,
                             dl_range=dl_range)
-        if args.facet or args.stats or args.histogram:
+        if (args.facet or args.stats or args.histogram or args.percentiles
+                or args.cardinality):
             # aggregations reflect the SAME bool semantics as the hits
             # they accompany (sha/phrase/fields queries keep the
             # any-term agg shape — their match sets aren't term-mask
@@ -981,6 +1013,45 @@ def main(argv: list[str] | None = None) -> int:
             for r in fc.collect():
                 facets.setdefault(r["field"], {})[r["value"]] = int(r["n"])
             print(json.dumps({"facets": facets}))
+        if args.percentiles:
+            prows = q.dl_percentiles(
+                idx, args.query, lang=args.lang, repo=args.repo,
+                operator=args.operator,
+                must_not=(" ".join(args.must_not)
+                          if args.must_not else None),
+                pre_terms=pre,
+                minimum_should_match=args.min_should_match,
+                dl_range=dl_range,
+            ).collect()
+            print(json.dumps({"percentiles": {
+                str(r["percent"]): (None if r["value"] is None
+                                    else int(r["value"]))
+                for r in prows
+            }}))
+        if args.cardinality:
+            crows = q.field_cardinality(
+                idx, args.query, fields=tuple(args.cardinality),
+                lang=args.lang, repo=args.repo, operator=args.operator,
+                must_not=(" ".join(args.must_not)
+                          if args.must_not else None),
+                pre_terms=pre,
+                minimum_should_match=args.min_should_match,
+                dl_range=dl_range,
+            ).collect()
+            print(json.dumps({"cardinality": {
+                r["field"]: int(r["cardinality"]) for r in crows
+            }}))
+        if args.significant is not None:
+            srows = q.significant_terms(
+                idx, args.query, size=args.significant,
+                sample_parts=args.sample_parts,
+                lang=args.lang, repo=args.repo,
+            ).collect()
+            print(json.dumps({"significant_terms": [
+                {"term": r["term"], "fg": int(r["fg"]), "bg": int(r["bg"]),
+                 "score": round(float(r["score"]), 6)}
+                for r in srows
+            ]}))
         rows = hits.collect() if hits is not None else []
         frags: dict = {}
         if args.highlight:

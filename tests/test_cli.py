@@ -1143,3 +1143,35 @@ def test_cli_collapse(spark, dirs, capsys):
     out = _lines(capsys)
     assert [d["inner_rank"] for d in out
             if d["fields"]["repo"] == "repo1"] == [1]  # repo1 has 1 'def' doc
+
+
+def test_cli_new_aggregations(spark, dirs, capsys):
+    """--percentiles / --cardinality / --significant agg lines beside
+    the hits, sharing the hits' bool semantics."""
+    src, commits, idx = dirs
+    assert main(["build", "--source", src, "--index", idx,
+                 "--skip-commits"]) == 0
+    _lines(capsys)
+    assert main(["search", "--index", idx, "--query", "def",
+                 "--percentiles", "--cardinality", "lang",
+                 "--cardinality", "repo",
+                 "--significant", "3", "--sample-parts", "8"]) == 0
+    out = _lines(capsys)
+    pct = next(d["percentiles"] for d in out if "percentiles" in d)
+    assert set(pct) == {"1.0", "5.0", "25.0", "50.0", "75.0", "95.0",
+                        "99.0"}
+    assert all(v is None or v >= 1 for v in pct.values())
+    card = next(d["cardinality"] for d in out if "cardinality" in d)
+    assert card["repo"] == 2 and card["lang"] == 2  # def hits Py + Ruby
+    sig = next(d["significant_terms"] for d in out
+               if "significant_terms" in d)
+    assert all({"term", "fg", "bg", "score"} <= set(s) for s in sig)
+
+    # validation wiring
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["search", "--index", idx, "--match-all",
+              "--significant", "3"])
+    with _pt.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "def",
+              "--sample-parts", "2"])
