@@ -453,6 +453,32 @@ ORDER BY term
 """
 
 
+def q_boosting_search(spark, sf_dir):
+    """B61: ES boosting query — 'merge sort' hits DEMOTED ×0.4 when
+    they also contain 'table' (deprecation ranking: the doc still
+    returns, just lower).  Negative terms ride the same pushed
+    postings scan; demotion applies per part BEFORE the local top-k.
+    The oracle replays raw × CASE WHEN id IN (negative matches)."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.boosting_search(idx, "merge sort", "table",
+                             negative_boost=0.4, k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_BOOSTING = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_BM25_CTES.removeprefix("WITH ")},
+negm AS (SELECT DISTINCT id FROM tok WHERE term = 'table')
+SELECT scored.id AS id,
+       round(scored.raw * CASE WHEN negm.id IS NOT NULL THEN 0.4
+                               ELSE 1.0 END, 4) AS score
+FROM scored LEFT JOIN negm ON negm.id = scored.id
+ORDER BY (scored.raw * CASE WHEN negm.id IS NOT NULL THEN 0.4
+                            ELSE 1.0 END) DESC, scored.id ASC
+LIMIT 15
+"""
+
+
 def q_suggest(spark, sf_dir):
     """B54: ES term suggester ("did you mean") — for misspelled query
     terms, vocabulary candidates within 2 Levenshtein edits sharing
@@ -3345,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b58_scan_all": q_scan_all,
         "b59_rescore_phrase": q_rescore_phrase,
         "b60_significant_terms": q_significant_terms,
+        "b61_boosting_search": q_boosting_search,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3460,6 +3487,7 @@ def oracle_sql() -> dict[str, str]:
         "b58_scan_all": SQL_SCAN_ALL,
         "b59_rescore_phrase": SQL_RESCORE_PHRASE,
         "b60_significant_terms": SQL_SIGNIFICANT_TERMS,
+        "b61_boosting_search": SQL_BOOSTING,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -669,6 +669,149 @@ def fuzzy_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
+def boosting_search(
+    index: InvertedIndex,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: hits of the ``positive`` query whose
+    score is DEMOTED (multiplied by ``negative_boost`` < 1) when the
+    doc also matches the ``negative`` query — deprecation/demotion
+    ranking where must_not would be too blunt (the doc still returns,
+    just lower).  negative_boost ≥ 1 raises, as in ES.
+
+    Physical plan: the negative terms ride the SAME term-pruned
+    postings scan as the positive ones (one pushed In over the union —
+    exactly how must_not travels); per part the kernel accumulates the
+    positive BM25, multiplies the rows in the negative docs' sorted
+    union, and emits its top-k — the per-part demotion is applied
+    BEFORE the local top-k, so the ≤ k·n_parts candidate bound and the
+    (score desc, id asc) merge stay exact.  Filters/routing/pagination
+    compose like :func:`search`."""
+    if not 0.0 < float(negative_boost) < 1.0:
+        raise ValueError("negative_boost must be in (0, 1) — 1 is a "
+                         "plain query, 0 is must_not")
+    spark = index.postings.sparkSession
+    empty = _local_result(spark, [], _HITS_FIELDS)
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = Counter(analyze_query(positive))
+    idf = index.idf_map(list(weights))
+    widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
+    if not widf:
+        return empty
+    neg = frozenset(analyze_query(negative))
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+
+    scan_terms = list(widf) + sorted(neg - set(widf))
+    cand = index.postings.filter(F.col("term").isin(scan_terms)).select(
+        "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"
+    )
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+    if predicates and index.filters is None:
+        raise ValueError(
+            "keyword-filtered boosting_search needs the index's filters "
+            "sidecar"
+        )
+    kernel = _make_boosting_kernel(
+        widf, index.avgdl, k + offset, index.docs_per_part,
+        len(predicates), neg, float(negative_boost), after=cursor,
+    )
+    if predicates:
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def _make_boosting_kernel(
+    widf: dict[str, float],
+    avgdl: float,
+    k: int,
+    docs_per_part: int,
+    n_predicates: int,
+    neg_terms: frozenset[str],
+    negative_boost: float,
+    after: tuple[float, int] | None = None,
+):
+    """Per-doc_part boosting kernel: positive BM25 accumulation, then
+    scores of docs in the negative union multiply by negative_boost
+    BEFORE the local top-k (the demotion is per-doc, so per-part top-k
+    under the demoted order merges exactly)."""
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
+        if len(post_pdf) == 0:
+            return empty
+        bits = None
+        base = 0
+        if n_predicates:
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
+                return empty
+            base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
+
+        neg_docs = []
+        all_docs: list[np.ndarray] = []
+        all_contrib: list[np.ndarray] = []
+        for row in post_pdf.itertuples(index=False):
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            if row.term in neg_terms:
+                neg_docs.append(docs)
+            w = widf.get(row.term)
+            if w is None:
+                continue
+            if bits is not None:
+                keep = bits[docs - base]
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            all_docs.append(docs)
+            all_contrib.append(w * _tfn(tfs, dls, avgdl))
+        if not all_docs:
+            return empty
+        uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_contrib))
+        if neg_docs:
+            excl = np.unique(np.concatenate(neg_docs))
+            acc = np.where(_sorted_member(uniq, excl),
+                           acc * negative_boost, acc)
+        doc_idx, score = _topk_arrays(uniq, acc, k, after=after)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
+
+
 def suggest_terms(
     index: InvertedIndex,
     text: str,

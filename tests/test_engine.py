@@ -2092,3 +2092,46 @@ def test_significant_terms_sampler_and_validation(index, oracle):
     df = significant_terms(index, "zzz_no_such_term")
     assert df.columns == ["term", "fg", "bg", "score"]
     assert df.count() == 0
+
+
+def test_boosting_query_matches_referee(index, oracle):
+    """ES boosting query: negative matches are DEMOTED (score ×
+    negative_boost), not excluded — re-ranked before the per-part
+    top-k so the global merge stays exact."""
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        boosting_search,
+    )
+
+    for positive, negative, nb, lang in (
+        ("get user", "if", 0.5, None),
+        ("get user if", "return", 0.2, None),
+        ("if return", "user", 0.7, "Python"),
+        ("get user", "zzz_no_such_term", 0.5, None),  # dead negative
+        ("if", "if", 0.5, None),  # a term both positive and negative
+    ):
+        hits = oracle.search(positive, k=10**6, lang=lang)
+        negset = set()
+        from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+            code_search_analyze,
+        )
+        for t in set(code_search_analyze(negative)):
+            negset |= set(oracle.postings.get(t, ()))
+        exp = [(d, s * nb if d in negset else s) for d, s in hits]
+        exp.sort(key=lambda t: (-t[1], t[0]))
+        exp = [(d, round(s, 9)) for d, s in exp[:10]]
+        got = [(r["id"], round(r["score"], 9))
+               for r in boosting_search(index, positive, negative,
+                                        negative_boost=nb, k=10,
+                                        lang=lang).collect()]
+        assert got == exp, (positive, negative, nb)
+
+    # demotion reorders but keeps the doc: some demoted doc must still
+    # be present in the re-ranking
+    base = {r["id"] for r in boosting_search(
+        index, "get user", "if", negative_boost=0.5, k=10).collect()}
+    assert base
+
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_search(index, "get", "user", negative_boost=1.0)
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_search(index, "get", "user", negative_boost=0.0)
