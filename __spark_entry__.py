@@ -453,6 +453,28 @@ ORDER BY term
 """
 
 
+def q_function_score(spark, sf_dir):
+    """B62: ES function_score / field_value_factor over dl — BM25 ×
+    log1p(dl) (the length/popularity-boost recipe); dl rides every
+    posting entry so the reshape is free and local, applied before
+    each part's top-k.  The oracle replays raw × ln(1 + dl)."""
+    idx = _shared_index(spark, sf_dir)
+    hits = q.function_score_search(idx, "merge sort", factor=1.0,
+                                   modifier="log1p", k=15)
+    return hits.select("id", F.round("score", 4).alias("score"))
+
+
+SQL_FUNCTION_SCORE = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_BM25_CTES.removeprefix("WITH ")}
+SELECT scored.id AS id,
+       round(scored.raw * ln(1 + dl.dl), 4) AS score
+FROM scored JOIN dl ON dl.id = scored.id
+ORDER BY (scored.raw * ln(1 + dl.dl)) DESC, scored.id ASC
+LIMIT 15
+"""
+
+
 def q_boosting_search(spark, sf_dir):
     """B61: ES boosting query — 'merge sort' hits DEMOTED ×0.4 when
     they also contain 'table' (deprecation ranking: the doc still
@@ -3372,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b59_rescore_phrase": q_rescore_phrase,
         "b60_significant_terms": q_significant_terms,
         "b61_boosting_search": q_boosting_search,
+        "b62_function_score": q_function_score,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3488,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "b59_rescore_phrase": SQL_RESCORE_PHRASE,
         "b60_significant_terms": SQL_SIGNIFICANT_TERMS,
         "b61_boosting_search": SQL_BOOSTING,
+        "b62_function_score": SQL_FUNCTION_SCORE,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

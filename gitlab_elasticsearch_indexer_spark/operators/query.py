@@ -669,6 +669,167 @@ def fuzzy_search(
     return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
 
 
+_FVF_MODIFIERS = ("none", "log1p", "sqrt", "reciprocal")
+
+
+def function_score_search(
+    index: InvertedIndex,
+    query: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    fetch: str = "auto",
+    offset: int = 0,
+    search_after: tuple[float, str] | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function
+    over the index's numeric doc field ``dl`` — score shaping by a
+    document property (the ES recipe for recency/popularity/length
+    boosts): fvf = modifier(factor · dl) with modifier ∈ none | log1p
+    | sqrt | reciprocal, combined with the BM25 score by ``boost_mode``
+    multiply (ES default) or sum.
+
+    Physical plan = :func:`search`'s exhaustive plan with one extra
+    per-part step: dl rides every posting entry (the same free mask
+    the range filter uses), so the kernel records each doc's dl during
+    accumulation and applies the function BEFORE its local top-k —
+    per-doc monotone-independent reshaping is local, so the
+    ≤ k·n_parts bound and global merge stay exact.  Filters, routing,
+    offset and search_after compose as everywhere else."""
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {_FVF_MODIFIERS}, "
+                         f"got {modifier!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"boost_mode must be 'multiply' or 'sum', "
+                         f"got {boost_mode!r}")
+    if not float(factor) > 0:
+        raise ValueError("factor must be > 0")
+    spark = index.postings.sparkSession
+    empty = _local_result(spark, [], _HITS_FIELDS)
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = Counter(analyze_query(query))
+    idf = index.idf_map(list(weights))
+    widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
+    if not widf:
+        return empty
+    cursor = None
+    if search_after is not None:
+        if offset:
+            raise ValueError("offset and search_after are mutually exclusive")
+        cursor = _resolve_cursors(index, {"_": search_after})["_"]
+
+    cand = index.postings.filter(F.col("term").isin(list(widf))).select(
+        "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin"
+    )
+    predicates, repo_t = _kw_predicates(lang, repo)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+    if predicates and index.filters is None:
+        raise ValueError(
+            "keyword-filtered function_score needs the index's filters "
+            "sidecar"
+        )
+    kernel = _make_fvf_kernel(
+        widf, index.avgdl, k + offset, index.docs_per_part,
+        len(predicates), float(factor), modifier, boost_mode, after=cursor,
+    )
+    if predicates:
+        fsel = index.filters.filter(_filters_cond(predicates)).select(
+            "doc_part", "field", "value", "bits"
+        )
+        if parts is not None:
+            fsel = fsel.filter(F.col("doc_part").isin(parts))
+        scored = (
+            cand.groupBy("doc_part")
+            .cogroup(fsel.groupBy("doc_part"))
+            .applyInPandas(kernel, schema=TOPK_SCHEMA)
+        )
+    else:
+        scored = cand.groupBy("doc_part").applyInPandas(
+            _wrap_single(kernel), schema=TOPK_SCHEMA
+        )
+    return _rank_and_fetch(index, scored.collect(), k, fetch, offset=offset)
+
+
+def _fvf(dl: np.ndarray, factor: float, modifier: str) -> np.ndarray:
+    x = factor * dl.astype(np.float64)
+    if modifier == "log1p":
+        return np.log1p(x)
+    if modifier == "sqrt":
+        return np.sqrt(x)
+    if modifier == "reciprocal":
+        return 1.0 / x
+    return x
+
+
+def _make_fvf_kernel(
+    widf: dict[str, float],
+    avgdl: float,
+    k: int,
+    docs_per_part: int,
+    n_predicates: int,
+    factor: float,
+    modifier: str,
+    boost_mode: str,
+    after: tuple[float, int] | None = None,
+):
+    """Per-doc_part function_score kernel: BM25 accumulation recording
+    each doc's dl (constant across its posting entries), then
+    bm25 <boost_mode> modifier(factor·dl) before the local top-k."""
+
+    def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_idx": [], "score": []})
+        if len(post_pdf) == 0:
+            return empty
+        bits = None
+        base = 0
+        if n_predicates:
+            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
+            if bits is None:
+                return empty
+            base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
+
+        all_docs: list[np.ndarray] = []
+        all_contrib: list[np.ndarray] = []
+        all_dls: list[np.ndarray] = []
+        for row in post_pdf.itertuples(index=False):
+            w = widf.get(row.term)
+            if w is None:
+                continue
+            docs, tfs, dls = unpack_postings(
+                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
+            )
+            docs = docs.astype(np.int64)
+            if bits is not None:
+                keep = bits[docs - base]
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            all_docs.append(docs)
+            all_contrib.append(w * _tfn(tfs, dls, avgdl))
+            all_dls.append(dls.astype(np.int64))
+        if not all_docs:
+            return empty
+        cat = np.concatenate(all_docs)
+        uniq, first, inv = np.unique(cat, return_index=True,
+                                     return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(all_contrib))
+        dl_of = np.concatenate(all_dls)[first]
+        fv = _fvf(dl_of, factor, modifier)
+        acc = acc * fv if boost_mode == "multiply" else acc + fv
+        doc_idx, score = _topk_arrays(uniq, acc, k, after=after)
+        return pd.DataFrame({"doc_idx": doc_idx, "score": score})
+
+    return kernel
+
+
 def boosting_search(
     index: InvertedIndex,
     positive: str,

@@ -2135,3 +2135,41 @@ def test_boosting_query_matches_referee(index, oracle):
         boosting_search(index, "get", "user", negative_boost=1.0)
     with pytest.raises(ValueError, match="negative_boost"):
         boosting_search(index, "get", "user", negative_boost=0.0)
+
+
+def test_function_score_matches_referee(index, oracle):
+    """ES function_score / field_value_factor over dl: bm25 <mode>
+    modifier(factor·dl), re-ranked before the per-part top-k."""
+    import math as _m
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        function_score_search,
+    )
+
+    mods = {"none": lambda x: x, "log1p": _m.log1p, "sqrt": _m.sqrt,
+            "reciprocal": lambda x: 1.0 / x}
+    for query, factor, modifier, mode, lang in (
+        ("get user", 1.0, "log1p", "multiply", None),
+        ("get user if", 0.1, "sqrt", "sum", None),
+        ("if return", 2.0, "reciprocal", "multiply", "Python"),
+        ("get user", 1.0, "none", "multiply", None),
+    ):
+        hits = oracle.search(query, k=10**6, lang=lang)
+        exp = []
+        for d, s in hits:
+            fv = mods[modifier](factor * oracle.dls[d])
+            exp.append((d, s * fv if mode == "multiply" else s + fv))
+        exp.sort(key=lambda t: (-t[1], t[0]))
+        exp = [(d, round(s, 9)) for d, s in exp[:10]]
+        got = [(r["id"], round(r["score"], 9))
+               for r in function_score_search(
+                   index, query, factor=factor, modifier=modifier,
+                   boost_mode=mode, k=10, lang=lang).collect()]
+        assert got == exp, (query, modifier, mode)
+
+    with pytest.raises(ValueError, match="modifier"):
+        function_score_search(index, "if", modifier="log2p")
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_search(index, "if", boost_mode="avg")
+    with pytest.raises(ValueError, match="factor"):
+        function_score_search(index, "if", factor=0)
