@@ -453,6 +453,28 @@ ORDER BY term
 """
 
 
+def q_rare_terms(spark, sf_dir):
+    """B63: ES rare_terms — the long-tail repos of the 'merge sort'
+    match set (match count ≤ 40), rare-first; exact on the facet
+    partials (no CuckooFilter approximation).  The oracle replays
+    GROUP BY + HAVING over the matched set."""
+    idx = _shared_index(spark, sf_dir)
+    return q.rare_terms(idx, "merge sort", field="repo",
+                        max_doc_count=40)
+
+
+SQL_RARE_TERMS = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_TOK_CTE.strip()},
+meta AS (SELECT {_DOC_ID_SQL} AS id, source AS repo FROM documents),
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term))
+SELECT meta.repo AS value, count(*)::BIGINT AS n
+FROM matched JOIN meta USING (id)
+GROUP BY 1 HAVING count(*) <= 40
+ORDER BY n ASC, value ASC
+"""
+
+
 def q_function_score(spark, sf_dir):
     """B62: ES function_score / field_value_factor over dl — BM25 ×
     log1p(dl) (the length/popularity-boost recipe); dl rides every
@@ -3395,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b60_significant_terms": q_significant_terms,
         "b61_boosting_search": q_boosting_search,
         "b62_function_score": q_function_score,
+        "b63_rare_terms": q_rare_terms,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3512,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "b60_significant_terms": SQL_SIGNIFICANT_TERMS,
         "b61_boosting_search": SQL_BOOSTING,
         "b62_function_score": SQL_FUNCTION_SCORE,
+        "b63_rare_terms": SQL_RARE_TERMS,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

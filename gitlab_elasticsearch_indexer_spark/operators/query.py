@@ -4308,6 +4308,44 @@ def _make_grouped_kernel(
     return kernel
 
 
+def rare_terms(
+    index: InvertedIndex,
+    query: str | None,
+    field: str = "lang",
+    max_doc_count: int = 1,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    pre_terms: list[str] | None = None,
+    minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG-TAIL values of a keyword
+    field among the matching docs — values with match count ≤
+    ``max_doc_count``, ordered count asc then value asc (ES orders
+    rare-first; the agg exists because a terms agg ordered count-asc
+    is unboundedly inaccurate on sharded data).  Exact here: the facet
+    partials already materialize every (value, count) — the same
+    bounded per-part rows — so the tail filter is a post-aggregation
+    predicate, with none of the ES CuckooFilter approximation.
+    ``query=None`` = match_all (the rare languages/repos of the whole
+    corpus).  Full bool/filter/dl_range surface of
+    :func:`facet_counts`."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    fc = facet_counts(
+        index, query, fields=(field,), lang=lang, repo=repo,
+        operator=operator, must_not=must_not, pre_terms=pre_terms,
+        minimum_should_match=minimum_should_match, dl_range=dl_range,
+    )
+    return (
+        fc.filter(F.col("n") <= max_doc_count)
+        .select("value", "n")
+        .orderBy(F.col("n").asc(), F.col("value").asc())
+    )
+
+
 def field_cardinality(
     index: InvertedIndex,
     query: str | None,

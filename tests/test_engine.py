@@ -2173,3 +2173,41 @@ def test_function_score_matches_referee(index, oracle):
         function_score_search(index, "if", boost_mode="avg")
     with pytest.raises(ValueError, match="factor"):
         function_score_search(index, "if", factor=0)
+
+
+def test_rare_terms_matches_referee(index, oracle):
+    """ES rare_terms: long-tail field values (count ≤ max_doc_count)
+    among matches, rare-first — exact (no CuckooFilter approximation),
+    every bool shape."""
+    from collections import Counter as _C
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        rare_terms,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES:
+        hits = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                             minimum_should_match=msm, lang=lang)
+        for field, mdc in (("repo", 2), ("lang", 1)):
+            cnt = _C(oracle.meta[d].get(field) for d, _ in hits)
+            exp = sorted(((v, n) for v, n in cnt.items() if n <= mdc),
+                         key=lambda t: (t[1], t[0]))
+            got = [(r["value"], r["n"])
+                   for r in rare_terms(index, query, field=field,
+                                       max_doc_count=mdc, operator=op,
+                                       must_not=neg,
+                                       minimum_should_match=msm,
+                                       lang=lang).collect()]
+            assert got == exp, (query, op, field, mdc)
+
+    # match_all over the corpus
+    cnt = _C(m.get("repo") for m in oracle.meta.values())
+    exp = sorted(((v, n) for v, n in cnt.items() if n <= 40),
+                 key=lambda t: (t[1], t[0]))
+    got = [(r["value"], r["n"])
+           for r in rare_terms(index, None, field="repo",
+                               max_doc_count=40).collect()]
+    assert got == exp
+
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms(index, "if", max_doc_count=0)
