@@ -453,6 +453,27 @@ ORDER BY term
 """
 
 
+def q_multi_terms(spark, sf_dir):
+    """B64: ES multi_terms — compound (lang, repo) buckets of the
+    'merge sort' match set, count desc then keys asc; per-part pair
+    popcounts over the sidecar bitmaps, ≤ n_lang·n_repo tiny rows per
+    part.  The oracle replays the two-key GROUP BY."""
+    idx = _shared_index(spark, sf_dir)
+    return q.multi_terms(idx, "merge sort", fields=("lang", "repo"))
+
+
+SQL_MULTI_TERMS = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_TOK_CTE.strip()},
+meta AS (SELECT {_DOC_ID_SQL} AS id, lang, source AS repo FROM documents),
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term))
+SELECT meta.lang AS v1, meta.repo AS v2, count(*)::BIGINT AS n
+FROM matched JOIN meta USING (id)
+GROUP BY 1, 2
+ORDER BY n DESC, v1 ASC, v2 ASC
+"""
+
+
 def q_rare_terms(spark, sf_dir):
     """B63: ES rare_terms — the long-tail repos of the 'merge sort'
     match set (match count ≤ 40), rare-first; exact on the facet
@@ -3418,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b61_boosting_search": q_boosting_search,
         "b62_function_score": q_function_score,
         "b63_rare_terms": q_rare_terms,
+        "b64_multi_terms": q_multi_terms,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3536,6 +3558,7 @@ def oracle_sql() -> dict[str, str]:
         "b61_boosting_search": SQL_BOOSTING,
         "b62_function_score": SQL_FUNCTION_SCORE,
         "b63_rare_terms": SQL_RARE_TERMS,
+        "b64_multi_terms": SQL_MULTI_TERMS,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

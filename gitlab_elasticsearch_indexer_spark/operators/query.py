@@ -4308,6 +4308,228 @@ def _make_grouped_kernel(
     return kernel
 
 
+def multi_terms(
+    index: InvertedIndex,
+    query: str | None,
+    fields: tuple[str, str] = ("lang", "repo"),
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    dl_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: match counts per COMPOUND bucket
+    of two keyword fields — "(language, project) pairs this search
+    hits" — under the full bool + keyword-filter + dl_range surface.
+    Returns (v1, v2, n) rows, count desc then keys asc (the ES order).
+
+    Physical plan: ``query=None`` (match_all, no must_not) is pure
+    Catalyst — a column-pruned doc_stats scan with pushed predicates
+    feeding a native two-key groupBy.  With a query, the facet plan
+    generalizes: per doc_part the kernel builds the bool-filtered
+    matched mask once, then counts ``popcount(matched & bits₁ &
+    bits₂)`` for each pair of sidecar values PRESENT in the part —
+    ≤ n_v1·n_v2 tiny rows leave each partition (zero pairs skipped),
+    nothing per-doc shuffles."""
+    if len(fields) != 2 or fields[0] == fields[1]:
+        raise ValueError("fields must be two distinct keyword fields")
+    for f in fields:
+        if f not in _MATCH_ALL_FACET_FIELDS:
+            raise ValueError(
+                f"multi_terms supports fields {_MATCH_ALL_FACET_FIELDS}, "
+                f"got {f!r}"
+            )
+    spark = index.postings.sparkSession
+    out_fields = [("v1", "string"), ("v2", "string"), ("n", "long")]
+    empty = _local_result(spark, [], out_fields)
+    f1, f2 = fields
+
+    if query is None:
+        if must_not:
+            raise ValueError(
+                "match_all multi_terms does not take must_not — give a "
+                "query for the bool surface"
+            )
+        ds = index.doc_stats.select(f1, f2, "dl")
+        predicates, repo_t = _kw_predicates(lang, repo)
+        for f, vals in predicates:
+            ds = ds.filter(F.col(f).isin(list(vals)))
+        dlr = _norm_dl_range(dl_range)
+        if dlr is not None:
+            ds = ds.filter(F.col("dl").between(*dlr))
+        return (
+            ds.groupBy(F.col(f1).alias("v1"), F.col(f2).alias("v2"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "v1", "v2")
+        )
+
+    msm = int(minimum_should_match or 0)
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError("minimum_should_match applies to operator='or'")
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    if index.filters is None:
+        raise ValueError("multi_terms needs the index's filters sidecar")
+    dlr = _norm_dl_range(dl_range)
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    terms = sorted(set(analyze_query(query)))
+    idf = index.idf_map(terms)
+    live = [t for t in terms if t in idf]
+    if not live:
+        return empty
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    n_required = 0
+    if operator == "and":
+        if (neg & set(terms)) or len(live) < len(terms):
+            return empty
+        n_required = len(live)
+    elif neg:
+        live = [t for t in live if t not in neg]
+        if not live:
+            return empty
+    if msm > 1 and msm > len(live):
+        return empty
+
+    predicates, repo_t = _kw_predicates(lang, repo)
+    scan_cols = ["doc_part", "term", "docs_bin"]
+    if dlr is not None:
+        scan_cols.append("dls_bin")
+    cand = index.postings.filter(
+        F.col("term").isin(live + sorted(neg))
+    ).select(*scan_cols)
+    parts = _route_parts(index, repo_t)
+    if parts is not None:
+        if not parts:
+            return empty
+        cand = cand.filter(F.col("doc_part").isin(parts))
+
+    kernel = _make_multi_terms_kernel(
+        (f1, f2), predicates, index.docs_per_part,
+        neg_terms=neg, n_required=n_required,
+        min_match=msm if msm > 1 else 0, dl_range=dlr,
+    )
+    cond = F.col("field").isin([f1, f2])
+    pc = _filters_cond(predicates)
+    if pc is not None:
+        cond = cond | pc
+    fsel = index.filters.filter(cond).select(
+        "doc_part", "field", "value", "bits"
+    )
+    if parts is not None:
+        fsel = fsel.filter(F.col("doc_part").isin(parts))
+    partial = (
+        cand.groupBy("doc_part")
+        .cogroup(fsel.groupBy("doc_part"))
+        .applyInPandas(kernel, schema="v1 string, v2 string, n long")
+    )
+    return (
+        partial.groupBy("v1", "v2").agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), "v1", "v2")
+    )
+
+
+def _make_multi_terms_kernel(
+    fields: tuple[str, str],
+    predicates: list[tuple[str, tuple[str, ...]]],
+    docs_per_part: int,
+    neg_terms: frozenset[str] = frozenset(),
+    n_required: int = 0,
+    min_match: int = 0,
+    dl_range: tuple[int, int] | None = None,
+):
+    """Per-doc_part compound-bucket kernel: the facet kernel's matched
+    mask (same bool semantics), then ``popcount(matched & bits₁ &
+    bits₂)`` per pair of the two fields' sidecar values present."""
+    from ..functions.codecs import delta_decode, unpack_doc_set, varint_decode
+
+    pred_vals = {f: frozenset(vals) for f, vals in predicates}
+    f1, f2 = fields
+
+    def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame({"v1": [], "v2": [], "n": []})
+        if len(postings_pdf) == 0 or filter_pdf is None \
+                or len(filter_pdf) == 0:
+            return empty
+        part = int(postings_pdf["doc_part"].iloc[0])
+        base = part * docs_per_part
+        matched = None
+        counts = (np.zeros(docs_per_part, dtype=np.int32)
+                  if min_match > 1 else None)
+        excl = np.zeros(docs_per_part, dtype=bool) if neg_terms else None
+        n_pos_seen = 0
+        for row in postings_pdf.itertuples(index=False):
+            docs = delta_decode(varint_decode(bytes(row.docs_bin)))
+            if row.term in neg_terms:
+                m = np.zeros(docs_per_part, dtype=bool)
+                m[docs.astype(np.int64) - base] = True
+                excl |= m
+                continue
+            if dl_range is not None:
+                dls = varint_decode(bytes(row.dls_bin))
+                docs = docs[(dls >= dl_range[0]) & (dls <= dl_range[1])]
+            m = np.zeros(docs_per_part, dtype=bool)
+            m[docs.astype(np.int64) - base] = True
+            n_pos_seen += 1
+            if counts is not None:
+                counts += m
+            elif matched is None:
+                matched = m
+            elif n_required:
+                matched &= m
+            else:
+                matched |= m
+        if counts is not None:
+            if n_pos_seen < min_match:
+                return empty
+            matched = counts >= min_match
+        if matched is None or (n_required and n_pos_seen < n_required):
+            return empty
+        if excl is not None:
+            matched &= ~excl
+
+        b1: list[tuple[str, np.ndarray]] = []
+        b2: list[tuple[str, np.ndarray]] = []
+        pred_masks: dict[str, np.ndarray] = {}
+        for row in filter_pdf.itertuples(index=False):
+            bits = unpack_doc_set(bytes(row.bits), docs_per_part)
+            fv = pred_vals.get(row.field)
+            if fv is not None and row.value in fv:
+                m = pred_masks.get(row.field)
+                pred_masks[row.field] = bits if m is None else (m | bits)
+            if row.field == f1:
+                b1.append((row.value, bits))
+            if row.field == f2:
+                b2.append((row.value, bits))
+        if len(pred_masks) < len(pred_vals):
+            return empty
+        for m in pred_masks.values():
+            matched &= m
+        if not matched.any() or not b1 or not b2:
+            return empty
+
+        out1: list[str] = []
+        out2: list[str] = []
+        outn: list[int] = []
+        for v1, m1 in b1:
+            inter = matched & m1
+            if not inter.any():
+                continue
+            for v2, m2 in b2:
+                n = int((inter & m2).sum())
+                if n:
+                    out1.append(v1)
+                    out2.append(v2)
+                    outn.append(n)
+        if not out1:
+            return empty
+        return pd.DataFrame({"v1": out1, "v2": out2, "n": outn})
+
+    return kernel
+
+
 def rare_terms(
     index: InvertedIndex,
     query: str | None,

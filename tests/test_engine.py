@@ -2211,3 +2211,46 @@ def test_rare_terms_matches_referee(index, oracle):
 
     with pytest.raises(ValueError, match="max_doc_count"):
         rare_terms(index, "if", max_doc_count=0)
+
+
+def test_multi_terms_matches_referee(index, oracle):
+    """ES multi_terms: compound (lang, repo) buckets of the match set,
+    count desc then keys asc, every bool shape + match_all native."""
+    from collections import Counter as _C
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        multi_terms,
+    )
+
+    def ref(ids, f1, f2):
+        cnt = _C((oracle.meta[d].get(f1), oracle.meta[d].get(f2))
+                 for d in ids)
+        return sorted(((a, b, n) for (a, b), n in cnt.items()),
+                      key=lambda t: (-t[2], t[0], t[1]))
+
+    for query, op, neg, msm, lang in AGG_QUERIES:
+        hits = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                             minimum_should_match=msm, lang=lang)
+        exp = ref([d for d, _ in hits], "lang", "repo")
+        got = [(r["v1"], r["v2"], r["n"])
+               for r in multi_terms(index, query, fields=("lang", "repo"),
+                                    operator=op, must_not=neg,
+                                    minimum_should_match=msm,
+                                    lang=lang).collect()]
+        assert sorted(got) == sorted(exp), (query, op)
+        # the (count desc, keys asc) order holds
+        assert got == sorted(got, key=lambda t: (-t[2], t[0], t[1]))
+
+    # match_all native path
+    exp = ref(list(oracle.meta), "repo", "lang")
+    got = [(r["v1"], r["v2"], r["n"])
+           for r in multi_terms(index, None,
+                                fields=("repo", "lang")).collect()]
+    assert sorted(got) == sorted(exp)
+
+    with pytest.raises(ValueError, match="two distinct"):
+        multi_terms(index, "if", fields=("lang", "lang"))
+    with pytest.raises(ValueError, match="supports fields"):
+        multi_terms(index, "if", fields=("lang", "path"))
+    with pytest.raises(ValueError, match="must_not"):
+        multi_terms(index, None, must_not="if")
