@@ -453,6 +453,39 @@ ORDER BY term
 """
 
 
+def q_bucket_pipeline(spark, sf_dir):
+    """B65: ES pipeline aggregations (max/min/avg/sum_bucket) over the
+    dl-histogram sibling buckets of the 'merge sort' match set — ONE
+    lazy Catalyst plan (the histogram partials feed a global
+    struct-max/min/avg; no second pass).  Ties toward the smallest
+    key.  The oracle replays the bucketed GROUP BY + window picks."""
+    idx = _shared_index(spark, sf_dir)
+    row = q.histogram_bucket_stats(idx, "merge sort", 16)
+    return row.select("max_key", "max_n", "min_key", "min_n",
+                      F.round("avg_n", 6).alias("avg_n"), "sum_n")
+
+
+SQL_BUCKET_PIPELINE = f"""
+WITH q AS (SELECT unnest(['merge', 'sort']) AS term),
+{_TOK_CTE.strip()},
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+matched AS (SELECT DISTINCT tok.id FROM tok JOIN q USING (term)),
+hist AS (
+    SELECT (dl.dl // 16) * 16 AS bucket, count(*)::BIGINT AS n
+    FROM matched JOIN dl USING (id) GROUP BY 1
+)
+SELECT
+    (SELECT bucket FROM hist ORDER BY n DESC, bucket ASC LIMIT 1)
+        ::BIGINT AS max_key,
+    (SELECT max(n) FROM hist)::BIGINT AS max_n,
+    (SELECT bucket FROM hist ORDER BY n ASC, bucket ASC LIMIT 1)
+        ::BIGINT AS min_key,
+    (SELECT min(n) FROM hist)::BIGINT AS min_n,
+    round((SELECT avg(n) FROM hist), 6)::DOUBLE AS avg_n,
+    (SELECT sum(n) FROM hist)::BIGINT AS sum_n
+"""
+
+
 def q_multi_terms(spark, sf_dir):
     """B64: ES multi_terms — compound (lang, repo) buckets of the
     'merge sort' match set, count desc then keys asc; per-part pair
@@ -3440,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b62_function_score": q_function_score,
         "b63_rare_terms": q_rare_terms,
         "b64_multi_terms": q_multi_terms,
+        "b65_bucket_pipeline": q_bucket_pipeline,
         "b40_boosted_multifield": q_boosted_multifield,
         "b41_dl_stats": q_dl_stats,
         "b42_dl_histogram": q_dl_histogram,
@@ -3559,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
         "b62_function_score": SQL_FUNCTION_SCORE,
         "b63_rare_terms": SQL_RARE_TERMS,
         "b64_multi_terms": SQL_MULTI_TERMS,
+        "b65_bucket_pipeline": SQL_BUCKET_PIPELINE,
         "b25_search_after": _bm25_sql(["table", "scan", "merge"], 10,
                                       offset=10),
         "b26_explain": SQL_EXPLAIN,

@@ -4871,6 +4871,48 @@ def dl_histogram(
     )
 
 
+def histogram_bucket_stats(
+    index: InvertedIndex,
+    query: str | None,
+    interval: int,
+    lang: str | list[str] | None = None,
+    repo: str | list[str] | None = None,
+    operator: str = "or",
+    must_not: str | None = None,
+    minimum_should_match: int = 0,
+    pre_terms: list[str] | None = None,
+    dl_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """ES pipeline aggregations — ``max_bucket`` / ``min_bucket`` /
+    ``avg_bucket`` / ``sum_bucket`` over the dl histogram's sibling
+    buckets: one row (max_key, max_n, min_key, min_n, avg_n, sum_n).
+    Ties resolve to the SMALLEST bucket key (ES returns a keys list;
+    documented simplification).
+
+    Pure Catalyst and fully LAZY: :func:`dl_histogram` is a DataFrame,
+    so the pipeline agg composes into the SAME plan — the per-part
+    metric partials, the ≤ n_parts·n_buckets-row shuffle, and one
+    global struct-max/min/avg — no second pass over anything, exactly
+    how ES computes pipeline aggs from sibling buckets at reduce
+    time."""
+    h = dl_histogram(index, query, interval, lang=lang, repo=repo,
+                     operator=operator, must_not=must_not,
+                     minimum_should_match=minimum_should_match,
+                     pre_terms=pre_terms, dl_range=dl_range)
+    # struct ordering picks the extreme n; the negated key breaks ties
+    # toward the smallest bucket
+    mx = F.max(F.struct(F.col("n"), (-F.col("bucket")).alias("nk")))
+    mn = F.min(F.struct(F.col("n"), F.col("bucket")))
+    return h.agg(
+        (-mx.getField("nk")).cast("long").alias("max_key"),
+        mx.getField("n").alias("max_n"),
+        mn.getField("bucket").alias("min_key"),
+        mn.getField("n").alias("min_n"),
+        F.avg("n").alias("avg_n"),
+        F.sum("n").alias("sum_n"),
+    )
+
+
 SORT_FIELDS = ("id", "repo", "path", "lang", "dl")
 _SORT_HIT_FIELDS = [("id", "string"), ("repo", "string"), ("path", "string"),
                     ("lang", "string"), ("dl", "long")]

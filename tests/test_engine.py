@@ -2254,3 +2254,36 @@ def test_multi_terms_matches_referee(index, oracle):
         multi_terms(index, "if", fields=("lang", "path"))
     with pytest.raises(ValueError, match="must_not"):
         multi_terms(index, None, must_not="if")
+
+
+def test_histogram_bucket_stats_matches_referee(index, oracle):
+    """ES pipeline aggs (max/min/avg/sum_bucket) over the dl
+    histogram's sibling buckets — one lazy Catalyst plan; ties toward
+    the smallest key."""
+    from collections import Counter as _C
+
+    from gitlab_elasticsearch_indexer_spark.operators.query import (
+        histogram_bucket_stats,
+    )
+
+    for query, op, neg, msm, lang in AGG_QUERIES[:5]:
+        hits = oracle.search(query, k=10**6, operator=op, must_not=neg,
+                             minimum_should_match=msm, lang=lang)
+        buckets = _C((oracle.dls[d] // 10) * 10 for d, _ in hits)
+        row = histogram_bucket_stats(
+            index, query, 10, operator=op, must_not=neg,
+            minimum_should_match=msm, lang=lang).collect()[0]
+        if not buckets:
+            assert row["sum_n"] is None
+            continue
+        mxn = max(buckets.values())
+        mnn = min(buckets.values())
+        assert row["max_n"] == mxn
+        assert row["max_key"] == min(k for k, n in buckets.items()
+                                     if n == mxn)
+        assert row["min_n"] == mnn
+        assert row["min_key"] == min(k for k, n in buckets.items()
+                                     if n == mnn)
+        assert row["sum_n"] == sum(buckets.values())
+        assert abs(row["avg_n"] - sum(buckets.values()) / len(buckets)) \
+            < 1e-9
