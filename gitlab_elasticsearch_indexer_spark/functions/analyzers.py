@@ -212,11 +212,31 @@ EXPAND_PREFIXES = {"code": (MIN_GRAM, MAX_GRAM), "simple": None,
                    "default": None, "path": None, "sha": None}
 
 
+# dl-only per-token cache: pos needs ONLY lower+fold+len (never
+# pattern_capture or edgeNGram), so the stats-only dl pass must not pay
+# the full gram expansion of `_expand_code_token` on its cache misses —
+# measured round 6: the expansion-free pass cuts the doc_stats phase
+# multiple-fold on a cold worker (guide §4.2: per-task work).
+_dl_cache: dict[str, int] = {}
+
+
 def code_dl(text: str) -> int:
-    """Doc length of ``code_analyzer`` WITHOUT the gram expansion —
-    definitionally the `pos` sum of :func:`code_analyze_tf` (shared
-    `_expand_code_token` cache), usable as a cheap stats-only pass."""
-    return sum(_expand_code_token(tok)[1] for tok in text.split())
+    """Doc length of ``code_analyzer`` WITHOUT any gram or capture work.
+
+    dl counts position-bearing whitespace tokens — tokens whose folded
+    lowercase form is ≥ MIN_GRAM chars, i.e. exactly the `pos` term of
+    :func:`_expand_code_token` — so only lower+fold+len is needed.
+    Definitionally equal to the `pos` sum of :func:`code_analyze_tf`
+    (pytest-pinned identity)."""
+    n = 0
+    for tok in text.split():
+        pos = _dl_cache.get(tok)
+        if pos is None:
+            pos = 1 if len(fold_ascii(tok.lower())) >= MIN_GRAM else 0
+            if len(_dl_cache) < _CACHE_MAX:
+                _dl_cache[tok] = pos
+        n += pos
+    return n
 
 
 def simple_dl(text: str) -> int:

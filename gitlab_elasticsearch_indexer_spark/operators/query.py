@@ -36,7 +36,8 @@ from __future__ import annotations
 
 import heapq
 import math
-from collections import Counter
+import os
+from collections import Counter, OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -175,7 +176,9 @@ def score_plan(
     analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
     weights = (Counter(analyze_query(query)) if pre_weights is None
                else dict(pre_weights))
-    idf = index.idf_map(list(weights))
+    _meta_local = _term_meta_local(index, list(weights))
+    idf = ({t: m[0] for t, m in _meta_local.items()}
+           if _meta_local is not None else index.idf_map(list(weights)))
     # weighted idf per matched term — the only per-term constant kernels need
     widf = {t: idf[t] * w for t, w in weights.items() if t in idf}
 
@@ -361,6 +364,14 @@ def _route_parts(
         return None
     if not repo_t:
         return []
+    local = _part_meta_rows_local(index)
+    if local is not None:
+        # same containment predicate, evaluated over the driver-side
+        # manifest copy (n_parts rows, read once per handle) — no job
+        return sorted(
+            int(r["doc_part"]) for r in local
+            if any(r["repo_min"] <= rv <= r["repo_max"] for rv in repo_t)
+        )
     cond = None
     for r in repo_t:
         c = (F.col("repo_min") <= r) & (F.col("repo_max") >= r)
@@ -392,6 +403,438 @@ def _fold_filter_bits(filter_pdf, n_fields: int, docs_per_part: int):
             fb = arr if fb is None else (fb | arr)
         bits = fb if bits is None else (bits & fb)
     return bits if bits.any() else None
+
+
+# ---------------------------------------------------------------------------
+# Driver-side scoring fast path (the ES "query fits one coordinating
+# node" regime).  A single-digit-term query over a FILE-BACKED index
+# touches ≤ n_parts postings rows per term — reading them with pyarrow
+# (parquet predicate pushdown on the term-sorted files) and running the
+# SAME per-part kernels driver-side skips the ~0.3-0.8 s Spark
+# job-submission floor entirely, exactly like the existing driver-side
+# fetch phase (_fetch_doc_meta).  Dispatch is adaptive: the path only
+# runs when Σ df over the scan terms stays under a configurable entry
+# budget (default 4M postings ≈ tens of MB); anything bigger — a hot
+# term at cluster scale — falls back to the distributed Spark plan
+# unchanged.  Results are identical by construction: both paths feed
+# the same parquet rows to the same kernel functions.
+#
+# The handle-level LRU below additionally memoizes the RAW postings
+# rows per term (the ES filesystem-cache analog): bounded by total
+# posting entries, keyed on the handle (a reloaded or updated index
+# starts cold), holding index STRUCTURE (not query results) — every
+# query still scores from (possibly cached) index bytes.
+
+_MISS = object()
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, str(default)))
+    except ValueError:
+        return default
+
+
+class _BoundedLRU:
+    """Cost-bounded LRU: values carry an explicit cost (posting entries
+    / bytes); inserts evict least-recently-used entries past the cap."""
+
+    def __init__(self, max_cost: int):
+        self.max_cost = max_cost
+        self._d: OrderedDict = OrderedDict()
+        self.cost = 0
+
+    def get(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key][0]
+        return _MISS
+
+    def put(self, key, value, cost: int) -> None:
+        if key in self._d:
+            self.cost -= self._d[key][1]
+            del self._d[key]
+        self._d[key] = (value, cost)
+        self.cost += cost
+        while self.cost > self.max_cost and len(self._d) > 1:
+            _, (_, c) = self._d.popitem(last=False)
+            self.cost -= c
+
+
+def _driver_score_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_DRIVER_SCORE", "1") == "1"
+
+
+def _driver_score_max_entries() -> int:
+    return _env_int("SPARK_GRAFT_DRIVER_SCORE_MAX_ENTRIES", 4_000_000)
+
+
+def _local_dataset(index: InvertedIndex, attr: str, root: str):
+    """Memoized hive-partitioned pyarrow dataset over a saved table
+    (file listing happens once per handle)."""
+    cache = index.__dict__.setdefault("_local_ds_cache", {})
+    ds = cache.get(attr)
+    if ds is None:
+        from ..sources import fs
+
+        ds = fs.dataset(root, partitioning="hive")
+        cache[attr] = ds
+    return ds
+
+
+def _term_meta_local(
+    index: InvertedIndex, terms: list[str]
+) -> dict[str, tuple[float, int]] | None:
+    """(idf, df) per term from the saved term_stats — driver-side pyarrow
+    read, memoized on the handle (misses cached too).  Returns only the
+    live terms; None when the index is not file-backed.  Reads the SAME
+    stored idf values idf_map collects, so both paths weight terms
+    identically."""
+    root = getattr(index, "term_stats_root", None)
+    if root is None:
+        return None
+    cache = index.__dict__.setdefault("_term_meta_cache", {})
+    missing = [t for t in set(terms) if t not in cache]
+    if missing:
+        try:
+            import pyarrow.dataset as pads
+
+            tbl = _local_dataset(index, "term_stats", root).to_table(
+                columns=["term", "df", "idf"],
+                filter=pads.field("term").isin(missing),
+            )
+        except (OSError, FileNotFoundError):
+            return None
+        found = {
+            t: (float(i), int(d))
+            for t, d, i in zip(
+                tbl.column("term").to_pylist(),
+                tbl.column("df").to_pylist(),
+                tbl.column("idf").to_pylist(),
+            )
+        }
+        for t in missing:
+            cache[t] = found.get(t)
+    return {t: cache[t] for t in set(terms) if cache.get(t) is not None}
+
+
+_POSTINGS_COLS = [
+    "doc_part", "term", "docs_bin", "tfs_bin", "dls_bin",
+    "block_last", "block_max_tf", "block_min_dl", "max_tf", "min_dl",
+]
+
+
+def _postings_lru(index: InvertedIndex) -> _BoundedLRU:
+    lru = index.__dict__.get("_postings_lru")
+    if lru is None:
+        lru = index.__dict__["_postings_lru"] = _BoundedLRU(
+            _env_int("SPARK_GRAFT_POSTINGS_CACHE_ENTRIES", 8_000_000)
+        )
+    return lru
+
+
+def _postings_pdf_local(
+    index: InvertedIndex, terms: list[str], parts: list[int] | None
+) -> pd.DataFrame | None:
+    """All (doc_part, term) postings rows of the scan terms, read
+    driver-side (pyarrow, term-pruned) through the handle's bounded LRU.
+    ``parts``: optional doc_part restriction (B17 routing).  None when
+    the index is not file-backed or the read fails."""
+    root = getattr(index, "postings_root", None)
+    if root is None:
+        return None
+    lru = _postings_lru(index)
+    frames: dict[str, pd.DataFrame] = {}
+    missing: list[str] = []
+    for t in dict.fromkeys(terms):  # dedup, keep order
+        hit = lru.get(t)
+        if hit is _MISS:
+            missing.append(t)
+        else:
+            frames[t] = hit
+    if missing:
+        try:
+            import pyarrow.dataset as pads
+
+            tbl = _local_dataset(index, "postings", root).to_table(
+                filter=pads.field("term").isin(missing)
+            )
+        except (OSError, FileNotFoundError):
+            return None
+        pdf = tbl.to_pandas()
+        pdf["doc_part"] = pdf["doc_part"].astype(np.int64)
+        for t, grp in pdf.groupby("term", sort=False):
+            g = grp[_POSTINGS_COLS].reset_index(drop=True)
+            frames[t] = g
+            lru.put(t, g, max(int(grp["df"].sum()), 1))
+        empty = pdf[_POSTINGS_COLS].iloc[0:0]
+        for t in missing:
+            if t not in frames:
+                frames[t] = empty
+                lru.put(t, empty, 1)
+    live = [frames[t] for t in dict.fromkeys(terms) if len(frames[t])]
+    if not live:
+        return pd.DataFrame(columns=_POSTINGS_COLS)
+    out = pd.concat(live, ignore_index=True)
+    if parts is not None:
+        out = out[out["doc_part"].isin(parts)]
+    # (doc_part, term) ascending = the saved files' row order (save()
+    # sorts exactly this way), so the per-part kernel sees rows in the
+    # SAME order as the Spark plan's group — float accumulation order,
+    # hence every last-ULP of every score, is identical across paths
+    return out.sort_values(
+        ["doc_part", "term"], kind="mergesort", ignore_index=True
+    )
+
+
+_FILTER_COLS = ["doc_part", "field", "value", "bits"]
+
+
+def _filters_pdf_local(
+    index: InvertedIndex,
+    pairs: list[tuple[str, str]],
+) -> dict[int, pd.DataFrame] | None:
+    """Per-part filters-sidecar rows for the requested (field, value)
+    pairs, read driver-side through a handle-level LRU (cost = packed
+    bytes).  None when the sidecar is not file-backed / unreadable."""
+    root = getattr(index, "filters_root", None)
+    if root is None:
+        return None
+    lru = index.__dict__.get("_filters_lru")
+    if lru is None:
+        lru = index.__dict__["_filters_lru"] = _BoundedLRU(
+            _env_int("SPARK_GRAFT_FILTERS_CACHE_BYTES", 256 << 20)
+        )
+    frames: list[pd.DataFrame] = []
+    missing: list[tuple[str, str]] = []
+    for key in dict.fromkeys(pairs):
+        hit = lru.get(key)
+        if hit is _MISS:
+            missing.append(key)
+        else:
+            frames.append(hit)
+    if missing:
+        try:
+            import pyarrow.dataset as pads
+
+            cond = None
+            for f, v in missing:
+                c = (pads.field("field") == f) & (pads.field("value") == v)
+                cond = c if cond is None else (cond | c)
+            tbl = _local_dataset(index, "filters", root).to_table(filter=cond)
+        except (OSError, FileNotFoundError):
+            return None
+        pdf = tbl.to_pandas()
+        pdf["doc_part"] = pdf["doc_part"].astype(np.int64)
+        pdf = pdf[_FILTER_COLS]
+        grouped = {
+            key: grp.reset_index(drop=True)
+            for key, grp in pdf.groupby(["field", "value"], sort=False)
+        }
+        empty = pdf.iloc[0:0]
+        for key in missing:
+            g = grouped.get(key, empty)
+            frames.append(g)
+            lru.put(
+                key, g,
+                int(sum(len(b) for b in g["bits"])) if len(g) else 1,
+            )
+    live = [f for f in frames if len(f)]
+    if not live:
+        return {}
+    allf = pd.concat(live, ignore_index=True)
+    return {
+        int(part): grp.reset_index(drop=True)
+        for part, grp in allf.groupby("doc_part", sort=True)
+    }
+
+
+def _filters_frames_for_predicates(
+    index: InvertedIndex,
+    predicates: list[tuple[str, tuple[str, ...]]],
+) -> dict[int, pd.DataFrame] | None:
+    pairs = [(f, v) for f, vals in predicates for v in vals]
+    return _filters_pdf_local(index, pairs)
+
+
+_EMPTY_FILTERS_PDF = pd.DataFrame(
+    {"doc_part": pd.Series([], dtype="int64"),
+     "field": pd.Series([], dtype="object"),
+     "value": pd.Series([], dtype="object"),
+     "bits": pd.Series([], dtype="object")}
+)
+
+
+def _part_meta_rows_local(index: InvertedIndex) -> list | None:
+    """The routing manifest, read driver-side once per handle (it is
+    n_parts rows — the ES cluster-state analog).  None when not
+    file-backed."""
+    root = getattr(index, "part_meta_root", None)
+    if root is None:
+        return None
+    rows = index.__dict__.get("_part_meta_rows")
+    if rows is None:
+        try:
+            tbl = _local_dataset(index, "part_meta", root).to_table(
+                columns=["doc_part", "repo_min", "repo_max"]
+            )
+        except (OSError, FileNotFoundError):
+            return None
+        rows = tbl.to_pylist()
+        index.__dict__["_part_meta_rows"] = rows
+    return rows
+
+
+def _search_local_rows(
+    index: InvertedIndex,
+    query: str,
+    k: int,
+    lang,
+    repo,
+    mode: str,
+    operator: str,
+    must_not: str | None,
+    after_cursor: tuple[float, int] | None,
+    minimum_should_match: int,
+    dl_range,
+    pre_weights: dict[str, float] | None = None,
+) -> list | None:
+    """Driver-side twin of ``score_plan(...).collect()``: same analysis,
+    same dead rules, same per-part kernel — candidate rows computed
+    without a Spark job.  Returns the candidate row list ([] = provably
+    no hits), or None when ineligible (not file-backed, disabled, or
+    the scan terms exceed the driver entry budget) — callers then fall
+    back to the distributed plan."""
+    if not _driver_score_enabled():
+        return None
+    if getattr(index, "postings_root", None) is None:
+        return None
+    msm = int(minimum_should_match or 0)
+    # argument validation mirrors score_plan exactly (shared rules)
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    if msm < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    if msm > 1 and operator == "and":
+        raise ValueError(
+            "minimum_should_match applies to operator='or' "
+            "(operator='and' already requires every term)"
+        )
+    analyze_query = QUERY_ANALYZERS.get(index.analyzer, code_search_analyze)
+    weights = (Counter(analyze_query(query)) if pre_weights is None
+               else dict(pre_weights))
+    neg = frozenset(analyze_query(must_not)) if must_not else frozenset()
+    meta = _term_meta_local(index, list(weights) + sorted(neg))
+    if meta is None:
+        return None
+    widf = {t: meta[t][0] * w for t, w in weights.items() if t in meta}
+    if not widf:
+        return []
+    n_required = 0
+    if operator == "and":
+        if neg & set(weights):
+            return []
+        if len(widf) < len(weights):
+            return []
+        n_required = len(widf)
+    elif neg:
+        widf = {t: w for t, w in widf.items() if t not in neg}
+        if not widf:
+            return []
+    if msm > 1 and msm > len(widf):
+        return []
+
+    scan_terms = list(widf) + sorted(neg)
+    total_entries = sum(meta[t][1] for t in scan_terms if t in meta)
+    if total_entries > _driver_score_max_entries():
+        return None
+
+    predicates, repo_t = _kw_predicates(lang, repo)
+    if predicates and getattr(index, "filters_root", None) is None:
+        return None
+    parts = _route_parts(index, repo_t)
+    if parts is not None and not parts:
+        return []
+
+    post = _postings_pdf_local(index, scan_terms, parts)
+    if post is None:
+        return None
+    if not len(post):
+        return []
+    kernel = _make_part_kernel(
+        widf, index.avgdl, k, mode == "bmw", index.docs_per_part,
+        len(predicates), neg_terms=neg, n_required=n_required,
+        after=after_cursor, min_match=msm if msm > 1 else 0,
+        dl_range=_norm_dl_range(dl_range),
+    )
+    fframes = None
+    if predicates:
+        fframes = _filters_frames_for_predicates(index, predicates)
+        if fframes is None:
+            return None
+    rows: list = []
+    for part, pdf in post.groupby("doc_part", sort=True):
+        if predicates:
+            out = kernel(
+                pdf.reset_index(drop=True),
+                fframes.get(int(part), _EMPTY_FILTERS_PDF),
+            )
+        else:
+            out = kernel(pdf.reset_index(drop=True), None)
+        for d, s in zip(out["doc_idx"].to_numpy(), out["score"].to_numpy()):
+            rows.append({"doc_idx": int(d), "score": float(s)})
+    return rows
+
+
+def _batch_rows_local(
+    index: InvertedIndex,
+    kernel,
+    terms: list[str],
+    scan_parts: list[int] | None,
+    pred_pairs: list[tuple[str, str]],
+) -> list | None:
+    """Driver-side twin of the shared term job of :func:`search_many`:
+    the SAME batch kernel over pyarrow-read postings rows — no Spark
+    job.  Returns (query_id, doc_idx, score) candidate rows, or None
+    when ineligible (not file-backed, disabled, or the union of scan
+    terms exceeds the driver entry budget)."""
+    if not _driver_score_enabled():
+        return None
+    if getattr(index, "postings_root", None) is None:
+        return None
+    if pred_pairs and getattr(index, "filters_root", None) is None:
+        return None
+    meta = _term_meta_local(index, terms)
+    if meta is None:
+        return None
+    total_entries = sum(meta[t][1] for t in terms if t in meta)
+    if total_entries > _driver_score_max_entries():
+        return None
+    post = _postings_pdf_local(index, terms, scan_parts)
+    if post is None:
+        return None
+    fframes: dict[int, pd.DataFrame] | None = None
+    if pred_pairs:
+        fframes = _filters_pdf_local(index, pred_pairs)
+        if fframes is None:
+            return None
+    rows: list = []
+    for part, pdf in post.groupby("doc_part", sort=True):
+        if fframes is not None:
+            out = kernel(
+                pdf.reset_index(drop=True),
+                fframes.get(int(part), _EMPTY_FILTERS_PDF),
+            )
+        else:
+            out = kernel(pdf.reset_index(drop=True), None)
+        for q, d, s in zip(
+            out["query_id"].to_numpy(), out["doc_idx"].to_numpy(),
+            out["score"].to_numpy(),
+        ):
+            rows.append(
+                {"query_id": str(q), "doc_idx": int(d), "score": float(s)}
+            )
+    return rows
 
 
 def search(
@@ -480,6 +923,15 @@ def search(
         if offset:
             raise ValueError("offset and search_after are mutually exclusive")
         cursor = _resolve_cursors(index, {"_": search_after})["_"]
+    # driver-side fast path (file-backed index, scan terms within the
+    # entry budget): same kernels over pyarrow-read postings rows, no
+    # Spark job for the scoring phase — see _search_local_rows
+    local = _search_local_rows(
+        index, query, k + offset, lang, repo, mode, operator, must_not,
+        cursor, minimum_should_match, dl_range,
+    )
+    if local is not None:
+        return _rank_and_fetch(index, local, k, fetch, offset=offset)
     scored = score_plan(index, query, k=k + offset, lang=lang, repo=repo,
                         mode=mode, operator=operator, must_not=must_not,
                         after_cursor=cursor,
@@ -2466,7 +2918,9 @@ def search_many(
                 if terms:
                     weights[qid] = Counter(terms)
     all_terms = sorted({t for w in weights.values() for t in w})
-    idf = index.idf_map(all_terms)
+    _meta_local = _term_meta_local(index, all_terms)
+    idf = ({t: m[0] for t, m in _meta_local.items()}
+           if _meta_local is not None else index.idf_map(all_terms))
     widf_by_query = {
         qid: {t: idf[t] * n for t, n in w.items() if t in idf}
         for qid, w in weights.items()
@@ -2785,18 +3239,28 @@ def search_many(
             after_by_query=after_by_query, msm_by_query=msm_by_query,
             dlr_by_query=dlr_by_query,
         )
-        fsel = _filters_for(set(widf_by_query), scan_parts)
-        if fsel is not None:
-            scored = (
-                cand.groupBy("doc_part")
-                .cogroup(fsel.groupBy("doc_part"))
-                .applyInPandas(kernel, schema=out_schema)
-            )
+        pred_pairs = sorted({
+            (f, v) for q in widf_by_query
+            for f, vals in preds_by_query[q] for v in vals
+        })
+        local_batch = _batch_rows_local(
+            index, kernel, live_terms, scan_parts, pred_pairs
+        )
+        if local_batch is not None:
+            rows.extend(local_batch)
         else:
-            scored = cand.groupBy("doc_part").applyInPandas(
-                _wrap_single(kernel), schema=out_schema
-            )
-        rows.extend(scored.collect())
+            fsel = _filters_for(set(widf_by_query), scan_parts)
+            if fsel is not None:
+                scored = (
+                    cand.groupBy("doc_part")
+                    .cogroup(fsel.groupBy("doc_part"))
+                    .applyInPandas(kernel, schema=out_schema)
+                )
+            else:
+                scored = cand.groupBy("doc_part").applyInPandas(
+                    _wrap_single(kernel), schema=out_schema
+                )
+            rows.extend(scored.collect())
 
     if phrase_q:
         # one additional job scores EVERY phrase entry: the sidecar scan
