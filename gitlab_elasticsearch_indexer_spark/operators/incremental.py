@@ -113,7 +113,7 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
     vdir = f"{path}/v{snapshot_id}"
     (
         index.postings.repartition("doc_part")
-        .sortWithinPartitions("term")
+        .sortWithinPartitions("doc_part", "term")
         .write.mode("overwrite")
         .partitionBy("doc_part")
         .parquet(f"{vdir}/postings")
@@ -130,7 +130,7 @@ def save_versioned(index: InvertedIndex, path: str, snapshot_id: int = 0) -> Non
     if index.pos_postings is not None:
         (
             index.pos_postings.repartition("doc_part")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("doc_part", "term")
             .write.mode("overwrite")
             .partitionBy("doc_part")
             .parquet(f"{vdir}/pos_postings")
@@ -362,7 +362,7 @@ def _read_fields_meta(spark: SparkSession, path: str,
 
 def _write_field_postings(fpost: DataFrame, vdir: str, name: str) -> None:
     (
-        fpost.repartition("doc_part").sortWithinPartitions("term")
+        fpost.repartition("doc_part").sortWithinPartitions("doc_part", "term")
         .write.mode("overwrite").partitionBy("doc_part")
         .parquet(f"{vdir}/fields/{name}/postings")
     )
@@ -613,7 +613,7 @@ def update_index(
     new_postings = postings_from_docs(rebuilt_src, prev.analyzer, dpp)
 
     vdir = f"{path}/v{snapshot_id}"
-    new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(
+    new_postings.repartition("doc_part").sortWithinPartitions("doc_part", "term").write.mode(
         "overwrite"
     ).partitionBy("doc_part").parquet(f"{vdir}/postings")
     new_doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
@@ -633,7 +633,7 @@ def update_index(
         pos_an = prev.pos_analyzer or "simple"
         (
             positions_from_docs(rebuilt_src, pos_an, dpp)
-            .repartition("doc_part").sortWithinPartitions("term")
+            .repartition("doc_part").sortWithinPartitions("doc_part", "term")
             .write.mode("overwrite").partitionBy("doc_part")
             .parquet(f"{vdir}/pos_postings")
         )
@@ -1135,7 +1135,7 @@ def update_index_delta(
                 else new_fld[name].unionByName(app_f)
             )
 
-    new_postings.repartition("doc_part").sortWithinPartitions("term").write.mode(
+    new_postings.repartition("doc_part").sortWithinPartitions("doc_part", "term").write.mode(
         "overwrite"
     ).partitionBy("doc_part").parquet(f"{vdir}/postings")
     new_doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
@@ -1143,7 +1143,7 @@ def update_index_delta(
     )
     pos_cf_written = 0
     if has_pos and new_pos is not None:
-        new_pos.repartition("doc_part").sortWithinPartitions("term").write.mode(
+        new_pos.repartition("doc_part").sortWithinPartitions("doc_part", "term").write.mode(
             "overwrite"
         ).partitionBy("doc_part").parquet(f"{vdir}/pos_postings")
         try:
@@ -1627,7 +1627,7 @@ def compact_index(
     )
 
     vdir = f"{path}/v{snapshot_id}"
-    new_post.repartition("doc_part").sortWithinPartitions("term").write.mode(
+    new_post.repartition("doc_part").sortWithinPartitions("doc_part", "term").write.mode(
         "overwrite"
     ).partitionBy("doc_part").parquet(f"{vdir}/postings")
     new_ds.write.mode("overwrite").partitionBy("doc_part").parquet(
@@ -1660,7 +1660,7 @@ def compact_index(
         )
         (
             pack_pos_rows(pos_rows, dpp)
-            .repartition("doc_part").sortWithinPartitions("term")
+            .repartition("doc_part").sortWithinPartitions("doc_part", "term")
             .write.mode("overwrite").partitionBy("doc_part")
             .parquet(f"{vdir}/pos_postings")
         )

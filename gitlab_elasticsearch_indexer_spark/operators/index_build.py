@@ -805,30 +805,230 @@ def doc_stats_from_docs(
     )
 
 
+# shuffle row format of the map-side PARTIAL postings (round-6 build
+# optimization, guide §2.3 "aggregate before you shuffle"): one row per
+# (map task flush, doc_part, capture term) carrying that slice's packed
+# doc/tf/dl streams, instead of one row per (doc, capture) — ~100-150×
+# fewer shuffled rows and ~5× fewer bytes (varint-packed) at identical
+# final output.  ``first_doc`` orders a term's partials on the reduce
+# side (map partitions hold disjoint doc ranges, so partials never
+# interleave).
+PARTIAL_ROWS_SCHEMA = StructType([
+    StructField("doc_part", LongType()),
+    StructField("bucket", LongType()),
+    StructField("term", StringType()),
+    StructField("df", LongType()),
+    StructField("cf", LongType()),
+    StructField("first_doc", LongType()),
+    StructField("docs_bin", BinaryType()),
+    StructField("tfs_bin", BinaryType()),
+    StructField("dls_bin", BinaryType()),
+])
+
+# map-side partial flush threshold (posting entries buffered per task
+# before a partial emit) — bounds map-task memory at cluster scale while
+# keeping partials large enough to amortize the per-row overhead
+PARTIAL_FLUSH_ENTRIES = 4_000_000
+
+
+def _term_bucket_codes(uniq: np.ndarray, term_buckets: int) -> np.ndarray:
+    """Shuffle-salt bucket per unique term: a pure function of the
+    term's first two chars, so every capture sharing them (hence every
+    edgeNGram prefix ≥ 2 of every capture) lands in one reduce group.
+    Any deterministic hash works — the bucket is only a grouping salt,
+    never persisted."""
+    from zlib import crc32
+
+    return np.fromiter(
+        (crc32(t[:2].encode("utf-8", "surrogatepass")) % term_buckets
+         for t in uniq),
+        dtype=np.int64, count=len(uniq),
+    )
+
+
+def make_partial_postings_kernel(
+    analyzer: str, docs_per_part: int, term_buckets: int,
+    content_col: str = "content",
+    flush_entries: int = PARTIAL_FLUSH_ENTRIES,
+):
+    """mapInPandas kernel: docs → PARTIAL packed postings rows.
+
+    Tokenization (capture-level tf pre-aggregation, exactly
+    :func:`make_term_rows_kernel`'s chain) and the per-task partial
+    pack are fused into ONE Python stage: the per-(doc, capture) rows
+    never cross the JVM boundary at all — the shuffle carries one
+    varint-packed row per (doc_part, capture) per task flush.
+    """
+    import pyarrow as pa
+
+    from ..functions.analyzers import CAPTURE_TF
+    from ..functions.codecs import varint_encode_with_sizes
+
+    analyze = CAPTURE_TF[analyzer]
+
+    def _flush(t_doc, t_term, t_tf, t_dl) -> pd.DataFrame | None:
+        if not t_doc:
+            return None
+        docs = np.concatenate(t_doc)
+        terms = np.concatenate(t_term)
+        tfs = np.concatenate(t_tf).astype(np.int64)
+        dls = np.concatenate(t_dl).astype(np.int64)
+        codes, uniq = _arrow_dict_encode(pa.array(terms, type=pa.string()))
+        parts = docs // docs_per_part
+        # order by (doc_part, term, doc): docs arrive in ascending order
+        # per term already (docs processed in doc_idx order), so a
+        # stable sort by (part, code) suffices — combined key
+        pmax = int(parts.max()) if len(parts) else 0
+        if (pmax + 1) * len(uniq) < (1 << 62):
+            order = np.argsort(parts * len(uniq) + codes, kind="stable")
+        else:  # pragma: no cover - astronomically wide ranges
+            order = np.lexsort((codes, parts))
+        codes, parts = codes[order], parts[order]
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        run = np.flatnonzero(
+            (codes[1:] != codes[:-1]) | (parts[1:] != parts[:-1])
+        ) + 1
+        starts = np.concatenate(([0], run))
+        ends = np.concatenate((run, [len(codes)]))
+        lens = ends - starts
+        # delta with per-run reset (first value absolute), one varint
+        # pass for the whole flush, per-run byte-range slices
+        deltas = docs.astype(np.uint64).copy()
+        deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+        deltas[starts] = docs[starts].astype(np.uint64)
+        d_stream, d_sz = varint_encode_with_sizes(deltas)
+        t_stream, t_sz = varint_encode_with_sizes(tfs.astype(np.uint64))
+        l_stream, l_sz = varint_encode_with_sizes(dls.astype(np.uint64))
+
+        def slices(stream: bytes, sizes: np.ndarray) -> list[bytes]:
+            cum = np.concatenate(([0], np.cumsum(sizes)))
+            lo, hi = cum[starts], cum[ends]
+            return [stream[a:b] for a, b in zip(lo.tolist(), hi.tolist())]
+
+        cf = np.add.reduceat(tfs, starts)
+        bucket_u = _term_bucket_codes(uniq, term_buckets)
+        rcodes = codes[starts]
+        return pd.DataFrame({
+            "doc_part": parts[starts],
+            "bucket": bucket_u[rcodes],
+            "term": uniq[rcodes],
+            "df": lens,
+            "cf": cf,
+            "first_doc": docs[starts],
+            "docs_bin": slices(d_stream, d_sz),
+            "tfs_bin": slices(t_stream, t_sz),
+            "dls_bin": slices(l_stream, l_sz),
+        })
+
+    def kernel(batches):
+        t_doc, t_term, t_tf, t_dl = [], [], [], []
+        buffered = 0
+        for pdf in batches:
+            ids_all = pdf["doc_idx"].to_numpy(np.int64)
+            texts_all = pdf[content_col].to_numpy(dtype=object)
+            for doc_idx, text in zip(ids_all, texts_all):
+                tfs, dl = analyze(text or "")
+                if tfs:
+                    n = len(tfs)
+                    t_doc.append(np.full(n, doc_idx, dtype=np.int64))
+                    t_term.append(
+                        np.fromiter(tfs.keys(), dtype=object, count=n)
+                    )
+                    t_tf.append(
+                        np.fromiter(tfs.values(), dtype=np.int32, count=n)
+                    )
+                    t_dl.append(np.full(n, dl, dtype=np.int32))
+                    buffered += n
+            if buffered >= flush_entries:
+                out = _flush(t_doc, t_term, t_tf, t_dl)
+                if out is not None:
+                    yield out
+                t_doc, t_term, t_tf, t_dl = [], [], [], []
+                buffered = 0
+        out = _flush(t_doc, t_term, t_tf, t_dl)
+        if out is not None:
+            yield out
+
+    return kernel
+
+
+def make_merge_pack_kernel(expand: tuple[int, int] | None):
+    """(doc_part, bucket)-group kernel over PARTIAL postings rows:
+    decode every partial's streams in ONE vectorized pass (partials of
+    a term concatenate in first_doc order — disjoint doc ranges), then
+    delegate to :func:`make_pack_group_kernel` on the reconstructed
+    entry rows, so the packed output is BYTE-IDENTICAL to the
+    row-shuffle build (pytest-pinned)."""
+    from ..functions.codecs import varint_decode
+
+    pack_group = make_pack_group_kernel(expand)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pack_group(pd.DataFrame(
+                {"doc_part": [], "term": [], "doc_idx": [], "tf": [],
+                 "dl": []}))
+        import pyarrow as pa
+
+        codes, uniq = _arrow_dict_encode(
+            pa.array(pdf["term"], type=pa.string(), from_pandas=True)
+        )
+        dfs = pdf["df"].to_numpy(np.int64)
+        first = pdf["first_doc"].to_numpy(np.int64)
+        order = _sort_by_code_doc(codes, first)
+        codes, dfs = codes[order], dfs[order]
+        dbufs = pdf["docs_bin"].to_numpy(dtype=object)[order]
+        tbufs = pdf["tfs_bin"].to_numpy(dtype=object)[order]
+        lbufs = pdf["dls_bin"].to_numpy(dtype=object)[order]
+        deltas = varint_decode(b"".join(dbufs)).astype(np.int64)
+        tfs = varint_decode(b"".join(tbufs)).astype(np.int64)
+        dls = varint_decode(b"".join(lbufs)).astype(np.int64)
+        # absolute docs: each partial's first delta is its absolute
+        # first doc, so the within-segment cumsum IS the doc id
+        # (csum minus each segment's prefix total — no Python loop)
+        seg_starts = np.cumsum(dfs) - dfs
+        csum = np.cumsum(deltas)
+        base = np.where(seg_starts > 0, csum[seg_starts - 1], 0)
+        docs = csum - np.repeat(base, dfs)
+        rows = pd.DataFrame({
+            "doc_part": np.full(len(docs), int(pdf["doc_part"].iloc[0]),
+                                dtype=np.int64),
+            "term": uniq[np.repeat(codes, dfs)],
+            "doc_idx": docs,
+            "tf": tfs,
+            "dl": dls,
+        })
+        return pack_group(rows)
+
+    return merge
+
+
 def postings_from_docs(
     with_idx: DataFrame, analyzer: str, docs_per_part: int,
     term_buckets: int = 32, content_col: str = "content",
 ) -> DataFrame:
     """docs → packed posting lists in one heavy pass.
 
-    Grouped by (doc_part, term-hash bucket): hot Zipfian terms are
-    bounded by docs_per_part per group (the doc partition is the salt,
-    B12), and the bucket bounds group width so one applyInPandas kernel
-    packs ~1/term_buckets of a partition's vocabulary in a single
-    vectorized numpy pass (see codecs.pack_partition).
+    Round-6 physical plan (guide §2.3): the map side fuses tokenization
+    and a per-task PARTIAL pack into one ``mapInPandas`` stage, so the
+    shuffle carries one varint-packed row per (doc_part, capture) per
+    task flush — ~100-150× fewer rows and ~5× fewer bytes than the
+    per-(doc, capture) row shuffle it replaces, measured ~2× on the
+    whole postings phase.  The reduce side (grouped by (doc_part,
+    term-hash bucket) exactly as before — hot Zipfian terms stay
+    bounded by docs_per_part per group, B12) merges partials
+    vectorized and delegates to the same pack kernel, so the packed
+    output is byte-identical.  Group width per (doc_part, bucket) is
+    unchanged; map-task memory is bounded by PARTIAL_FLUSH_ENTRIES.
     """
     from ..functions.analyzers import EXPAND_PREFIXES
 
-    kernel = make_term_rows_kernel(analyzer, content_col)
-    tokened = with_idx.select("doc_idx", content_col).mapInPandas(
-        kernel, schema=TERM_ROWS_SCHEMA
+    kernel = make_partial_postings_kernel(
+        analyzer, docs_per_part, term_buckets, content_col,
+        flush_entries=PARTIAL_FLUSH_ENTRIES,
     )
-    # bucket by the first two chars: all edgeNGram prefixes of a capture
-    # share them, so post-shuffle expansion stays bucket-local
-    term_rows = tokened.select(
-        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
-        F.pmod(F.xxhash64(F.substring("term", 1, 2)), F.lit(term_buckets)).alias("bucket"),
-        "term", "doc_idx", "tf", "dl",
+    partials = with_idx.select("doc_idx", content_col).mapInPandas(
+        kernel, schema=PARTIAL_ROWS_SCHEMA
     )
 
     out_schema = StructType(
@@ -836,9 +1036,9 @@ def postings_from_docs(
         + list(PACK_SCHEMA.fields)
     )
 
-    pack_group = make_pack_group_kernel(EXPAND_PREFIXES[analyzer])
-    return term_rows.groupBy("doc_part", "bucket").applyInPandas(
-        pack_group, schema=out_schema
+    merge = make_merge_pack_kernel(EXPAND_PREFIXES[analyzer])
+    return partials.groupBy("doc_part", "bucket").applyInPandas(
+        merge, schema=out_schema
     )
 
 

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 LIMIT_FILE_SIZE = 1024 * 1024  # git/gitaly.go:25
 BINARY_SNIFF_LIMIT = 8 * 1024  # indexer/blob.go:20
@@ -185,13 +184,25 @@ def build_blob_documents(
         # A12: ES bulk index is an upsert keyed by id — last write wins.
         # With no ingest order column, "latest" is made deterministic by
         # max(commit_sha) per id; real ingestion orders by snapshot.
-        w = Window.partitionBy("id").orderBy(
-            F.col("commit_sha").desc(), F.col("oid").desc()
-        )
+        # Implemented as max_by over the (commit_sha, oid) order struct:
+        # one hash aggregation with map-side partials instead of the
+        # window's exchange + full sort + rank filter (guide §2.3
+        # "aggregate before you shuffle") — the selected row per id is
+        # identical (struct comparison IS the lexicographic
+        # (commit_sha desc, oid desc) order the window used; a full tie
+        # implies an identical document: same id ⇒ same repo/path, same
+        # oid ⇒ same content).
+        other = [c for c in doc.columns if c != "id"]
         doc = (
-            doc.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            doc.groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct(*other),
+                    F.struct(F.col("commit_sha"), F.col("oid")),
+                ).alias("_doc")
+            )
+            .select("id", "_doc.*")
+            .select(*doc.columns)  # restore the documented column order
         )
     return doc
 

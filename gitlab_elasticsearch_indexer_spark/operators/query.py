@@ -74,13 +74,17 @@ def _local_result(spark, rows: list[tuple], fields: list[tuple[str, str]]) -> Da
     types = {"string": StringType(), "double": DoubleType(),
              "int": IntegerType(), "long": LongType()}
     schema = StructType([StructField(n, types[t]) for n, t in fields])
+    if not rows:
+        # a ZERO-row pandas frame silently falls out of the Arrow
+        # conversion path onto the parallelize-an-RDD path — a 32-task
+        # Spark job costing ~0.3 s per empty result (measured round 6).
+        # A placeholder row keeps the Arrow local-relation path and
+        # ``limit(0)`` restores emptiness job-free (LocalTableScan).
+        filler = {"string": "", "double": 0.0, "int": 0, "long": 0}
+        pdf = pd.DataFrame([[filler[t] for _, t in fields]],
+                           columns=[n for n, _ in fields])
+        return spark.createDataFrame(pdf, schema).limit(0)
     pdf = pd.DataFrame(rows, columns=[n for n, _ in fields])
-    if not rows:  # give Arrow concrete dtypes for the empty frame
-        pdf = pdf.astype(
-            {n: ("float64" if t == "double" else "int32" if t == "int"
-                 else "int64" if t == "long" else "object")
-             for n, t in fields}
-        )
     return spark.createDataFrame(pdf, schema)
 
 # search-side analysis per index analyzer: content/file_name fields use
@@ -761,8 +765,15 @@ def _search_local_rows(
         return None
     if not len(post):
         return []
+    # mode="bmw" is an execution hint, not a semantic switch: BMW's
+    # strict-bound pruning provably returns the identical top-k (its
+    # whole point), but its DAAT loop runs at Python speed and on the
+    # driver the parts execute SEQUENTIALLY — measured 6× slower than
+    # the vectorized exhaustive kernel here.  The local path therefore
+    # always scores vectorized; parity with the Spark BMW path is
+    # pinned by tests/test_driver_fast_path.py.
     kernel = _make_part_kernel(
-        widf, index.avgdl, k, mode == "bmw", index.docs_per_part,
+        widf, index.avgdl, k, False, index.docs_per_part,
         len(predicates), neg_terms=neg, n_required=n_required,
         after=after_cursor, min_match=msm if msm > 1 else 0,
         dl_range=_norm_dl_range(dl_range),

@@ -63,6 +63,96 @@ def test_code_dl_equals_analyze_pos_sum():
         assert code_dl(t) == code_analyze_tf(t)[1], t
 
 
+def _old_postings_from_docs(with_idx, analyzer, docs_per_part,
+                            term_buckets=32, content_col="content"):
+    """The pre-round-6 physical plan: per-(doc, capture) row shuffle +
+    pack — kept here as the identity referee for the partial-postings
+    plan."""
+    from pyspark.sql import functions as F
+
+    import gitlab_elasticsearch_indexer_spark.operators.index_build as ib
+    from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+        EXPAND_PREFIXES,
+    )
+
+    kernel = ib.make_term_rows_kernel(analyzer, content_col)
+    tokened = with_idx.select("doc_idx", content_col).mapInPandas(
+        kernel, schema=ib.TERM_ROWS_SCHEMA
+    )
+    term_rows = tokened.select(
+        (F.col("doc_idx") / docs_per_part).cast("long").alias("doc_part"),
+        F.pmod(F.xxhash64(F.substring("term", 1, 2)),
+               F.lit(term_buckets)).alias("bucket"),
+        "term", "doc_idx", "tf", "dl",
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("doc_part", LongType()),
+         StructField("term", StringType())] + list(ib.PACK_SCHEMA.fields)
+    )
+    pack_group = ib.make_pack_group_kernel(EXPAND_PREFIXES[analyzer])
+    return term_rows.groupBy("doc_part", "bucket").applyInPandas(
+        pack_group, schema=out_schema
+    )
+
+
+def _postings_key(df):
+    rows = {}
+    for r in df.collect():
+        rows[(r["doc_part"], r["term"])] = (
+            r["df"], r["cf"], bytes(r["docs_bin"]), bytes(r["tfs_bin"]),
+            bytes(r["dls_bin"]), list(r["block_last"]),
+            list(r["block_max_tf"]), list(r["block_min_dl"]),
+            r["max_tf"], r["min_dl"],
+        )
+    return rows
+
+
+def test_partial_postings_identical_to_row_shuffle(spark):
+    import gitlab_elasticsearch_indexer_spark.operators.index_build as ib
+
+    texts = [
+        "if return getUserById parseQuery x12 'lit1' \"msg\" pkg.mod.attr",
+        "de\x00tail weird\x00ness if if if",
+        "café naïve Größe 日本語テスト",
+        "", "   ", "if",
+        "src/util/mod.py BUILD_LIMIT UserRecord get_user_impl",
+    ]
+    docs = [(f"d{i:03d}", texts[i % len(texts)] + f" uniq{i}")
+            for i in range(90)]
+    df = spark.createDataFrame(docs, "id string, content string")
+    with_idx = ib.assign_doc_ids(df, "id", caches=[])
+    with_idx = with_idx.persist()
+    for analyzer in ("code", "simple"):
+        new = _postings_key(
+            ib.postings_from_docs(with_idx, analyzer, 16))
+        old = _postings_key(
+            _old_postings_from_docs(with_idx, analyzer, 16))
+        assert new == old, f"analyzer {analyzer}: packed outputs diverge"
+    with_idx.unpersist()
+
+
+def test_partial_kernel_flush_boundaries(spark):
+    # a tiny flush threshold forces many partials per (task, term);
+    # the merged output must not change
+    import gitlab_elasticsearch_indexer_spark.operators.index_build as ib
+
+    docs = [(f"d{i:03d}", "if return tok%d getUser" % (i % 5))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "id string, content string")
+    with_idx = ib.assign_doc_ids(df, "id", caches=[]).persist()
+    baseline = _postings_key(ib.postings_from_docs(with_idx, "code", 16))
+    orig = ib.PARTIAL_FLUSH_ENTRIES
+    try:
+        ib.PARTIAL_FLUSH_ENTRIES = 7  # flush after every handful of entries
+        tiny = _postings_key(ib.postings_from_docs(with_idx, "code", 16))
+    finally:
+        ib.PARTIAL_FLUSH_ENTRIES = orig
+    assert tiny == baseline
+    with_idx.unpersist()
+
+
 def test_pack_kernel_unicode_and_nul_grams():
     # NUL-bearing and multibyte captures must expand/aggregate exactly
     # like the per-string reference (edge_ngrams over python slices)
