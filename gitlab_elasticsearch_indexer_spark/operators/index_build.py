@@ -605,23 +605,50 @@ class InvertedIndex:
         # term-ascending — the deterministic row order the driver-side
         # scoring fast path relies on for bit-identical accumulation.
         spark = self.postings.sparkSession
-        (
-            self.postings.repartition("doc_part")
-            .sortWithinPartitions("doc_part", "term")
-            .write.mode("overwrite")
-            .partitionBy("doc_part")
-            .parquet(f"{path}/postings")
-        )
-        self.doc_stats.write.mode("overwrite").partitionBy("doc_part").parquet(
-            f"{path}/doc_stats"
-        )
-        self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
-        if self.filters is not None:
-            self.filters.write.mode("overwrite").partitionBy("doc_part").parquet(
-                f"{path}/filters"
+        # the component writes are INDEPENDENT jobs over already-pinned
+        # inputs (postings/doc_stats caches) — submit them from a small
+        # thread pool so each job's tail back-fills the others' idle
+        # executors (guide §2.6 "overlap independent jobs"); actions are
+        # thread-safe and job descriptions are thread-local.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_postings():
+            (
+                self.postings.repartition("doc_part")
+                .sortWithinPartitions("doc_part", "term")
+                .write.mode("overwrite")
+                .partitionBy("doc_part")
+                .parquet(f"{path}/postings")
             )
-        if self.part_meta is not None:
-            self.part_meta.write.mode("overwrite").parquet(f"{path}/part_meta")
+
+        def _w_doc_stats():
+            self.doc_stats.write.mode("overwrite").partitionBy(
+                "doc_part"
+            ).parquet(f"{path}/doc_stats")
+
+        def _w_term_stats():
+            self.term_stats.write.mode("overwrite").parquet(
+                f"{path}/term_stats"
+            )
+
+        def _w_filters():
+            if self.filters is not None:
+                self.filters.write.mode("overwrite").partitionBy(
+                    "doc_part"
+                ).parquet(f"{path}/filters")
+
+        def _w_part_meta():
+            if self.part_meta is not None:
+                self.part_meta.write.mode("overwrite").parquet(
+                    f"{path}/part_meta"
+                )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(w) for w in
+                    (_w_postings, _w_doc_stats, _w_term_stats,
+                     _w_filters, _w_part_meta)]
+            for f in futs:
+                f.result()  # surface the first failure, complete all
         if self.pos_postings is not None:
             (
                 self.pos_postings.repartition("doc_part")
