@@ -1503,14 +1503,28 @@ def suggest_terms(
         .collect()
     )
 
+    # round-6 ADVICE fix: the collected rows satisfy the OR of every
+    # input term's pushed predicate — pre-bucket them by prefix and
+    # apply each term's length band BEFORE the exact Levenshtein, so a
+    # candidate admitted only by ANOTHER term's predicate never costs a
+    # Python distance computation (the old loop was O(T·R) _lev_dist)
+    by_pfx: dict[str, list] | None = None
+    if prefix_length:
+        by_pfx = {}
+        for r in rows:
+            by_pfx.setdefault(r["term"][:prefix_length], []).append(r)
+
     out: list[tuple] = []
     for t in terms:
         if suggest_mode == "missing" and own_df.get(t, 0) > 0:
             continue
+        pool = (by_pfx.get(t[:prefix_length], [])
+                if by_pfx is not None else rows)
+        lo, hi = len(t) - max_edits, len(t) + max_edits
         cands = []
-        for r in rows:
+        for r in pool:
             c = r["term"]
-            if c == t or not c.startswith(t[:prefix_length]):
+            if c == t or not (lo <= len(c) <= hi):
                 continue
             d = _lev_dist(c, t)
             if d > max_edits:
@@ -4336,10 +4350,11 @@ def significant_terms(
             "filtered significant_terms needs the index's filters sidecar"
         )
 
-    # the FULL per-part postings relation (column-pruned to the doc
-    # lists) — the documented expensive scan the sampler bounds
-    cand = index.postings.select("doc_part", "term", "docs_bin",
-                                 "tfs_bin", "dls_bin")
+    # the FULL per-part postings relation, column-pruned to the doc
+    # lists ONLY (the kernel never needs tfs/dls — round-6: ~3× less
+    # data crosses into the Python workers) — the documented expensive
+    # scan the sampler bounds
+    cand = index.postings.select("doc_part", "term", "docs_bin")
     if parts is not None:
         cand = cand.filter(F.col("doc_part").isin(parts))
 
@@ -4362,16 +4377,19 @@ def significant_terms(
         )
 
     agg = partial.groupBy("term").agg(F.sum("fg").alias("fg"))
-    # the matched-doc total rides the same aggregation as a sentinel
-    # row and rejoins via a broadcast cross join — ONE plan, and Spark
-    # reuses the shuffle exchange for both branches
+    # the matched-doc total rides the same aggregation as a NULL-term
+    # row (no analyzer chain can emit a null term, so the key can never
+    # collide with a vocabulary term — the round-5 ADVICE fix replacing
+    # the "\x00_total" sentinel string) and rejoins via a broadcast
+    # cross join — ONE plan, and Spark reuses the shuffle exchange for
+    # both branches
     total = (
-        agg.filter(F.col("term") == F.lit("\x00_total"))
+        agg.filter(F.col("term").isNull())
         .select(F.col("fg").cast("double").alias("n_matched"))
     )
     n_docs = float(index.n_docs)
     joined = (
-        agg.filter((F.col("term") != F.lit("\x00_total"))
+        agg.filter(F.col("term").isNotNull()
                    & ~F.col("term").isin(qterms)
                    & (F.col("fg") >= min_doc_count))
         .join(index.term_stats.select("term", "df"), "term")
@@ -4395,8 +4413,19 @@ def _make_sig_kernel(
     """Per-doc_part significant-terms kernel: build the matched mask
     from the query terms' doc lists (AND the predicate bitmaps), then
     intersect EVERY term's doc list with it — one (term, fg_n) row per
-    term present in the matches, plus a ``\\x00_total`` row carrying
-    the part's matched-doc count (the JLH denominator)."""
+    term present in the matches, plus a NULL-term row carrying the
+    part's matched-doc count (the JLH denominator; a null key cannot
+    collide with any analyzed term).
+
+    Round-6 ADVICE fix: the vocabulary sweep needs ONLY the doc lists —
+    decode ``docs_bin`` alone (never tfs/dls), and reuse the query
+    terms' decodes from the mask-building pass instead of decoding them
+    twice.  This is the path the repo benchmarks as the expensive
+    full-relation scan (the ES ``sampler``-bounded aggregation)."""
+    from ..functions.codecs import delta_decode, varint_decode
+
+    def _docs_only(buf) -> np.ndarray:
+        return delta_decode(varint_decode(bytes(buf))).astype(np.int64)
 
     def kernel(post_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
         empty = pd.DataFrame({"term": pd.Series([], dtype=object),
@@ -4412,16 +4441,14 @@ def _make_sig_kernel(
                 return empty
 
         mask = np.zeros(docs_per_part, dtype=bool)
-        hit_any = False
+        qdocs: dict[str, np.ndarray] = {}
         for row in post_pdf.itertuples(index=False):
             if row.term not in query_terms:
                 continue
-            docs = unpack_postings(
-                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
-            )[0].astype(np.int64)
+            docs = _docs_only(row.docs_bin)
+            qdocs[row.term] = docs
             mask[docs - base] = True
-            hit_any = True
-        if not hit_any:
+        if not qdocs:
             return empty
         if bits is not None:
             mask &= bits
@@ -4429,17 +4456,17 @@ def _make_sig_kernel(
         if n_matched == 0:
             return empty
 
-        terms: list[str] = ["\x00_total"]
+        terms: list = [None]
         fgs: list[int] = [n_matched]
         for row in post_pdf.itertuples(index=False):
-            docs = unpack_postings(
-                bytes(row.docs_bin), bytes(row.tfs_bin), bytes(row.dls_bin)
-            )[0].astype(np.int64)
+            docs = qdocs.get(row.term)
+            if docs is None:
+                docs = _docs_only(row.docs_bin)
             n = int(mask[docs - base].sum())
             if n:
                 terms.append(row.term)
                 fgs.append(n)
-        return pd.DataFrame({"term": terms,
+        return pd.DataFrame({"term": np.asarray(terms, dtype=object),
                              "fg": np.asarray(fgs, dtype=np.int64)})
 
     return kernel
@@ -5830,7 +5857,15 @@ def date_histogram(
     Pure Catalyst: a column-pruned scan → timestamp parse →
     ``date_trunc`` → map-side partial groupBy, so ≤ n_buckets tiny rows
     per partition cross the one shuffle regardless of corpus size —
-    the same 100-TB shape as a native count aggregation."""
+    the same 100-TB shape as a native count aggregation.
+
+    Timezone semantics (documented per the round-5 ADVICE): the
+    offset-bearing Person.time parses to an instant and ``date_trunc``
+    buckets in ``spark.sql.session.timeZone``.  The engine's session
+    factory PINS that to UTC (session.py), which is exactly ES's
+    date_histogram default — running under a session with a different
+    timezone shifts day/month boundaries accordingly, like setting the
+    ES ``time_zone`` parameter."""
     if interval not in _DH_INTERVALS:
         raise ValueError(
             f"interval must be one of {_DH_INTERVALS}, got {interval!r}"

@@ -24,7 +24,7 @@ At 100 TB: the scan is embarrassingly parallel with full column pruning
 are uniform so there is no skew to salt.
 
 The reference indexer has no training pipeline (it indexes one document
-per blob, internal/indexer/indexer.go); this operator set is the
+per blob, indexer/indexer.go); this operator set is the
 training-data analog the task brief asks for beyond reference parity.
 """
 
