@@ -247,9 +247,15 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         return pd.Series(out)
 
     flat = [tok for toks in tok_lists for tok in toks]
-    from .index_build import factorize_strings
+    import pyarrow as pa
 
-    codes, vocab = factorize_strings(pd.Series(flat, dtype=object))
+    from .index_build import _arrow_dict_encode
+
+    # Arrow dictionary encode: C++ hashing of the token buffer (round 6,
+    # same swap as the pack kernel) — NUL-safe with no pre-scan and
+    # severalfold faster than the pandas factorize it replaces; codes
+    # only feed the reduceat gather, so dictionary order is irrelevant
+    codes, vocab = _arrow_dict_encode(pa.array(flat, type=pa.string()))
     # md5 per unique token; top-8 bytes big-endian, bit b = (h >> b) & 1
     hv = np.fromiter(
         (
