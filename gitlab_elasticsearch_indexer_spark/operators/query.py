@@ -784,6 +784,21 @@ def _search_local_rows(
         if fframes is None:
             return None
     rows: list = []
+    if not predicates and n_required == 0 and msm <= 1:
+        # plain-OR pooling: doc ids are GLOBAL and every doc's postings
+        # rows live in exactly one part, so the accumulation over the
+        # (doc_part, term)-sorted pooled rows adds each doc's term
+        # contributions in the SAME order as the per-part kernels —
+        # bit-identical scores — while the global top-k (ties kept) is
+        # a subset of the per-part top-k union that yields the same
+        # final page.  One kernel call instead of n_parts (the per-call
+        # pandas overhead dominated sub-100 ms queries).  Conjunctive /
+        # msm / filtered shapes keep the per-part loop: their kernels
+        # read per-part state (bitmap bases, per-term list counts).
+        out = kernel(post, None)
+        for d, s in zip(out["doc_idx"].to_numpy(), out["score"].to_numpy()):
+            rows.append({"doc_idx": int(d), "score": float(s)})
+        return rows
     for part, pdf in post.groupby("doc_part", sort=True):
         if predicates:
             out = kernel(

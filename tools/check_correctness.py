@@ -52,6 +52,9 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
+    import json
+    import os
+
     import __spark_entry__ as entrymod
     from gitlab_elasticsearch_indexer_spark.session import get_spark
 
@@ -64,6 +67,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -73,22 +77,37 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:400]}")
+            record[name] = {"ok": False, "err": f"spark: {str(e)[:300]}"}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"ok": True, "rows": len(got), "oracle": False}
             continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:400]}")
+            record[name] = {"ok": False, "err": f"duckdb: {str(e)[:300]}"}
             continue
         ok, why = values_match(normalize(got), normalize(exp))
         status = "OK  " if ok else "FAIL"
         print(f"{status}  {name}: spark={len(got)} duckdb={len(exp)} [{time.time()-t0:.1f}s]"
               + ("" if ok else f"  -> {why}"))
+        record[name] = {
+            "ok": ok, "spark_rows": int(len(got)),
+            "oracle_rows": int(len(exp)), "sec": round(time.time() - t0, 1),
+            **({} if ok else {"err": why[:300]}),
+        }
         if not ok:
             failures.append((name, why))
+    # machine-readable sibling of the driver artifact covering EVERY
+    # registered gate (the driver's own record caps at 50 rows):
+    # set CHECK_JSON_OUT=path to write {name: {ok, rows, ...}}
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     return 1 if failures else 0
 
