@@ -772,18 +772,36 @@ def _search_local_rows(
     # the vectorized exhaustive kernel here.  The local path therefore
     # always scores vectorized; parity with the Spark BMW path is
     # pinned by tests/test_driver_fast_path.py.
+    fframes = None
+    bits_by_part = None
+    if predicates:
+        fframes = _filters_frames_for_predicates(index, predicates)
+        if fframes is None:
+            return None
+        if n_required == 0 and msm <= 1:
+            # pooled filtered scoring: prefold each part's bitmap once
+            # (same _fold_filter_bits semantics — a part folding to
+            # None is simply absent) and let ONE kernel call resolve
+            # bitmaps by each row's own doc_part
+            bits_by_part = {}
+            for p, fr in fframes.items():
+                fb = _fold_filter_bits(fr, len(predicates),
+                                       index.docs_per_part)
+                if fb is not None:
+                    bits_by_part[p] = (fb, p * index.docs_per_part)
     kernel = _make_part_kernel(
         widf, index.avgdl, k, False, index.docs_per_part,
         len(predicates), neg_terms=neg, n_required=n_required,
         after=after_cursor, min_match=msm if msm > 1 else 0,
         dl_range=_norm_dl_range(dl_range),
+        bits_by_part=bits_by_part,
     )
-    fframes = None
-    if predicates:
-        fframes = _filters_frames_for_predicates(index, predicates)
-        if fframes is None:
-            return None
     rows: list = []
+    if bits_by_part is not None:
+        out = kernel(post, None)
+        for d, s in zip(out["doc_idx"].to_numpy(), out["score"].to_numpy()):
+            rows.append({"doc_idx": int(d), "score": float(s)})
+        return rows
     if not predicates and n_required == 0 and msm <= 1:
         # plain-OR pooling: doc ids are GLOBAL and every doc's postings
         # rows live in exactly one part, so the accumulation over the
@@ -818,6 +836,7 @@ def _batch_rows_local(
     terms: list[str],
     scan_parts: list[int] | None,
     pred_pairs: list[tuple[str, str]],
+    poolable: bool = False,
 ) -> list | None:
     """Driver-side twin of the shared term job of :func:`search_many`:
     the SAME batch kernel over pyarrow-read postings rows — no Spark
@@ -845,6 +864,20 @@ def _batch_rows_local(
         if fframes is None:
             return None
     rows: list = []
+    if poolable and fframes is None:
+        # same pooling argument as the single-query plain-OR path: with
+        # no predicates, no routing and no conjunctive entries, the
+        # batch kernel's per-part state is unused and each doc's rows
+        # live in one part — one kernel call, bit-identical scores
+        out = kernel(post, None)
+        for q, d, s in zip(
+            out["query_id"].to_numpy(), out["doc_idx"].to_numpy(),
+            out["score"].to_numpy(),
+        ):
+            rows.append(
+                {"query_id": str(q), "doc_idx": int(d), "score": float(s)}
+            )
+        return rows
     for part, pdf in post.groupby("doc_part", sort=True):
         if fframes is not None:
             out = kernel(
@@ -2274,6 +2307,7 @@ def _make_part_kernel(
     after: tuple[float, int] | None = None,
     min_match: int = 0,
     dl_range: tuple[int, int] | None = None,
+    bits_by_part: dict | None = None,
 ):
     """Per-doc_part scoring kernel (cogroup signature: postings, filters).
 
@@ -2301,6 +2335,14 @@ def _make_part_kernel(
     at least that many distinct terms (:func:`_msm_topk`); it overrides
     ``use_bmw`` — the counting evaluation is exhaustive per part, with
     the same ≤ k-rows-out candidate bound.
+
+    ``bits_by_part`` (driver fast path only): a prebuilt
+    ``{doc_part: folded bitmap}`` covering every part with qualifying
+    docs — the kernel then accepts a POOLED multi-part postings frame
+    and resolves each row's bitmap by its own ``doc_part`` (a part
+    absent from the dict has no qualifying docs, exactly the
+    per-part ``_fold_filter_bits → None`` early-out).  The Spark
+    cogroup path never passes it, so its behavior is unchanged.
     """
 
     def kernel(postings_pdf: pd.DataFrame, filter_pdf=None) -> pd.DataFrame:
@@ -2310,10 +2352,16 @@ def _make_part_kernel(
         bits = None
         base = 0
         if n_predicates:
-            bits = _fold_filter_bits(filter_pdf, n_predicates, docs_per_part)
-            if bits is None:
-                return empty  # some predicate matches nothing in this part
-            base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
+            if bits_by_part is not None:
+                if not bits_by_part:
+                    return empty
+            else:
+                bits = _fold_filter_bits(
+                    filter_pdf, n_predicates, docs_per_part
+                )
+                if bits is None:
+                    return empty  # some predicate matches nothing here
+                base = int(filter_pdf["doc_part"].iloc[0]) * docs_per_part
 
         excl = None
         if neg_terms:
@@ -2341,7 +2389,16 @@ def _make_part_kernel(
                 if not keep.any():
                     continue
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-            if bits is not None:
+            if n_predicates and bits_by_part is not None:
+                pb = bits_by_part.get(int(row.doc_part))
+                if pb is None:
+                    continue  # this row's part has no qualifying docs
+                rbits, rbase = pb
+                keep = rbits[docs - rbase]
+                if not keep.any():
+                    continue
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            elif bits is not None:
                 keep = bits[docs - base]
                 if not keep.any():
                     continue
@@ -3284,7 +3341,12 @@ def search_many(
             for f, vals in preds_by_query[q] for v in vals
         })
         local_batch = _batch_rows_local(
-            index, kernel, live_terms, scan_parts, pred_pairs
+            index, kernel, live_terms, scan_parts, pred_pairs,
+            poolable=(
+                not use_bmw
+                and not any(q in nreq_by_query for q in widf_by_query)
+                and not any(q in parts_by_query for q in widf_by_query)
+            ),
         )
         if local_batch is not None:
             rows.extend(local_batch)
