@@ -470,7 +470,7 @@ def _driver_score_enabled() -> bool:
 
 
 def _driver_score_max_entries() -> int:
-    return _env_int("SPARK_GRAFT_DRIVER_SCORE_MAX_ENTRIES", 4_000_000)
+    return _env_int("SPARK_GRAFT_DRIVER_SCORE_MAX_ENTRIES", 12_000_000)
 
 
 def _local_dataset(index: InvertedIndex, attr: str, root: str):
@@ -532,7 +532,7 @@ def _postings_lru(index: InvertedIndex) -> _BoundedLRU:
     lru = index.__dict__.get("_postings_lru")
     if lru is None:
         lru = index.__dict__["_postings_lru"] = _BoundedLRU(
-            _env_int("SPARK_GRAFT_POSTINGS_CACHE_ENTRIES", 8_000_000)
+            _env_int("SPARK_GRAFT_POSTINGS_CACHE_ENTRIES", 24_000_000)
         )
     return lru
 
