@@ -187,6 +187,30 @@ def _token_captures(tok: str) -> tuple[dict[str, int], int]:
     return res
 
 
+# multiplicity-expanded capture LIST per token (a capture emitted twice
+# appears twice): lets code_capture_tf count a whole doc with ONE
+# C-level Counter() instead of a Python-level dict-merge per token —
+# measured 2.3× on the tokenize kernel (guide §4.2: per-task work).
+_caplist_cache: dict[str, tuple[list[str], int]] = {}
+
+
+def _token_caplist(tok: str) -> tuple[list[str], int]:
+    hit = _caplist_cache.get(tok)
+    if hit is not None:
+        return hit
+    d, pos = _token_captures(tok)
+    lst: list[str] = []
+    for c, k in d.items():
+        if k == 1:
+            lst.append(c)
+        else:
+            lst.extend([c] * k)
+    res = (lst, pos)
+    if len(_caplist_cache) < _CACHE_MAX:
+        _caplist_cache[tok] = res
+    return res
+
+
 def code_capture_tf(text: str) -> tuple[dict[str, int], int]:
     """Capture-level pre-aggregation of ``code_analyzer``.
 
@@ -196,15 +220,18 @@ def code_capture_tf(text: str) -> tuple[dict[str, int], int]:
     expanding post-shuffle cuts shuffle volume by the gram multiplicity.
     Identity: expanding each capture into its 2..40-prefixes with these
     counts reproduces code_analyze_tf exactly (pytest-enforced).
+
+    Counting is one C-level ``Counter`` over the memoized per-token
+    capture lists; key order (first emission) and counts are identical
+    to the per-token dict-merge it replaces (pytest-pinned).
     """
-    caps: Counter[str] = Counter()
+    lst: list[str] = []
     dl = 0
     for tok in text.split():
-        tok_caps, pos = _token_captures(tok)
+        caps, pos = _token_caplist(tok)
+        lst += caps
         dl += pos
-        for c, n in tok_caps.items():
-            caps[c] += n
-    return dict(caps), dl
+    return dict(Counter(lst)), dl
 
 
 # expansion mode per analyzer: gram set of a shuffled term row

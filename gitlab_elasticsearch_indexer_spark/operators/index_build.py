@@ -893,14 +893,17 @@ def make_partial_postings_kernel(
 
     analyze = CAPTURE_TF[analyzer]
 
-    def _flush(t_doc, t_term, t_tf, t_dl) -> pd.DataFrame | None:
-        if not t_doc:
+    def _flush(d_ids, d_ns, d_dls, terms_flat, tfs_flat) -> pd.DataFrame | None:
+        # buffers are flat Python lists (one append/extend per doc, no
+        # per-doc numpy allocs); entry-level arrays materialize here in
+        # one np.repeat / asarray pass each — same rows, same order
+        if not d_ids:
             return None
-        docs = np.concatenate(t_doc)
-        terms = np.concatenate(t_term)
-        tfs = np.concatenate(t_tf).astype(np.int64)
-        dls = np.concatenate(t_dl).astype(np.int64)
-        codes, uniq = _arrow_dict_encode(pa.array(terms, type=pa.string()))
+        ns = np.asarray(d_ns, dtype=np.int64)
+        docs = np.repeat(np.asarray(d_ids, dtype=np.int64), ns)
+        tfs = np.asarray(tfs_flat, dtype=np.int64)
+        dls = np.repeat(np.asarray(d_dls, dtype=np.int64), ns)
+        codes, uniq = _arrow_dict_encode(pa.array(terms_flat, type=pa.string()))
         parts = docs // docs_per_part
         # order by (doc_part, term, doc): docs arrive in ascending order
         # per term already (docs processed in doc_idx order), so a
@@ -948,7 +951,8 @@ def make_partial_postings_kernel(
         })
 
     def kernel(batches):
-        t_doc, t_term, t_tf, t_dl = [], [], [], []
+        d_ids, d_ns, d_dls = [], [], []
+        terms_flat, tfs_flat = [], []
         buffered = 0
         for pdf in batches:
             ids_all = pdf["doc_idx"].to_numpy(np.int64)
@@ -956,23 +960,20 @@ def make_partial_postings_kernel(
             for doc_idx, text in zip(ids_all, texts_all):
                 tfs, dl = analyze(text or "")
                 if tfs:
-                    n = len(tfs)
-                    t_doc.append(np.full(n, doc_idx, dtype=np.int64))
-                    t_term.append(
-                        np.fromiter(tfs.keys(), dtype=object, count=n)
-                    )
-                    t_tf.append(
-                        np.fromiter(tfs.values(), dtype=np.int32, count=n)
-                    )
-                    t_dl.append(np.full(n, dl, dtype=np.int32))
-                    buffered += n
+                    d_ids.append(doc_idx)
+                    d_ns.append(len(tfs))
+                    d_dls.append(dl)
+                    terms_flat.extend(tfs.keys())
+                    tfs_flat.extend(tfs.values())
+                    buffered += len(tfs)
             if buffered >= flush_entries:
-                out = _flush(t_doc, t_term, t_tf, t_dl)
+                out = _flush(d_ids, d_ns, d_dls, terms_flat, tfs_flat)
                 if out is not None:
                     yield out
-                t_doc, t_term, t_tf, t_dl = [], [], [], []
+                d_ids, d_ns, d_dls = [], [], []
+                terms_flat, tfs_flat = [], []
                 buffered = 0
-        out = _flush(t_doc, t_term, t_tf, t_dl)
+        out = _flush(d_ids, d_ns, d_dls, terms_flat, tfs_flat)
         if out is not None:
             yield out
 

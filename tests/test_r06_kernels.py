@@ -63,6 +63,39 @@ def test_code_dl_equals_analyze_pos_sum():
         assert code_dl(t) == code_analyze_tf(t)[1], t
 
 
+def test_code_capture_tf_counter_path_identical():
+    # code_capture_tf counts via ONE C-level Counter over memoized
+    # per-token capture lists; counts AND key order must match the
+    # per-token dict-merge it replaced
+    from collections import Counter
+
+    from gitlab_elasticsearch_indexer_spark.functions.analyzers import (
+        _token_captures, code_capture_tf,
+    )
+
+    def reference(text):
+        caps = Counter()
+        dl = 0
+        for tok in text.split():
+            tok_caps, pos = _token_captures(tok)
+            dl += pos
+            for c, n in tok_caps.items():
+                caps[c] += n
+        return dict(caps), dl
+
+    texts = [
+        "if return getUserById parseQuery x12 'lit1' \"msg\" pkg.mod.attr",
+        "de\x00tail weird\x00ness if if if",
+        "café naïve Größe 日本語テスト",
+        "", "   ", "a", "if", '"a","b"',
+        "src/util/mod.py BUILD_LIMIT UserRecord get_user_impl if if",
+    ]
+    for t in texts:
+        got, ref = code_capture_tf(t), reference(t)
+        assert got[0] == ref[0] and got[1] == ref[1], t
+        assert list(got[0].keys()) == list(ref[0].keys()), t
+
+
 def _old_postings_from_docs(with_idx, analyzer, docs_per_part,
                             term_buckets=32, content_col="content"):
     """The pre-round-6 physical plan: per-(doc, capture) row shuffle +
