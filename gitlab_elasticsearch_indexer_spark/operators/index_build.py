@@ -984,20 +984,25 @@ def make_merge_pack_kernel(expand: tuple[int, int] | None):
     """(doc_part, bucket)-group kernel over PARTIAL postings rows:
     decode every partial's streams in ONE vectorized pass (partials of
     a term concatenate in first_doc order — disjoint doc ranges), then
-    delegate to :func:`make_pack_group_kernel` on the reconstructed
-    entry rows, so the packed output is BYTE-IDENTICAL to the
-    row-shuffle build (pytest-pinned)."""
+    expand/pack ENTIRELY on dictionary codes: the edgeNGram prefixes
+    are sliced once per UNIQUE capture (a per-group CSR of gram codes)
+    and per-entry expansion is integer gathers through that table —
+    no per-entry string ever materializes, unlike the
+    :func:`make_pack_group_kernel` string path it replaces.  The packed
+    output stays BYTE-IDENTICAL to the row-shuffle build
+    (pytest-pinned)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ..functions.codecs import varint_decode
 
-    pack_group = make_pack_group_kernel(expand)
+    empty = make_pack_group_kernel(expand)  # canonical empty frame
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pack_group(pd.DataFrame(
+            return empty(pd.DataFrame(
                 {"doc_part": [], "term": [], "doc_idx": [], "tf": [],
                  "dl": []}))
-        import pyarrow as pa
-
         codes, uniq = _arrow_dict_encode(
             pa.array(pdf["term"], type=pa.string(), from_pandas=True)
         )
@@ -1009,24 +1014,93 @@ def make_merge_pack_kernel(expand: tuple[int, int] | None):
         tbufs = pdf["tfs_bin"].to_numpy(dtype=object)[order]
         lbufs = pdf["dls_bin"].to_numpy(dtype=object)[order]
         deltas = varint_decode(b"".join(dbufs)).astype(np.int64)
-        tfs = varint_decode(b"".join(tbufs)).astype(np.int64)
-        dls = varint_decode(b"".join(lbufs)).astype(np.int64)
+        tf_a = varint_decode(b"".join(tbufs)).astype(np.int64)
+        dl_a = varint_decode(b"".join(lbufs)).astype(np.int64)
         # absolute docs: each partial's first delta is its absolute
         # first doc, so the within-segment cumsum IS the doc id
         # (csum minus each segment's prefix total — no Python loop)
         seg_starts = np.cumsum(dfs) - dfs
         csum = np.cumsum(deltas)
         base = np.where(seg_starts > 0, csum[seg_starts - 1], 0)
-        docs = csum - np.repeat(base, dfs)
-        rows = pd.DataFrame({
-            "doc_part": np.full(len(docs), int(pdf["doc_part"].iloc[0]),
-                                dtype=np.int64),
-            "term": uniq[np.repeat(codes, dfs)],
-            "doc_idx": docs,
-            "tf": tfs,
-            "dl": dls,
-        })
-        return pack_group(rows)
+        docs_a = csum - np.repeat(base, dfs)
+        doc_part = int(pdf["doc_part"].iloc[0])
+
+        if expand is None:
+            # entries are already grouped by final-term code with docs
+            # ascending within each code (disjoint partial doc ranges in
+            # first_doc order) — no per-entry sort, no aggregation
+            e_codes = np.repeat(codes, dfs)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(e_codes[1:] != e_codes[:-1]) + 1)
+            )
+            packed = pack_partition(starts, docs_a, tf_a, dl_a)
+            out = pd.DataFrame(packed)
+            out.insert(0, "term", uniq[e_codes[starts]])
+            out.insert(0, "doc_part",
+                       np.full(len(starts), doc_part, dtype=np.int64))
+            return out
+
+        # --- edgeNGram expansion on codes (lo..hi prefixes) ---
+        lo, hi = expand
+        uarr = pa.array(uniq, type=pa.string())
+        lens_u = pc.utf8_length(uarr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nks = np.maximum(np.minimum(lens_u, hi) - lo + 1, 0)
+        off = np.cumsum(nks) - nks
+        total_flat = int(nks.sum())
+        slices, flat_pos = [], []
+        for k in range(lo, hi + 1):
+            idx = np.flatnonzero(lens_u >= k)
+            if idx.size == 0:
+                break
+            s = pc.utf8_slice_codeunits(uarr.take(pa.array(idx)), 0, k)
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            slices.append(s)
+            flat_pos.append(off[idx] + (k - lo))
+        if not slices:
+            return empty(pd.DataFrame(
+                {"doc_part": [], "term": [], "doc_idx": [], "tf": [],
+                 "dl": []}))
+        flat_pos = np.concatenate(flat_pos)
+        gcodes_concat, gram_uniq = _arrow_dict_encode(
+            pa.concat_arrays(slices))
+        gram_code_flat = np.empty(total_flat, dtype=np.int64)
+        gram_code_flat[flat_pos] = gcodes_concat
+
+        # per-entry expansion: integer gathers through the CSR; the tf/dl
+        # gathers compose the sort permutation with the entry row index
+        # so only ONE expanded array (the gram code) is built pre-sort
+        e_codes = np.repeat(codes, dfs)
+        reps = nks[e_codes]
+        total_e = int(reps.sum())
+        start = np.repeat(off[e_codes], reps)
+        grp = np.cumsum(reps) - reps
+        within = np.arange(total_e, dtype=np.int64) - np.repeat(grp, reps)
+        e_g = gram_code_flat[start + within]
+        e_row = np.repeat(np.arange(len(docs_a), dtype=np.int64), reps)
+        order2 = _sort_by_code_doc(e_g, docs_a[e_row])
+        e_g = e_g[order2]
+        row_s = e_row[order2]
+        e_docs = docs_a[row_s]
+        # aggregate tf per (gram, doc) — two captures of one doc sharing
+        # a prefix merge into one posting (same rule as the string path)
+        new_run = np.flatnonzero(
+            (e_g[1:] != e_g[:-1]) | (e_docs[1:] != e_docs[:-1])
+        ) + 1
+        bnd = np.concatenate(([0], new_run))
+        e_tf = np.add.reduceat(tf_a[row_s], bnd)
+        e_docs, e_dl = e_docs[bnd], dl_a[row_s[bnd]]
+        e_g = e_g[bnd]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(e_g[1:] != e_g[:-1]) + 1)
+        )
+        packed = pack_partition(starts, e_docs, e_tf, e_dl)
+        out = pd.DataFrame(packed)
+        out.insert(0, "term", gram_uniq[e_g[starts]])
+        out.insert(0, "doc_part",
+                   np.full(len(starts), doc_part, dtype=np.int64))
+        return out
 
     return merge
 
